@@ -1,0 +1,22 @@
+package graft
+
+import graft.operators._
+
+/** The engine's complete declared capability surface (SURVEY.md §2.3):
+  * every operator family as oracle-checked queries.
+  */
+object Registry {
+  val all: Seq[Q] =
+    Relational.all ++ TextQueries.all ++ EventQueries.all ++
+      VectorQueries.all ++ DedupQueries.all ++ Multimodal.all ++
+      MapReduceQueries.all
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+
+  lazy val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    all.map(q => q.name -> q.build).toMap
+
+  /** Oracle SQL with whitespace collapsed (single line, driver-JSON-safe). */
+  lazy val oracles: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.replaceAll("\\s+", " ").trim)).toMap
+}

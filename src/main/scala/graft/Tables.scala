@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md / FIXTURES.md).
+  *
+  * All queries read tables exclusively through this object so that scan-level
+  * concerns (the events nanosecond-timestamp quirk, future bucketing /
+  * partition layout decisions) live in exactly one place.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, sfDir)
+      case n        => spark.read.parquet(s"$sfDir/$n.parquet")
+    }
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright. Read nanos as a raw long (legacy
+    * flag) and truncate to microseconds — the identical truncation DuckDB
+    * applies when casting TIMESTAMP_NS to TIMESTAMP, so oracle comparisons
+    * stay exact.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => raw
+    }
+  }
+}

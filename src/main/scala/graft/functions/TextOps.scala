@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Tokenization, shingling and portable hashing for the text/dedup operators.
+  *
+  * The hashing trick: every "hash function" is the first 16 hex chars of
+  * md5 over a seed-prefixed string. Both Spark and DuckDB produce identical
+  * lowercase hex md5, and fixed-width hex compares lexicographically exactly
+  * like the underlying 64-bit value — so MIN(hashHex(...)) is a portable
+  * minhash with zero cross-engine numeric conversion risk.
+  */
+object TextOps {
+
+  /** Non-empty whitespace tokens. */
+  def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= lit(""))
+
+  /** Space-joined n-gram shingles over a token array; empty array when the
+    * document has fewer than n tokens (guards Spark's descending
+    * `sequence(1, 0)` edge).
+    */
+  def shingles(ws: Column, n: Int): Column = {
+    val sh = transform(
+      sequence(lit(1), size(ws) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*))
+    when(size(ws) >= n, sh).otherwise(array().cast("array<string>"))
+  }
+
+  /** Seeded portable hash: first 16 lowercase hex chars of md5(seed ':' s). */
+  def hashHex(seed: Column, s: Column): Column =
+    substring(md5(concat(seed.cast("string"), lit(":"), s)), 1, 16)
+
+  /** Unseeded variant. */
+  def hashHex(s: Column): Column = substring(md5(s), 1, 16)
+
+  /** Shared English stopword list (used by lang-id and quality scoring).
+    * Must stay in sync with the IN-lists inside the DuckDB oracles.
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Fraction of tokens that are stopwords (0.0 for empty docs). */
+  def stopwordRatio(ws: Column): Column = {
+    val hits = size(filter(ws, w => w.isInCollection(stopwords)))
+    when(size(ws) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(ws).cast("double"))
+  }
+}

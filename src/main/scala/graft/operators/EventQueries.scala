@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Portable.pround
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stream-shaped operators over the `events` table, checked in batch mode
+  * (the reference is batch-only — SURVEY.md §2.3): JSON extraction, tumbling
+  * time windows, gap-based sessionization and value histograms. The same
+  * logical window/sessionize ops run under Structured Streaming in
+  * `graft.streaming` (test-only; DuckDB can't oracle a stream).
+  *
+  * DuckDB oracle note: events.ts is parquet TIMESTAMP(NANOS); DuckDB reads
+  * it as TIMESTAMP_NS, so every oracle casts through CAST(ts AS TIMESTAMP)
+  * — the same µs truncation `Tables.events` applies on the Spark side.
+  */
+object EventQueries {
+
+  /** JSON field extraction from the `props` column. */
+  private val jsonFuncs = Q(
+    "q_json_funcs",
+    (spark, dir) =>
+      Tables(spark, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events ORDER BY event_id"""))
+
+  /** Tumbling 1-hour window aggregate — the batch twin of the Structured
+    * Streaming windowed count. One shuffle on (window, type); partial
+    * aggregation makes it linear-scan shaped at any scale.
+    */
+  private val timeWindow = Q(
+    "q_time_window",
+    (spark, dir) =>
+      Tables(spark, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), pround(sum(col("value")), 4).as("sum_value"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type")),
+    Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+              CAST(COUNT(*) AS BIGINT) AS cnt, FLOOR((SUM(value)) * 10000 + 0.5) / 10000 AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""))
+
+  /** Gap-based sessionization (30-minute inactivity gap): lag + running sum
+    * assigns session ids within a single shuffle on user_id. This is the
+    * batch twin of `session_window(ts, "30 minutes")` in streaming mode.
+    */
+  private val sessionize = Q(
+    "q_sessionize",
+    (spark, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(spark, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            (unix_micros(col("ts")) - col("prev_us")) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(run).cast("bigint"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), pround(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+            l AS (SELECT user_id, event_id, value, ts,
+                    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                  FROM e),
+            f AS (SELECT user_id, event_id, value, ts,
+                    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                         THEN 1 ELSE 0 END AS new_s
+                  FROM l),
+            g AS (SELECT user_id, value,
+                    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+                  FROM f)
+            SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+              FLOOR((SUM(value)) * 10000 + 0.5) / 10000 AS sum_value
+            FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
+
+  /** Bucketed value histogram. */
+  private val histogram = Q(
+    "q_histogram",
+    (spark, dir) =>
+      Tables(spark, dir, "events")
+        .groupBy(floor(col("value") / 10).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("bucket")),
+    Some("""SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1 ORDER BY bucket"""))
+
+  val all: Seq[Q] = Seq(jsonFuncs, timeWindow, sessionize, histogram)
+}

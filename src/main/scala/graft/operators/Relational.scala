@@ -1,0 +1,308 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Portable.pround
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator inventory (SURVEY.md §2.3 [mr] rows): projection,
+  * filter, aggregation, every join kind, sort/limit, set ops, rollup, window
+  * functions and scalar-function queries — all plain DataFrame ops so that
+  * Catalyst handles pushdown, pruning, join selection and partial
+  * aggregation. Scale notes per query are in the Scaladoc.
+  */
+object Relational {
+
+  /** σ/π — predicate + projection; both reach the parquet scan
+    * (PushedFilters + ReadSchema), so at 100 TB this reads only 3 columns
+    * of the row groups surviving min/max pruning.
+    */
+  private val filterProject = Q(
+    "q_filter_project",
+    (spark, dir) => {
+      Tables(spark, dir, "lineitem")
+        .filter(col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem WHERE l_quantity > 30
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** TPC-H Q1 shape: hash aggregate with partial (map-side) aggregation —
+    * the combiner the reference engine lacks. Four groups regardless of
+    * scale, so the shuffle moves only num_partitions × 4 rows.
+    */
+  private val aggPricing = Q(
+    "q_agg_pricing",
+    (spark, dir) => {
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          pround(sum(col("l_quantity")), 4).as("sum_qty"),
+          pround(sum(col("l_extendedprice")), 4).as("sum_base"),
+          pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc"),
+          pround(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+              FLOOR((SUM(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,
+              FLOOR((SUM(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_base,
+              FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS sum_disc,
+              FLOOR((AVG(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** DISTINCT — a shuffle on the projected column only (pruned scan). */
+  private val distinctQ = Q(
+    "q_distinct",
+    (spark, dir) =>
+      Tables(spark, dir, "customer")
+        .select(col("c_mktsegment"))
+        .distinct()
+        .orderBy(col("c_mktsegment")),
+    Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"))
+
+  /** Inner equi-join + aggregate. At scale both sides shuffle on the join
+    * key (sort-merge / shuffled hash via AQE); the aggregate reuses the
+    * join's hash partitioning on c_custkey, so no extra exchange.
+    */
+  private val joinEqui = Q(
+    "q_join_equi",
+    (spark, dir) => {
+      val c = Tables(spark, dir, "customer")
+      val o = Tables(spark, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "inner")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          pround(sum(col("o_totalprice")), 4).as("total_price"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+              FLOOR((SUM(o_totalprice)) * 10000 + 0.5) / 10000 AS total_price
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_name ORDER BY c_custkey"""))
+
+  /** Map-side (broadcast) join: region is 5 rows at any scale — the
+    * explicit broadcast() guarantees no shuffle of the fact side.
+    */
+  private val joinBroadcast = Q(
+    "q_join_broadcast",
+    (spark, dir) => {
+      val n = Tables(spark, dir, "nation")
+      val r = Tables(spark, dir, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("n_name"), col("r_name"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name, r_name FROM nation JOIN region
+            ON n_regionkey = r_regionkey ORDER BY n_name"""))
+
+  /** Left semi join (EXISTS). The build side is only the join key column. */
+  private val joinSemi = Q(
+    "q_join_semi",
+    (spark, dir) => {
+      val c = Tables(spark, dir, "customer")
+      val o = Tables(spark, dir, "orders").select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+            ORDER BY c_custkey"""))
+
+  /** Left anti join (NOT EXISTS). */
+  private val joinAnti = Q(
+    "q_join_anti",
+    (spark, dir) => {
+      val c = Tables(spark, dir, "customer")
+      val o = Tables(spark, dir, "orders").select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+            ORDER BY c_custkey"""))
+
+  /** Global top-k: Spark plans TakeOrderedAndProject — per-partition top-k
+    * then a k-row merge on the driver; no full sort at any scale. Ordering
+    * is on the *rounded* price so both engines break ties identically.
+    */
+  private val topk = Q(
+    "q_topk",
+    (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          pround(col("o_totalprice"), 4).as("price"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(10),
+    Some("""SELECT o_orderkey, o_custkey, FLOOR((o_totalprice) * 10000 + 0.5) / 10000 AS price
+            FROM orders ORDER BY price DESC, o_orderkey LIMIT 10"""))
+
+  /** UNION / INTERSECT / EXCEPT in one tagged result. */
+  private val setOps = Q(
+    "q_set_ops",
+    (spark, dir) => {
+      val c = Tables(spark, dir, "customer").select(col("c_nationkey").as("k"))
+      val s = Tables(spark, dir, "supplier").select(col("s_nationkey").as("k"))
+      val u = c.union(s).distinct().withColumn("op", lit("union"))
+      val i = c.intersect(s).withColumn("op", lit("intersect"))
+      val e = c.except(s).withColumn("op", lit("except"))
+      u.unionByName(i).unionByName(e)
+        .select(col("op"), col("k"))
+        .orderBy(col("op"), col("k"))
+    },
+    Some("""SELECT 'union' AS op, k FROM
+              (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier)
+            UNION ALL
+            SELECT 'intersect' AS op, k FROM
+              (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+            UNION ALL
+            SELECT 'except' AS op, k FROM
+              (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+            ORDER BY op, k"""))
+
+  /** Hierarchical aggregate (ROLLUP). NULL ordering pinned explicitly —
+    * Spark sorts nulls first by default, DuckDB last.
+    */
+  private val rollupQ = Q(
+    "q_rollup",
+    (spark, dir) => {
+      val n = Tables(spark, dir, "nation")
+      val r = Tables(spark, dir, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    },
+    Some("""SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+            ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""))
+
+  /** Ranking window: top-5 customers per market segment by balance. */
+  private val windowRank = Q(
+    "q_window_rank",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables(spark, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_name"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    },
+    Some("""SELECT c_mktsegment, rn, c_custkey, c_name FROM (
+              SELECT c_mktsegment, c_custkey, c_name,
+                row_number() OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+              FROM customer)
+            WHERE rn <= 5 ORDER BY c_mktsegment, rn"""))
+
+  /** Analytic window with an explicit ROWS frame: per-customer running
+    * revenue. Accumulation order is pinned by the window ORDER BY, so the
+    * running double sum is bit-identical across engines.
+    */
+  private val windowRunning = Q(
+    "q_window_running",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          pround(sum(col("o_totalprice")).over(w), 4).as("running"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              FLOOR((SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS running
+            FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  /** String scalar functions: UPPER / SUBSTR / LENGTH / LIKE / concat. */
+  private val stringFuncs = Q(
+    "q_string_funcs",
+    (spark, dir) =>
+      Tables(spark, dir, "part")
+        .filter(col("p_name").like("%a%"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          length(col("p_type")).cast("bigint").as("type_len"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey, UPPER(p_brand) AS brand_u,
+              SUBSTR(p_name, 1, 5) AS name5,
+              CAST(LENGTH(p_type) AS BIGINT) AS type_len,
+              p_brand || '-' || p_type AS brand_type
+            FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey"""))
+
+  /** Date scalar functions: year/month extraction feeding an aggregate. */
+  private val dateFuncs = Q(
+    "q_date_funcs",
+    (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          pround(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("y"), col("m")),
+    Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+              CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+              CAST(COUNT(*) AS BIGINT) AS cnt,
+              FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS sum_price
+            FROM orders GROUP BY 1, 2 ORDER BY y, m"""))
+
+  /** Math scalar functions: arithmetic, ABS, SQRT, ROUND over an aggregate. */
+  private val mathFuncs = Q(
+    "q_math_funcs",
+    (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          pround(avg(abs(col("l_tax") - col("l_discount"))), 4).as("avg_absdiff"),
+          pround(sqrt(sum(col("l_quantity"))), 4).as("sqrt_qty"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+              FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+              FLOOR((AVG(ABS(l_tax - l_discount))) * 10000 + 0.5) / 10000 AS avg_absdiff,
+              FLOOR((SQRT(SUM(l_quantity))) * 10000 + 0.5) / 10000 AS sqrt_qty
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Top-1 per group via ranking window — the scalable per-group top-k
+    * shape (single shuffle on the partition key, no self-join).
+    */
+  private val topkPerGroup = Q(
+    "q_topk_per_group",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(spark, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          pround(col("o_totalprice"), 4).as("price"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, FLOOR((o_totalprice) * 10000 + 0.5) / 10000 AS price
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn = 1 ORDER BY o_custkey"""))
+
+  val all: Seq[Q] = Seq(
+    filterProject, aggPricing, distinctQ, joinEqui, joinBroadcast, joinSemi,
+    joinAnti, topk, setOps, rollupQ, windowRank, windowRunning, stringFuncs,
+    dateFuncs, mathFuncs, topkPerGroup)
+}

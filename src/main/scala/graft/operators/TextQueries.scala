@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Portable.pround
+import graft.functions.TextOps
+import org.apache.spark.sql.functions._
+
+/** Text operators over the `documents` table: the reference's flagship
+  * char-count query (SampleClient.cpp:34-65 semantics), canonical MapReduce
+  * word count / inverted index, and the LLM-pipeline text-analysis suite
+  * (token counting, language-ID heuristic, quality scoring, fingerprinting).
+  *
+  * All are explode → groupBy pipelines: one shuffle keyed on the token, with
+  * map-side partial aggregation, which is the scalable shape at 100 TB.
+  */
+object TextQueries {
+
+  /** Flagship [ref]: per-character frequency count — the reference's sample
+    * query (`SampleClient.cpp:34-65`) lifted onto documents.text.
+    * Spark `split(text, '')` and DuckDB `regexp_extract_all(text, '.')`
+    * were verified to produce identical char sequences (spaces included,
+    * no empty artifacts).
+    */
+  val charCount = Q(
+    "q_char_count",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy(col("ch"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("ch")),
+    Some("""SELECT ch, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT UNNEST(regexp_extract_all(text, '.')) AS ch FROM documents)
+            WHERE ch <> '' GROUP BY ch ORDER BY ch"""))
+
+  /** Canonical MapReduce word count. */
+  private val wordCount = Q(
+    "q_word_count",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(explode(TextOps.words(lower(col("text")))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("word")),
+    Some("""SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS word FROM documents)
+            WHERE word <> '' GROUP BY word ORDER BY word"""))
+
+  /** Inverted index: term → comma-joined sorted distinct doc ids. The doc
+    * list is emitted as a string so the hash compare is representation-
+    * independent. At scale this is groupBy(word) with collect_set — bounded
+    * by vocabulary × docs-per-term.
+    */
+  private val invertedIndex = Q(
+    "q_inverted_index",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(
+          concat_ws(",",
+            transform(sort_array(collect_set(col("doc_id"))), _.cast("string"))).as("doc_ids"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("word")),
+    Some("""SELECT word, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+              CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM (SELECT DISTINCT doc_id, word FROM
+                   (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+                  WHERE word <> '')
+            GROUP BY word ORDER BY word"""))
+
+  /** Per-(lang, source) document statistics. */
+  private val textStats = Q(
+    "q_text_stats",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          pround(avg(col("n_chars")), 4).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"), col("source")),
+    Some("""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              FLOOR((AVG(n_chars)) * 10000 + 0.5) / 10000 AS avg_chars,
+              CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+              CAST(MAX(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+
+  /** Token counting: whitespace tokens and a regex (BPE-ish word/number
+    * piece) tokenizer, per document.
+    */
+  private val tokenCount = Q(
+    "q_token_count",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(TextOps.words(col("text"))).cast("bigint").as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).cast("bigint").as("re_tokens"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+              CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS ws_tokens,
+              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens
+            FROM documents ORDER BY doc_id"""))
+
+  /** Heuristic language ID: stopword-hit ratio thresholding, reported per
+    * (actual lang, predicted lang).
+    */
+  private val langId = Q(
+    "q_lang_id",
+    (spark, dir) => {
+      val ws = TextOps.words(col("text"))
+      Tables(spark, dir, "documents")
+        .select(col("lang"), TextOps.stopwordRatio(ws).as("ratio"))
+        .select(col("lang"),
+          when(col("ratio") >= 0.05, lit("en")).otherwise(lit("und")).as("pred_lang"),
+          col("ratio"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("cnt"), pround(avg(col("ratio")), 4).as("avg_ratio"))
+        .orderBy(col("lang"), col("pred_lang"))
+    },
+    Some("""WITH s AS (
+              SELECT lang,
+                CASE WHEN len(ws) = 0 THEN 0.0
+                     ELSE CAST(len(list_filter(ws, w -> w IN
+                       ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                       / CAST(len(ws) AS DOUBLE) END AS ratio
+              FROM (SELECT lang, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                    FROM documents))
+            SELECT lang,
+              CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang,
+              CAST(COUNT(*) AS BIGINT) AS cnt, FLOOR((AVG(ratio)) * 10000 + 0.5) / 10000 AS avg_ratio
+            FROM s GROUP BY 1, 2 ORDER BY lang, pred_lang"""))
+
+  /** Quality score: blend of token count, stopword ratio and mean token
+    * length — the standard cheap pre-filter for LLM training corpora.
+    */
+  private val qualityScore = Q(
+    "q_quality_score",
+    (spark, dir) => {
+      val ws = TextOps.words(col("text"))
+      val nTok = size(ws).cast("double")
+      val charSum = aggregate(transform(ws, w => length(w).cast("long")),
+        lit(0L), (acc, v) => acc + v).cast("double")
+      val avgLen = when(size(ws) === 0, lit(0.0)).otherwise(charSum / nTok)
+      val score = pround(
+        least(nTok / 100.0, lit(1.0)) * 0.4 +
+          TextOps.stopwordRatio(ws) * 0.3 +
+          least(avgLen / 8.0, lit(1.0)) * 0.3, 4)
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), size(ws).cast("bigint").as("n_tokens"),
+          pround(avgLen, 4).as("avg_token_len"), score.as("score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                       FROM documents),
+            m AS (SELECT doc_id,
+                    CAST(len(ws) AS DOUBLE) AS n_tok,
+                    CASE WHEN len(ws) = 0 THEN 0.0
+                         ELSE CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                              / CAST(len(ws) AS DOUBLE) END AS avg_len,
+                    CASE WHEN len(ws) = 0 THEN 0.0
+                         ELSE CAST(len(list_filter(ws, w -> w IN
+                           ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                           / CAST(len(ws) AS DOUBLE) END AS ratio
+                  FROM t)
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+              FLOOR((avg_len) * 10000 + 0.5) / 10000 AS avg_token_len,
+              FLOOR((LEAST(n_tok / 100.0, 1.0) * 0.4 + ratio * 0.3
+                    + LEAST(avg_len / 8.0, 1.0) * 0.3) * 10000 + 0.5) / 10000 AS score
+            FROM m ORDER BY doc_id"""))
+
+  /** Document fingerprint: min/max hash over word-3-gram shingles (a
+    * winnowing-style rolling fingerprint) + distinct shingle count.
+    */
+  private val fingerprint = Q(
+    "q_fingerprint",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      docs
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.shingles(TextOps.words(col("text")), 3))).as("sh"))
+        .groupBy(col("doc_id"))
+        .agg(
+          min(TextOps.hashHex(col("sh"))).as("fp_min"),
+          max(TextOps.hashHex(col("sh"))).as("fp_max"),
+          count(lit(1)).as("n_shingles"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+                        FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                              FROM documents) t,
+                             UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+                        WHERE len(ws) >= 3)
+            SELECT doc_id, MIN(substr(md5(sh), 1, 16)) AS fp_min,
+              MAX(substr(md5(sh), 1, 16)) AS fp_max,
+              CAST(COUNT(*) AS BIGINT) AS n_shingles
+            FROM sh GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
+    tokenCount, langId, qualityScore, fingerprint)
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Portable.pround
+import graft.functions.VectorOps
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`vec_id`,
+  * `embedding array<float>`, `label`): array scalar ops, brute-force cosine
+  * top-k as the exact baseline, and a hyperplane-LSH bucketed variant as the
+  * scale path. Cosine math is `zip_with`+`aggregate` with double
+  * accumulation — codegen'd, no UDF, no shuffle beyond the final top-k.
+  */
+object VectorQueries {
+
+  /** Deterministic random hyperplanes, derived from md5 so the DuckDB
+    * oracle can reproduce them: sign(p, d) = +1 iff the first hex char of
+    * md5("p<p>-<d>") has its high bit set. Data-independent constants, so
+    * they are computed driver-side and inlined as literal arrays (the plan
+    * stays a pure per-row projection — no join against a planes table).
+    */
+  private[operators] def planeSigns(nPlanes: Int, dims: Int): Seq[Seq[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { p =>
+      (1 to dims).map { d =>
+        val hex = digest.digest(s"p$p-$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if ("89abcdef".contains(hex.head)) 1.0 else -1.0
+      }
+    }
+  }
+
+  private def signedDot(emb: Column, signs: Seq[Double]): Column =
+    VectorOps.dot(emb, array(signs.map(lit): _*))
+
+  /** Array scalar functions: size, element access, element sum. */
+  private val arrayFuncs = Q(
+    "q_array_funcs",
+    (spark, dir) =>
+      Tables(spark, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          pround(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+          pround(element_at(col("embedding"), 64).cast("double"), 4).as("e64"),
+          pround(VectorOps.arraySum(col("embedding")), 4).as("esum"))
+        .orderBy(col("vec_id")),
+    Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+              FLOOR((CAST(embedding[1] AS DOUBLE)) * 10000 + 0.5) / 10000 AS e1,
+              FLOOR((CAST(embedding[64] AS DOUBLE)) * 10000 + 0.5) / 10000 AS e64,
+              FLOOR((list_sum(CAST(embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS esum
+            FROM embeddings ORDER BY vec_id"""))
+
+  /** Exact brute-force KNN: top-10 cosine neighbors of probe vec_id=0.
+    * The probe is broadcast, so at scale this is a single pruned scan with
+    * a per-partition top-k merge (TakeOrderedAndProject) — no shuffle of
+    * the embedding data.
+    */
+  private val knnBrute = Q(
+    "q_knn_brute",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "embeddings")
+      val probe = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("p")))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(probe)
+        .select(col("vec_id"),
+          pround(VectorOps.cosine(col("embedding"), col("p")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+              FLOOR((list_cosine_similarity(CAST(embedding AS DOUBLE[]), p)) * 10000 + 0.5) / 10000 AS cos
+            FROM embeddings, probe WHERE vec_id <> 0
+            ORDER BY cos DESC, vec_id LIMIT 10"""))
+
+  /** Approximate KNN via 4 random-hyperplane LSH bits (16 buckets): only
+    * vectors sharing the probe's bucket are scored. The bucket id is a pure
+    * per-row projection over inlined sign constants; at scale the candidate
+    * scan reads ~1/16th of the data and everything stays shuffle-free up to
+    * the final top-k.
+    */
+  private val knnLsh = Q(
+    "q_knn_lsh",
+    (spark, dir) => {
+      val signs = planeSigns(4, 64)
+      val bucket = concat(
+        signs.map(s => when(signedDot(col("embedding"), s) > 0, lit("1")).otherwise(lit("0"))): _*)
+      val e = Tables(spark, dir, "embeddings").withColumn("bk", bucket)
+      val probe = broadcast(
+        e.filter(col("vec_id") === 0).select(col("embedding").as("p"), col("bk").as("pbk")))
+      e.filter(col("vec_id") =!= 0)
+        .join(probe, col("bk") === col("pbk"))
+        .select(col("vec_id"), col("bk"),
+          pround(VectorOps.cosine(col("embedding"), col("p")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH planes AS (
+              SELECT p, d,
+                CASE WHEN substr(md5('p' || CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1)
+                     IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS sgn
+              FROM UNNEST(generate_series(0, 3)) AS a(p), UNNEST(generate_series(1, 64)) AS b(d)),
+            dots AS (SELECT e.vec_id, pl.p,
+                       SUM(pl.sgn * CAST(e.embedding[pl.d] AS DOUBLE)) AS dp
+                     FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p),
+            buckets AS (SELECT vec_id,
+                          string_agg(CASE WHEN dp > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bk
+                        FROM dots GROUP BY vec_id),
+            probe AS (SELECT CAST(e.embedding AS DOUBLE[]) AS p, b.bk AS pbk
+                      FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+                      WHERE e.vec_id = 0)
+            SELECT e.vec_id AS vec_id, b.bk,
+              FLOOR((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), probe.p)) * 10000 + 0.5) / 10000 AS cos
+            FROM embeddings e
+            JOIN buckets b ON e.vec_id = b.vec_id, probe
+            WHERE b.bk = probe.pbk AND e.vec_id <> 0
+            ORDER BY cos DESC, e.vec_id LIMIT 10"""))
+
+  /** Embedding-cosine near-duplicate detection: top-20 most-similar pairs
+    * within a bounded id window. The bounded all-pairs join is the exact
+    * verifier; the LSH bucketing above is the candidate generator at scale.
+    */
+  private val dedupEmbed = Q(
+    "q_dedup_embed",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "embeddings").filter(col("vec_id") < 100)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          pround(VectorOps.cosine(col("ea"), col("eb")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+        .limit(20)
+    },
+    Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              FLOOR((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 100 AND b.vec_id < 100
+            ORDER BY cos DESC, vec_a, vec_b LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(arrayFuncs, knnBrute, knnLsh, dedupEmbed)
+}

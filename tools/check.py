@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify output
+against DuckDB oracles and diff. Usage:
+    python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+(driver-side tooling only — not part of the shipped library)."""
+import sys, os, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+def cmp_val(a, b):
+    a, b = norm(a), norm(b)
+    if isinstance(a, float) and isinstance(b, float):
+        if a == b:
+            return True
+        # report near-miss distinctly
+        return abs(a - b) < 1e-12 and "NEAR"
+    return a == b
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        if only and name not in only:
+            continue
+        sql = oracles[name]
+        files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table().to_pylist()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        try:
+            expt = con.execute(sql).fetch_arrow_table()
+            exp_cols = expt.column_names
+            exp = expt.to_pylist()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        got_cols = sorted(got[0].keys()) if got else []
+        exp_cols_s = sorted(exp_cols)
+        if got and got_cols != exp_cols_s:
+            print(f"FAIL {name}: columns differ spark={got_cols} oracle={exp_cols_s}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rowcount spark={len(got)} oracle={len(exp)}")
+            n_fail += 1
+            continue
+        bad = near = 0
+        first = None
+        for i, (g, e) in enumerate(zip(got, exp)):
+            for c in got_cols:
+                r = cmp_val(g[c], e[c])
+                if r == "NEAR":
+                    near += 1
+                    if first is None:
+                        first = (i, c, g[c], e[c], "near")
+                elif not r:
+                    bad += 1
+                    if first is None:
+                        first = (i, c, g[c], e[c], "diff")
+        if bad:
+            print(f"FAIL {name}: {bad} value diffs ({near} near) first={first}")
+            n_fail += 1
+        elif near:
+            print(f"WARN {name}: exact-match fails but within 1e-12 ({near} cells) first={first} rows={len(got)}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(got)} rows")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
