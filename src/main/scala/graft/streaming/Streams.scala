@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming realizations of the stream-shaped operators.
+  *
+  * The reference engine is strictly batch (SURVEY.md §2.2), so these are
+  * the *forward-looking* streaming twins of the batch queries in
+  * `EventQueries`: the logical operators (tumbling window, dedup-by-key,
+  * gap sessions) are identical; only the source/sink mode changes. They are
+  * exercised by tests with a memory sink (DuckDB can't oracle a stream).
+  *
+  * Scale posture: watermark + windowed aggregation state is bounded by
+  * (watermark horizon × key cardinality); dedup state by distinct keys in
+  * the horizon — both shard across executors by the grouping key exactly
+  * like the batch shuffles.
+  */
+object Streams {
+
+  /** events.parquet as a bounded stream, with the same nanos→µs timestamp
+    * normalization as `Tables.events`.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, sfDir).schema // post-conversion schema probe
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(schema.map {
+        case f if f.name == "ts" =>
+          f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f => f
+      }))
+      .parquet(s"$sfDir/events.parq*") // glob: the file source wants a dir/glob
+    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour windowed counts with a 1-hour watermark — the
+    * streaming twin of q_time_window.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("cnt"))
+
+  /** Streaming dedup-by-key within the watermark horizon — the streaming
+    * twin of q_dedup_exact's keep-first semantics.
+    */
+  def dedupByKey(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(Seq("event_id"))
+}
