@@ -28,6 +28,15 @@ object TextOps {
     when(size(ws) >= n, sh).otherwise(array().cast("array<string>"))
   }
 
+  /** Native tokenize+shingle+distinct in one pass (graft.plans.WordNGrams)
+    * — same values as `array_distinct(shingles(words(text), n))`, ~4x
+    * faster (the HOF chain evaluates interpreted).
+    */
+  def distinctWordNGrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.WordNGrams(Bridge.expression(text), n, distinct = true))
+  }
+
   /** Seeded portable hash: first 16 lowercase hex chars of md5(seed ':' s). */
   def hashHex(seed: Column, s: Column): Column =
     substring(md5(concat(seed.cast("string"), lit(":"), s)), 1, 16)

@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   * with the scan and add no shuffle.
   */
 object VectorOps {
+  import org.apache.spark.sql.graft.Bridge
 
-  /** Dot product of two numeric arrays (double accumulation, index order). */
+  /** Dot product of two numeric arrays (double accumulation, index order).
+    * HOF form: interpreted, kept for generic element types and as the
+    * reference implementation the codegen'd expressions are tested against.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -27,8 +31,21 @@ object VectorOps {
   /** Euclidean (L2) norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1]. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in [-1, 1] over array<float> columns — the native
+    * codegen'd expression (graft.plans.CosineSimilarity); bit-identical to
+    * cosineHof but runs inside whole-stage codegen.
+    */
+  def cosine(a: Column, b: Column): Column =
+    Bridge.column(graft.plans.CosineSimilarity(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  /** Interpreted HOF cosine (reference implementation for tests). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** dot(a, constant signs vector) — codegen'd, for LSH bucket bits. */
+  def signedDot(a: Column, signs: Array[Double]): Column =
+    Bridge.column(graft.plans.SignedDot(
+      Bridge.expression(a), signs))
 
   /** Sum of the array's elements as double. */
   def arraySum(a: Column): Column =

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * bucket-join → jaccard verify), SimHash signatures, and n-gram Jaccard.
   * (Embedding-cosine near-dup lives in VectorQueries.)
   *
-  * Every hash is the portable md5-prefix from [[TextOps.hashHex]], so the
-  * DuckDB oracles reproduce signatures bit-for-bit.
+  * Portable hashing: each shingle is md5-hashed ONCE to a 60-bit integer;
+  * the 16 minhash functions are XOR permutations of that value by fixed
+  * constants — both engines compute `x XOR k` exactly (Spark bitwiseXOR,
+  * DuckDB xor), so signatures match bit-for-bit while md5 work drops 16x.
   *
   * Scale shape: all stages key their shuffles on content-derived values
   * (hash, shingle, (band, signature)) — uniformly distributed, skew-free,
@@ -43,94 +45,124 @@ object DedupQueries {
   private def shingleRel(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"),
-        explode(array_distinct(TextOps.shingles(TextOps.words(col("text")), 3))).as("sh"))
+        explode(TextOps.distinctWordNGrams(col("text"), 3)).as("sh"))
+
+  /** Fixed 60-bit XOR constants defining the 16 minhash functions
+    * (derived from md5 of the seed index — reproducible in the oracle as
+    * inline literals).
+    */
+  private[graft] val minhashSeeds: Seq[Long] = (0 until 16).map { s =>
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val hex = digest.digest(s"seed$s".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** LSH candidate pairs (doc_a < doc_b) from a (doc_id, sh) shingle
+    * relation: 16 XOR-minhashes in one partial-aggregated groupBy, 4 bands
+    * of 4, bucket self-join on (band, signature).
+    */
+  private[graft] def minhashCandidates(sh: DataFrame): DataFrame = {
+    val x = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+    val mhCols = minhashSeeds.zipWithIndex.map { case (k, i) =>
+      min(col("x").bitwiseXOR(lit(k))).as(s"mh$i")
+    }
+    val sigs = sh.select(col("doc_id"), x.as("x"))
+      .groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val bandCols = (0 until 4).map(b =>
+      concat_ws(",", (0 until 4).map(i => col(s"mh${b * 4 + i}").cast("string")): _*).as(s"b$b"))
+    val bands = sigs.select(col("doc_id") +: bandCols: _*)
+      .selectExpr("doc_id", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, sig)")
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over candidate pairs via the shingle relation. */
+  private def jaccardOf(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        pround(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4).as("jaccard"))
+  }
+
+  private def minhashOracle: String = {
+    val mhCols = minhashSeeds.zipWithIndex
+      .map { case (k, i) => s"MIN(xor(x, $k)) AS mh$i" }.mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val sig = (b * 4 until b * 4 + 4).map(i => s"CAST(mh$i AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                      FROM documents),
+        sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+               WHERE len(ws) >= 3),
+        xs AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS x FROM sh),
+        mh AS (SELECT doc_id, $mhCols FROM xs GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+                  FROM cand c
+                  JOIN sh x ON x.doc_id = c.doc_a
+                  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+                  GROUP BY c.doc_a, c.doc_b)
+        SELECT i.doc_a, i.doc_b,
+          FLOOR((CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i)) * 10000 + 0.5) / 10000 AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        ORDER BY doc_a, doc_b"""
+  }
 
   /** MinHash + LSH candidate pairs with exact Jaccard verification.
     *
-    * 16 portable hash functions, 4 bands × 4 rows: docs agreeing on all 4
-    * minhashes of any band become candidates; candidates are then verified
-    * with exact shingle-set Jaccard. This is the full scalable pipeline —
-    * the band bucket-join replaces the quadratic all-pairs compare, and
-    * every stage is a hash-partitioned groupBy/join.
+    * 16 XOR-permutation hash functions, 4 bands x 4 rows: docs agreeing on
+    * all 4 minhashes of any band become candidates; candidates are then
+    * verified with exact shingle-set Jaccard. The band bucket-join replaces
+    * the quadratic all-pairs compare — the scalable dedup pipeline.
     */
   private val dedupMinhash = Q(
     "q_dedup_minhash",
     (spark, dir) => {
       val sh = shingleRel(spark, dir).cache()
-      val mh = sh
-        .withColumn("seed", explode(sequence(lit(0), lit(15))))
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(TextOps.hashHex(col("seed"), col("sh"))).as("mh"))
-      val bands = mh
-        .groupBy(col("doc_id"), floor(col("seed") / 4).cast("int").as("band"))
-        .agg(concat_ws(",",
-          transform(sort_array(collect_list(struct(col("seed"), col("mh")))),
-            x => x.getField("mh"))).as("sig"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          pround(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4).as("jaccard"))
+      jaccardOf(minhashCandidates(sh), sh)
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    Some("""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
-                          FROM documents),
-            sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
-                   FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
-                   WHERE len(ws) >= 3),
-            mh AS (SELECT doc_id, s,
-                     MIN(substr(md5(CAST(s AS VARCHAR) || ':' || sh), 1, 16)) AS mh
-                   FROM sh, UNNEST(generate_series(0, 15)) AS t(s)
-                   GROUP BY doc_id, s),
-            bands AS (SELECT doc_id, CAST(FLOOR(s / 4) AS INT) AS band,
-                        string_agg(mh, ',' ORDER BY s) AS sig
-                      FROM mh GROUP BY doc_id, CAST(FLOOR(s / 4) AS INT)),
-            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                     FROM bands a JOIN bands b
-                       ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-                      FROM cand c
-                      JOIN sh x ON x.doc_id = c.doc_a
-                      JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
-                      GROUP BY c.doc_a, c.doc_b)
-            SELECT i.doc_a, i.doc_b,
-              FLOOR((CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i)) * 10000 + 0.5) / 10000 AS jaccard
-            FROM inter i
-            JOIN sizes sa ON sa.doc_id = i.doc_a
-            JOIN sizes sb ON sb.doc_id = i.doc_b
-            ORDER BY doc_a, doc_b"""))
+    Some(minhashOracle))
 
   /** SimHash: 16-bit signature from per-hex-char md5 "bit" votes weighted
-    * by term frequency. Near-dup docs differ in few signature bits; the
-    * signature itself is the oracle-checked artifact.
+    * by term frequency. md5(w) is computed once per word occurrence; the 16
+    * bit votes are partial-aggregated sums in a single groupBy (no row
+    * explosion). Near-dup docs differ in few signature bits.
     */
   private val dedupSimhash = Q(
     "q_dedup_simhash",
     (spark, dir) => {
-      val bit = substring(md5(col("w")), col("i"), lit(1))
-        .isin("8", "9", "a", "b", "c", "d", "e", "f")
+      val high = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      val voteCols = (1 to 16).map(i =>
+        sum(when(substring(col("m"), i, 1).isin(high: _*), 1).otherwise(-1)).as(s"s$i"))
+      val sigChar = (1 to 16).map(i =>
+        when(col(s"s$i") > 0, lit("1")).otherwise(lit("0")))
       Tables(spark, dir, "documents")
         .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
-        .withColumn("i", explode(sequence(lit(1), lit(16))))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(sum(when(bit, 1).otherwise(-1)).as("s"))
+        .select(col("doc_id"), md5(col("w")).as("m")) // hash each word once
         .groupBy(col("doc_id"))
-        .agg(concat_ws("",
-          transform(sort_array(collect_list(struct(col("i"), col("s")))),
-            x => when(x.getField("s") > 0, lit("1")).otherwise(lit("0")))).as("simhash16"))
+        .agg(voteCols.head, voteCols.tail: _*)
+        .select(col("doc_id"), concat(sigChar: _*).as("simhash16"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH w1 AS (SELECT doc_id, word AS w FROM

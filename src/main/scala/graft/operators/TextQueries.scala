@@ -181,11 +181,12 @@ object TextQueries {
       val docs = Tables(spark, dir, "documents")
       docs
         .select(col("doc_id"),
-          explode(array_distinct(TextOps.shingles(TextOps.words(col("text")), 3))).as("sh"))
+          explode(TextOps.distinctWordNGrams(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), TextOps.hashHex(col("sh")).as("h")) // hash once
         .groupBy(col("doc_id"))
         .agg(
-          min(TextOps.hashHex(col("sh"))).as("fp_min"),
-          max(TextOps.hashHex(col("sh"))).as("fp_max"),
+          min(col("h")).as("fp_min"),
+          max(col("h")).as("fp_max"),
           count(lit(1)).as("n_shingles"))
         .orderBy(col("doc_id"))
     },

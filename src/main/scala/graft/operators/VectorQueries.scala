@@ -20,7 +20,7 @@ object VectorQueries {
     * they are computed driver-side and inlined as literal arrays (the plan
     * stays a pure per-row projection — no join against a planes table).
     */
-  private[operators] def planeSigns(nPlanes: Int, dims: Int): Seq[Seq[Double]] = {
+  private[graft] def planeSigns(nPlanes: Int, dims: Int): Seq[Seq[Double]] = {
     val digest = java.security.MessageDigest.getInstance("MD5")
     (0 until nPlanes).map { p =>
       (1 to dims).map { d =>
@@ -32,7 +32,7 @@ object VectorQueries {
   }
 
   private def signedDot(emb: Column, signs: Seq[Double]): Column =
-    VectorOps.dot(emb, array(signs.map(lit): _*))
+    VectorOps.signedDot(emb, signs.toArray)
 
   /** Array scalar functions: size, element access, element sum. */
   private val arrayFuncs = Q(

@@ -39,20 +39,9 @@ class DedupPropertiesSpec extends AnyFunSuite {
     val texts = Tables(spark, dir, "documents")
       .select("doc_id", "text").as[(Long, String)].collect().take(20)
     val withDup = (texts :+ ((9999L, texts.head._2))).toSeq.toDF("doc_id", "text")
-    // run the same pipeline shape as q_dedup_minhash over this frame
-    val ws = graft.functions.TextOps.words(col("text"))
     val sh = withDup.select(col("doc_id"),
-      explode(array_distinct(graft.functions.TextOps.shingles(ws, 3))).as("sh"))
-    val mh = sh.withColumn("seed", explode(sequence(lit(0), lit(15))))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(graft.functions.TextOps.hashHex(col("seed"), col("sh"))).as("mh"))
-    val bands = mh.groupBy(col("doc_id"), floor(col("seed") / 4).cast("int").as("band"))
-      .agg(concat_ws(",", transform(sort_array(collect_list(struct(col("seed"), col("mh")))),
-        x => x.getField("mh"))).as("sig"))
-    val cand = bands.as("a").join(bands.as("b"),
-      col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      explode(graft.functions.TextOps.distinctWordNGrams(col("text"), 3)).as("sh"))
+    val cand = graft.operators.DedupQueries.minhashCandidates(sh)
     val pairs = cand.as[(Long, Long)].collect().toSet
     assert(pairs.contains((texts.head._1, 9999L)),
       s"identical docs must collide in every band; got $pairs")

@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The codegen'd native expressions must be bit-identical to the
+  * interpreted HOF reference implementations.
+  */
+class VectorOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  test("native cosine_sim == HOF cosine, bit-identical") {
+    val e = Tables(spark, dir, "embeddings")
+    val probe = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("p")))
+    val both = e.crossJoin(probe)
+      .select(
+        VectorOps.cosine(col("embedding"), col("p")).as("native"),
+        VectorOps.cosineHof(col("embedding"), col("p")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("signedDot == HOF dot against literal array, bit-identical") {
+    val signs = graft.operators.VectorQueries.planeSigns(1, 64).head.toArray
+    val e = Tables(spark, dir, "embeddings")
+    val both = e.select(
+      VectorOps.signedDot(col("embedding"), signs).as("native"),
+      VectorOps.dot(col("embedding"), array(signs.map(lit).toIndexedSeq: _*)).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("cosine_sim registered for SQL") {
+    GraftExtensions.register(spark)
+    Tables(spark, dir, "embeddings").createOrReplaceTempView("emb_v")
+    val r = spark.sql(
+      """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS c
+        |FROM emb_v a JOIN emb_v b ON b.vec_id = 0 WHERE a.vec_id < 5
+        |ORDER BY a.vec_id""".stripMargin).collect()
+    assert(r.length === 5)
+    assert(math.abs(r.head.getDouble(1) - 1.0) < 1e-12) // self-similarity
+  }
+
+  test("cosine_sim survives whole-stage codegen (plan contains it)") {
+    val e = Tables(spark, dir, "embeddings")
+    val probe = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("p")))
+    val df = e.crossJoin(probe)
+      .select(VectorOps.cosine(col("embedding"), col("p")).as("c"))
+    df.collect() // materialize the AQE final plan
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the final-plan render
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[cosine_sim.*"),
+      s"cosine_sim not inside a codegen stage:\n$plan")
+  }
+}
