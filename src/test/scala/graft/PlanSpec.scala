@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions: the properties that make these queries scale
+  * must be visible in the optimized/executed plan — filter+projection
+  * pushdown into parquet, broadcast of small dimensions, TakeOrdered for
+  * top-k (no global sort).
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private def executedPlan(name: String): String = {
+    val df = Registry.byName(name).build(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_filter_project pushes filter and prunes columns at the scan") {
+    val plan = executedPlan("q_filter_project")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("q_join_broadcast broadcasts the dimension side (no shuffle join)") {
+    val plan = executedPlan("q_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q_topk plans TakeOrderedAndProject (no global sort)") {
+    val plan = executedPlan("q_topk")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
+  test("q_agg_pricing uses partial aggregation (map-side combine)") {
+    val plan = executedPlan("q_agg_pricing")
+    assert(plan.contains("HashAggregate"), plan)
+    // partial + final pair around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("q_knn_brute scans once with a broadcast probe (no shuffle of embeddings)") {
+    val plan = executedPlan("q_knn_brute")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
