@@ -7,9 +7,9 @@ import graft.operators._
   */
 object Registry {
   val all: Seq[Q] =
-    Relational.all ++ TextQueries.all ++ EventQueries.all ++
-      VectorQueries.all ++ DedupQueries.all ++ Multimodal.all ++
-      MapReduceQueries.all
+    Relational.all ++ ScalarQueries.all ++ TextQueries.all ++
+      EventQueries.all ++ VectorQueries.all ++ IvfQueries.all ++
+      DedupQueries.all ++ Multimodal.all ++ MapReduceQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

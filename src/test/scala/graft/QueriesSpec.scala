@@ -10,9 +10,14 @@ class QueriesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.sf0001
 
+  // Approx sketches aren't bit-comparable across engines (SURVEY.md §7.3);
+  // the driver records a rows-only check for these.
+  private val oracleExempt = Set("q_approx_distinct")
+
   test("every query has an oracle and distinct name") {
     assert(Registry.all.map(_.name).distinct.size === Registry.all.size)
     val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name)
+      .filterNot(oracleExempt)
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
 

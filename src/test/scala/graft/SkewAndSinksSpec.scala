@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SkewAndSinksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  test("saltedJoin == plain join (exact row multiset)") {
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    val plain = orders.join(customer,
+      orders("o_custkey") === customer("c_custkey")).drop("c_custkey")
+    val salted = Skew.saltedJoin(
+      orders.withColumnRenamed("o_custkey", "k"),
+      customer.withColumnRenamed("c_custkey", "k"), "k", 4)
+      .withColumnRenamed("k", "o_custkey")
+    assert(salted.count() === plain.count())
+    assert(salted.select(plain.columns.map(col).toIndexedSeq: _*)
+      .exceptAll(plain).count() === 0)
+  }
+
+  test("sink round-trip: parquet, csv, json preserve q_agg_pricing") {
+    val res = Registry.byName("q_agg_pricing").build(spark, dir)
+    val tmp = Files.createTempDirectory("graft-sinks").toString
+    res.write.mode("overwrite").parquet(s"$tmp/p")
+    res.write.mode("overwrite").option("header", "true").csv(s"$tmp/c")
+    res.write.mode("overwrite").json(s"$tmp/j")
+    val p = spark.read.parquet(s"$tmp/p")
+    val c = spark.read.schema(res.schema).option("header", "true").csv(s"$tmp/c")
+    val j = spark.read.schema(res.schema).json(s"$tmp/j")
+    val want = res.collect().map(_.toSeq).toSet
+    assert(p.collect().map(_.toSeq).toSet === want)
+    assert(c.collect().map(_.toSeq).toSet === want)
+    assert(j.collect().map(_.toSeq).toSet === want)
+  }
+}
