@@ -301,8 +301,77 @@ object Relational {
                   FROM orders)
             WHERE rn = 1 ORDER BY o_custkey"""))
 
+  /** CUBE — all grouping-set combinations; NULLS FIRST pinned like rollup. */
+  private val cubeQ = Q(
+    "q_cube",
+    (spark, dir) => {
+      val n = Tables(spark, dir, "nation")
+      val r = Tables(spark, dir, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .cube(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    },
+    Some("""SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY CUBE(r_name, n_name)
+            ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""))
+
+  /** Analytic window battery: lag/lead (offsets), ntile, percent_rank, and
+    * a default RANGE frame (peers share the running value).
+    */
+  private val windowAnalytics = Q(
+    "q_window_analytics",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(spark, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          pround(lag(col("o_totalprice"), 1).over(w), 4).as("prev_price"),
+          pround(lead(col("o_totalprice"), 1).over(w), 4).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          pround(percent_rank().over(w), 4).as("pct_rank"),
+          pround(sum(col("o_totalprice"))
+            .over(Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))), 4)
+            .as("range_sum"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              FLOOR((lag(o_totalprice, 1) OVER w) * 10000 + 0.5) / 10000 AS prev_price,
+              FLOOR((lead(o_totalprice, 1) OVER w) * 10000 + 0.5) / 10000 AS next_price,
+              ntile(4) OVER w AS quartile,
+              FLOOR((percent_rank() OVER w) * 10000 + 0.5) / 10000 AS pct_rank,
+              FLOOR((SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS range_sum
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  /** PIVOT: per-year order counts spread across status columns (Spark's
+    * pivot with explicit values; the oracle states the same contract as
+    * filtered aggregation).
+    */
+  private val pivotQ = Q(
+    "q_pivot",
+    (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("y"),
+          coalesce(col("F"), lit(0L)).as("cnt_f"),
+          coalesce(col("O"), lit(0L)).as("cnt_o"),
+          coalesce(col("P"), lit(0L)).as("cnt_p"))
+        .orderBy(col("y")),
+    Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+              CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cnt_f,
+              CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS cnt_o,
+              CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS cnt_p
+            FROM orders GROUP BY 1 ORDER BY y"""))
+
   val all: Seq[Q] = Seq(
     filterProject, aggPricing, distinctQ, joinEqui, joinBroadcast, joinSemi,
-    joinAnti, topk, setOps, rollupQ, windowRank, windowRunning, stringFuncs,
-    dateFuncs, mathFuncs, topkPerGroup)
+    joinAnti, topk, setOps, rollupQ, cubeQ, windowRank, windowRunning,
+    windowAnalytics, pivotQ, stringFuncs, dateFuncs, mathFuncs, topkPerGroup)
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape regressions: the properties that make these queries scale
@@ -41,6 +42,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan)
     // partial + final pair around the exchange
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    orders.write.mode("overwrite")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+    customer.write.mode("overwrite")
+      .bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    val j = spark.table("orders_b").join(spark.table("customer_b"),
+      col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey")).agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(j.count() === orders.select("o_custkey").distinct().count())
   }
 
   test("q_knn_brute scans once with a broadcast probe (no shuffle of embeddings)") {
