@@ -7,7 +7,7 @@ import graft.operators._
   */
 object Registry {
   val all: Seq[Q] =
-    Relational.all ++ ScalarQueries.all ++ TextQueries.all ++
+    Relational.all ++ AdvancedJoins.all ++ ScalarQueries.all ++ TextQueries.all ++
       EventQueries.all ++ VectorQueries.all ++ IvfQueries.all ++
       DedupQueries.all ++ Multimodal.all ++ MapReduceQueries.all
 

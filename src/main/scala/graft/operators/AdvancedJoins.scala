@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Portable.pround
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Joins beyond plain equi-join: as-of (time-series point lookup) and
+  * range (band) join — operators the reference paradigm can express only
+  * as bespoke reduce-side client code, realized here Spark-first.
+  */
+object AdvancedJoins {
+
+  /** As-of join: for every purchase event, the latest error event by the
+    * same user at-or-before the purchase time.
+    *
+    * Spark lacks a native as-of join; per the custom-operator preference
+    * order (compose built-ins first) this is the union + ordered-window
+    * formulation: tag both streams, union them, and carry the last error
+    * id forward per user with `last(..., ignoreNulls)` over an ordered
+    * frame. One shuffle on user_id, linear in events — the scalable shape
+    * (a per-pair join would be quadratic in events-per-user). The oracle
+    * is DuckDB's *native* ASOF LEFT JOIN, so the semantics are checked
+    * against an independent implementation.
+    */
+  private val asofJoin = Q(
+    "q_asof_join",
+    (spark, dir) => {
+      val ev = Tables(spark, dir, "events")
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isErr = col("event_type") === "error"
+      ev
+        .withColumn("matched_error_id",
+          last(when(isErr, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("err_ts_us",
+          last(when(isErr, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id").as("purchase_id"),
+          col("user_id"),
+          col("matched_error_id"),
+          (unix_micros(col("ts")) - col("err_ts_us")).as("lag_us"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                       FROM events),
+            p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+            r AS (SELECT * FROM e WHERE event_type = 'error')
+            SELECT p.event_id AS purchase_id, p.user_id,
+              r.event_id AS matched_error_id,
+              epoch_us(p.ts) - epoch_us(r.ts) AS lag_us
+            FROM p ASOF LEFT JOIN r ON p.user_id = r.user_id AND p.ts >= r.ts
+            ORDER BY purchase_id"""))
+
+  /** Range (band) join: events banded into value ranges defined off the
+    * region dimension (lo = key*100, hi = key*100+100). The band table is
+    * broadcast, so the non-equi join is a per-row scan predicate — no
+    * shuffle of the fact side at any scale.
+    */
+  private val rangeJoin = Q(
+    "q_range_join",
+    (spark, dir) => {
+      val ev = Tables(spark, dir, "events")
+      val bands = broadcast(Tables(spark, dir, "region")
+        .select(col("r_name"),
+          (col("r_regionkey") * 100.0).as("lo"),
+          (col("r_regionkey") * 100.0 + 100.0).as("hi")))
+      ev.join(bands, col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("cnt"), pround(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("r_name"))
+    },
+    Some("""WITH bands AS (SELECT r_name, r_regionkey * 100.0 AS lo,
+                             r_regionkey * 100.0 + 100.0 AS hi FROM region)
+            SELECT r_name, CAST(COUNT(*) AS BIGINT) AS cnt,
+              FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
+            FROM events JOIN bands ON value >= lo AND value < hi
+            GROUP BY r_name ORDER BY r_name"""))
+
+  val all: Seq[Q] = Seq(asofJoin, rangeJoin)
+}

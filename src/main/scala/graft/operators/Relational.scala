@@ -39,17 +39,20 @@ object Relational {
       Tables(spark, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          pround(sum(col("l_quantity")), 4).as("sum_qty"),
-          pround(sum(col("l_extendedprice")), 4).as("sum_base"),
-          pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc"),
+          // sums over the whole table: round at 2 decimals so the
+          // accumulation-order float drift (~1e-6 at 1e9 magnitudes) stays
+          // orders of magnitude inside the rounding boundary
+          pround(sum(col("l_quantity")), 2).as("sum_qty"),
+          pround(sum(col("l_extendedprice")), 2).as("sum_base"),
+          pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
           pround(avg(col("l_quantity")), 4).as("avg_qty"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
     Some("""SELECT l_returnflag, l_linestatus,
-              FLOOR((SUM(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,
-              FLOOR((SUM(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_base,
-              FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS sum_disc,
+              FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+              FLOOR((SUM(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base,
+              FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc,
               FLOOR((AVG(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
               CAST(COUNT(*) AS BIGINT) AS cnt
             FROM lineitem GROUP BY l_returnflag, l_linestatus
