@@ -45,9 +45,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join without an exchange (co-located join)") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bucket").toString
     val orders = Tables(spark, dir, "orders")
     val customer = Tables(spark, dir, "customer")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
     orders.write.mode("overwrite")
       .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
     customer.write.mode("overwrite")
