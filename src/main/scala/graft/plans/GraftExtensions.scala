@@ -17,18 +17,39 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSim)
+    e.injectFunction(GraftExtensions.wordNGrams)
   }
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   private val cosineSim = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-    (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-      CosineSimilarity(exprs(0), exprs(1)))
+    (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)))
+
+  /** word_ngrams(text, n [, distinct=1]) — n and distinct must be literals. */
+  private val wordNGrams = (
+    FunctionIdentifier("word_ngrams"),
+    new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+    (exprs: Seq[Expression]) => WordNGrams(
+      exprs(0),
+      intLit(exprs(1), "n"),
+      distinct = exprs.length < 3 || intLit(exprs(2), "distinct") != 0))
 
   /** Register the engine's SQL functions on an existing session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "cosine_sim", exprs => cosineSim._3(exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_ngrams", exprs => wordNGrams._3(exprs), "built-in")
+  }
 }

@@ -31,6 +31,19 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("word_ngrams registered for SQL and matches the HOF chain") {
+    GraftExtensions.register(spark)
+    Tables(spark, dir, "documents").createOrReplaceTempView("docs_v")
+    val native = spark.sql(
+      "SELECT doc_id, word_ngrams(text, 3) AS sh FROM docs_v ORDER BY doc_id")
+    val hof = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(graft.functions.TextOps.shingles(
+          graft.functions.TextOps.words(col("text")), 3)).as("sh"))
+      .orderBy("doc_id")
+    assert(native.collect().map(_.toSeq).toSeq === hof.collect().map(_.toSeq).toSeq)
+  }
+
   test("cosine_sim registered for SQL") {
     GraftExtensions.register(spark)
     Tables(spark, dir, "embeddings").createOrReplaceTempView("emb_v")
