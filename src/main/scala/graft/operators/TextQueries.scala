@@ -200,6 +200,53 @@ object TextQueries {
               CAST(COUNT(*) AS BIGINT) AS n_shingles
             FROM sh GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** TF-IDF: top-5 terms per document (bounded to doc_id < 20 for a
+    * stable oracle size). Classic two-aggregation MapReduce pipeline:
+    * term frequencies and document frequencies are separate shuffles on
+    * (doc, word) / word, then a broadcast-joined scalar N. ln() is IEEE-
+    * identical enough across engines that pround(4) is stable.
+    */
+  private val tfidf = Q(
+    "q_tfidf",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val wd = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+      val tf = wd.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val dt = wd.groupBy(col("doc_id")).agg(count(lit(1)).as("dt"))
+      val df = wd.select(col("doc_id"), col("word")).distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = docs.select(countDistinct(col("doc_id")).as("n"))
+      val scored = tf.join(dt, "doc_id").join(broadcast(df), "word").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"),
+          ((col("tf").cast("double") / col("dt")) *
+            log(col("n").cast("double") / col("df"))).as("tfidf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(pround(col("tfidf"), 4).desc, col("word"))
+      scored.filter(col("doc_id") < 20)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("rn"), col("word"), pround(col("tfidf"), 4).as("tfidf"))
+        .orderBy(col("doc_id"), col("rn"))
+    },
+    Some("""WITH wd AS (SELECT doc_id, word FROM
+                          (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+                        WHERE word <> ''),
+            tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM wd GROUP BY doc_id, word),
+            dt AS (SELECT doc_id, COUNT(*) AS dt FROM wd GROUP BY doc_id),
+            df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM wd GROUP BY word),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+            scored AS (SELECT tf.doc_id, tf.word,
+                         (CAST(tf.tf AS DOUBLE) / dt.dt) * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf
+                       FROM tf JOIN dt ON tf.doc_id = dt.doc_id
+                       JOIN df ON tf.word = df.word CROSS JOIN n),
+            ranked AS (SELECT doc_id, word,
+                         FLOOR(tfidf * 10000 + 0.5) / 10000 AS tfidf,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY FLOOR(tfidf * 10000 + 0.5) / 10000 DESC, word) AS rn
+                       FROM scored WHERE doc_id < 20)
+            SELECT doc_id, rn, word, tfidf FROM ranked
+            WHERE rn <= 5 ORDER BY doc_id, rn"""))
+
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
-    tokenCount, langId, qualityScore, fingerprint)
+    tokenCount, langId, qualityScore, fingerprint, tfidf)
 }
