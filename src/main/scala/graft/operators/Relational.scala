@@ -188,6 +188,32 @@ object Relational {
             GROUP BY ROLLUP(r_name, n_name)
             ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""))
 
+  /** GROUPING SETS with grouping() indicators — exercised through the
+    * engine's SQL surface (spark.sql over temp views) rather than the
+    * DataFrame DSL, proving both entry points share one Catalyst plan.
+    */
+  private val groupingSets = Q(
+    "q_grouping_sets",
+    (spark, dir) => {
+      Tables(spark, dir, "nation").createOrReplaceTempView("nation_v")
+      Tables(spark, dir, "region").createOrReplaceTempView("region_v")
+      spark.sql("""
+        SELECT r_name, n_name,
+          CAST(grouping(r_name) AS INT) AS g_r,
+          CAST(grouping(n_name) AS INT) AS g_n,
+          COUNT(*) AS cnt
+        FROM nation_v JOIN region_v ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""")
+    },
+    Some("""SELECT r_name, n_name,
+              CAST(GROUPING(r_name) AS INT) AS g_r,
+              CAST(GROUPING(n_name) AS INT) AS g_n,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY GROUPING SETS ((r_name), (n_name), ())
+            ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST"""))
+
   /** Ranking window: top-5 customers per market segment by balance. */
   private val windowRank = Q(
     "q_window_rank",
@@ -375,6 +401,6 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     filterProject, aggPricing, distinctQ, joinEqui, joinBroadcast, joinSemi,
-    joinAnti, topk, setOps, rollupQ, cubeQ, windowRank, windowRunning,
+    joinAnti, topk, setOps, rollupQ, cubeQ, groupingSets, windowRank, windowRunning,
     windowAnalytics, pivotQ, stringFuncs, dateFuncs, mathFuncs, topkPerGroup)
 }

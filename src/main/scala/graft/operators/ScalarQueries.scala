@@ -77,5 +77,88 @@ object ScalarQueries {
         .orderBy(col("l_returnflag")),
     None)
 
-  val all: Seq[Q] = Seq(regexFuncs, condFuncs, approxDistinct)
+  /** Statistical aggregates: stddev/variance/correlation/covariance.
+    * Accumulation-order drift is ~1e-12 relative; pround absorbs it.
+    */
+  private val statsAgg = Q(
+    "q_stats_agg",
+    (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          pround(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          pround(var_samp(col("l_quantity")), 4).as("var_qty"),
+          pround(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          pround(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+              FLOOR((stddev_samp(l_quantity)) * 10000 + 0.5) / 10000 AS sd_qty,
+              FLOOR((var_samp(l_quantity)) * 10000 + 0.5) / 10000 AS var_qty,
+              FLOOR((corr(l_quantity, l_extendedprice)) * 10000 + 0.5) / 10000 AS corr_qp,
+              FLOOR((covar_samp(l_quantity, l_extendedprice)) * 100 + 0.5) / 100 AS covar_qp
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`: both linear-interpolate on the sorted values).
+    */
+  private val percentile = Q(
+    "q_percentile",
+    (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          pround(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          pround(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          pround(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          pround(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+              FLOOR((quantile_cont(l_quantity, 0.25)) * 10000 + 0.5) / 10000 AS p25,
+              FLOOR((quantile_cont(l_quantity, 0.5)) * 10000 + 0.5) / 10000 AS p50,
+              FLOOR((quantile_cont(l_quantity, 0.9)) * 10000 + 0.5) / 10000 AS p90,
+              FLOOR((quantile_cont(l_extendedprice, 0.5)) * 100 + 0.5) / 100 AS p50_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Second string-function battery: pad/replace/reverse/left. */
+  private val stringFuncs2 = Q(
+    "q_string_funcs2",
+    (spark, dir) =>
+      Tables(spark, dir, "customer")
+        .select(
+          col("c_custkey"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("key_pad"),
+          regexp_replace(col("c_name"), "Customer", "Cust").as("short_name"),
+          reverse(col("c_mktsegment")).as("seg_rev"),
+          expr("left(c_name, 4)").as("name4"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad,
+              replace(c_name, 'Customer', 'Cust') AS short_name,
+              reverse(c_mktsegment) AS seg_rev,
+              left(c_name, 4) AS name4
+            FROM customer ORDER BY c_custkey"""))
+
+  /** Second date battery: month truncation, day arithmetic, day-of-week,
+    * month end. Engines' dow origins differ (Spark 1=Sun, DuckDB 0=Sun) —
+    * normalized explicitly.
+    */
+  private val dateFuncs2 = Q(
+    "q_date_funcs2",
+    (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).as("days_since"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          last_day(col("o_orderdate")).as("month_end"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+              CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE) AS month_start,
+              CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+              CAST(EXTRACT(dow FROM o_orderdate) + 1 AS INT) AS dow,
+              last_day(CAST(o_orderdate AS DATE)) AS month_end
+            FROM orders ORDER BY o_orderkey"""))
+
+  val all: Seq[Q] = Seq(regexFuncs, condFuncs, approxDistinct, statsAgg,
+    percentile, stringFuncs2, dateFuncs2)
 }
