@@ -226,7 +226,7 @@ object Relational {
         .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_name"))
         .orderBy(col("c_mktsegment"), col("rn"))
     },
-    Some("""SELECT c_mktsegment, rn, c_custkey, c_name FROM (
+    Some("""SELECT c_mktsegment, CAST(rn AS INT) AS rn, c_custkey, c_name FROM (
               SELECT c_mktsegment, c_custkey, c_name,
                 row_number() OVER (PARTITION BY c_mktsegment
                   ORDER BY c_acctbal DESC, c_custkey) AS rn
@@ -369,7 +369,7 @@ object Relational {
     Some("""SELECT o_custkey, o_orderkey,
               FLOOR((lag(o_totalprice, 1) OVER w) * 10000 + 0.5) / 10000 AS prev_price,
               FLOOR((lead(o_totalprice, 1) OVER w) * 10000 + 0.5) / 10000 AS next_price,
-              ntile(4) OVER w AS quartile,
+              CAST(ntile(4) OVER w AS INT) AS quartile,
               FLOOR((percent_rank() OVER w) * 10000 + 0.5) / 10000 AS pct_rank,
               FLOOR((SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS range_sum

@@ -244,7 +244,7 @@ object TextQueries {
                          row_number() OVER (PARTITION BY doc_id
                            ORDER BY FLOOR(tfidf * 10000 + 0.5) / 10000 DESC, word) AS rn
                        FROM scored WHERE doc_id < 20)
-            SELECT doc_id, rn, word, tfidf FROM ranked
+            SELECT doc_id, CAST(rn AS INT) AS rn, word, tfidf FROM ranked
             WHERE rn <= 5 ORDER BY doc_id, rn"""))
 
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,

@@ -57,6 +57,17 @@ def main():
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        # arrow-type comparison: the driver also checks schema; python value
+        # equality hides int32-vs-int64 / date-vs-timestamp drift
+        gt = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+        gtypes = {n: str(t) for n, t in zip(gt.schema.names, gt.schema.types)}
+        etypes = {n: str(t) for n, t in zip(expt.schema.names, expt.schema.types)}
+        tdiff = {c: (gtypes.get(c), etypes.get(c))
+                 for c in set(gtypes) | set(etypes)
+                 if gtypes.get(c) != etypes.get(c)}
+        if tdiff:
+            print(f"TYPEDIFF {name}: {tdiff}")
         got_cols = sorted(got[0].keys()) if got else []
         exp_cols_s = sorted(exp_cols)
         if got and got_cols != exp_cols_s:
