@@ -62,8 +62,11 @@ private[jobs] final class GroupProgressListener(groupId: String) extends SparkLi
   }
 
   override def onTaskEnd(ev: SparkListenerTaskEnd): Unit = {
-    val p = stages.get(ev.stageId)
-    if (p != null) p.synchronized { p.done += 1 }
+    // failed/killed/speculative task ends must not advance progress
+    if (ev.reason == org.apache.spark.Success) {
+      val p = stages.get(ev.stageId)
+      if (p != null) p.synchronized { p.done = math.min(p.done + 1, p.total) }
+    }
   }
 
   override def onStageSubmitted(ev: SparkListenerStageSubmitted): Unit = ()

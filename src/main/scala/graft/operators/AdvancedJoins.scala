@@ -22,6 +22,13 @@ object AdvancedJoins {
     * (a per-pair join would be quadratic in events-per-user). The oracle
     * is DuckDB's *native* ASOF LEFT JOIN, so the semantics are checked
     * against an independent implementation.
+    *
+    * Tie caveat: if an error shared a purchase's exact timestamp, the
+    * window order (ts, event_id) and ASOF's ts-only comparison could
+    * disagree. The generator emits microsecond timestamps with zero
+    * (user_id, ts) duplicates (verified across scale factors), so ties
+    * cannot occur in this corpus; for tie-bearing data, pin strictly-
+    * before semantics on both sides first.
     */
   private val asofJoin = Q(
     "q_asof_join",

@@ -46,7 +46,7 @@ object MapReduceQueries {
         .orderBy(col("ch"))
     },
     Some("""SELECT ch, CAST(COUNT(*) AS BIGINT) AS cnt
-            FROM (SELECT UNNEST(regexp_extract_all(text, '.')) AS ch FROM documents)
+            FROM (SELECT UNNEST(regexp_extract_all(text, '(?s).')) AS ch FROM documents)
             WHERE ch <> '' GROUP BY ch ORDER BY ch"""))
 
   val all: Seq[Q] = Seq(mrWordCount, mrCharCount)

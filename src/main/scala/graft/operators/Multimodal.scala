@@ -98,9 +98,11 @@ object Multimodal {
       decode(recs).toDF().orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
-              CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+              CAST(CASE WHEN strlen(text) = 0 THEN 0
+                        ELSE ascii(substr(text, 1, 1)) END AS INT) AS first_byte,
               CAST(strlen(text) % 640 AS INT) AS width,
-              CAST((ascii(substr(text, 1, 1)) * 7) % 480 AS INT) AS height,
+              CAST((CASE WHEN strlen(text) = 0 THEN 0
+                          ELSE ascii(substr(text, 1, 1)) END * 7) % 480 AS INT) AS height,
               CAST(3 AS INT) AS channels
             FROM documents ORDER BY doc_id"""))
 
@@ -119,8 +121,10 @@ object Multimodal {
     },
     Some("""WITH m AS (SELECT doc_id,
                   strlen(text) AS len,
-                  ascii(substr(text, 1, 1)) AS first_byte,
-                  list_sum([ascii(substr(text, i, 1)) for i in generate_series(1, CAST(strlen(text) AS INT))]) AS bsum
+                  CASE WHEN strlen(text) = 0 THEN 0
+                       ELSE ascii(substr(text, 1, 1)) END AS first_byte,
+                  COALESCE(list_sum([ascii(substr(text, i, 1))
+                    for i in generate_series(1, CAST(strlen(text) AS INT))]), 0) AS bsum
                 FROM documents),
             d AS (SELECT doc_id, len, bsum,
                   CAST(len % 640 AS INT) AS width,
@@ -128,7 +132,8 @@ object Multimodal {
                   CAST(len % 30 + 1 AS INT) AS n_frames
                 FROM m)
             SELECT doc_id, CAST(bsum AS BIGINT) AS byte_sum,
-              FLOOR((CAST(bsum AS DOUBLE) / len) * 10000 + 0.5) / 10000 AS brightness,
+              CASE WHEN len = 0 THEN 0.0
+                   ELSE FLOOR((CAST(bsum AS DOUBLE) / len) * 10000 + 0.5) / 10000 END AS brightness,
               CAST(64 AS INT) AS rw,
               CAST((height * 64) // GREATEST(width, 1) AS INT) AS rh,
               n_frames,

@@ -17,7 +17,7 @@ object TextQueries {
 
   /** Flagship [ref]: per-character frequency count — the reference's sample
     * query (`SampleClient.cpp:34-65`) lifted onto documents.text.
-    * Spark `split(text, '')` and DuckDB `regexp_extract_all(text, '.')`
+    * Spark `split(text, '')` and DuckDB `regexp_extract_all(text, '(?s).')`
     * were verified to produce identical char sequences (spaces included,
     * no empty artifacts).
     */
@@ -31,7 +31,7 @@ object TextQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("ch")),
     Some("""SELECT ch, CAST(COUNT(*) AS BIGINT) AS cnt
-            FROM (SELECT UNNEST(regexp_extract_all(text, '.')) AS ch FROM documents)
+            FROM (SELECT UNNEST(regexp_extract_all(text, '(?s).')) AS ch FROM documents)
             WHERE ch <> '' GROUP BY ch ORDER BY ch"""))
 
   /** Canonical MapReduce word count. */

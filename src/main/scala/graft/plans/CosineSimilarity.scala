@@ -16,8 +16,12 @@ import org.apache.spark.sql.types._
   * formulation and to DuckDB's list_cosine_similarity double math modulo
   * the final pround).
   *
-  * Semantics: dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))). Nulls
-  * propagate; mismatched lengths use the common prefix.
+  * Semantics: dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))). Top-level
+  * nulls propagate. Contract: inputs are dense non-null vectors of equal
+  * length (the embeddings schema) — null ELEMENTS read as 0.0 here while
+  * the HOF form yields NULL, mismatched lengths use the common prefix
+  * while zip_with pads, and zero vectors produce NaN. Bit-equality with
+  * cosineHof holds for the dense-vector contract (VectorOpsSpec).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -33,7 +33,8 @@ object Sessions {
     if (sorted.isEmpty) Iterator.empty
     else {
       val out = Vector.newBuilder[SessionSummary]
-      var sid = 0L; var n = 0L; var start = 0L; var end = 0L; var sum = 0.0
+      // 1-based ids, matching the declarative q_sessionize twin
+      var sid = 1L; var n = 0L; var start = 0L; var end = 0L; var sum = 0.0
       for (e <- sorted) {
         if (n > 0L && e.ts_us - end > GapUs) {
           out += SessionSummary(userId, sid, n, start, end, sum)
@@ -63,8 +64,13 @@ object Sessions {
     } else {
       val buffered = state.getOption.getOrElse(Vector.empty) ++ events
       state.update(buffered)
-      // Seal once no event for this user can arrive within the gap.
-      state.setTimeoutTimestamp(buffered.map(_.ts_us / 1000).max + GapUs / 1000)
+      // Seal once no event for this user can arrive within the gap. A late
+      // event (flatMapGroupsWithState does NOT drop late rows) could put
+      // last+gap at or below the watermark, which setTimeoutTimestamp
+      // rejects — clamp just above it so the group seals next batch.
+      val candidate = buffered.map(_.ts_us / 1000).max + GapUs / 1000
+      val floor = state.getCurrentWatermarkMs() + 1000
+      state.setTimeoutTimestamp(math.max(candidate, floor))
       Iterator.empty
     }
   }
