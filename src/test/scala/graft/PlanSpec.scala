@@ -74,6 +74,12 @@ class PlanSpec extends AnyFunSuite {
     assert(j.count() === orders.select("o_custkey").distinct().count())
   }
 
+  test("rank filters push partial WindowGroupLimit below the exchange") {
+    val plan = executedPlan("q_topk_per_group")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected partial window group limit:\n$plan")
+  }
+
   test("q_knn_brute scans once with a broadcast probe (no shuffle of embeddings)") {
     val plan = executedPlan("q_knn_brute")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
