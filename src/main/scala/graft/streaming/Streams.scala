@@ -52,4 +52,24 @@ object Streams {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicates(Seq("event_id"))
+
+  /** Stream-stream interval join: purchases joined to same-user error
+    * events from the preceding hour. Both sides carry watermarks and the
+    * join condition bounds event time, so state eviction is automatic —
+    * per-side state is (watermark + interval) × keys, sharded by user_id.
+    */
+  def purchasesWithRecentErrors(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    purchases.join(errors,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("e_ts") <= col("p_ts"))
+  }
 }

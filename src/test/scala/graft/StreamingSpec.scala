@@ -34,6 +34,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("stream-stream interval join == equivalent batch join") {
+    val joined = Streams.purchasesWithRecentErrors(Streams.eventsStream(spark, dir))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"), col("ts").as("e_ts"))
+    val batch = p.join(e,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("e_ts") <= col("p_ts")).count()
+    assert(spark.table("ssj").count() === batch)
+  }
+
+  test("durable parquet sink with checkpoint restarts cleanly") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    def run(): Unit = {
+      val q = Streams.tumblingCounts(Streams.eventsStream(spark, dir))
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    run() // restart from checkpoint: no reprocessing, no failure
+    // append-mode windowed agg only emits watermark-sealed windows
+    val rows = spark.read.parquet(s"$out/data").count()
+    val sealedBatch = Registry.byName("q_time_window").build(spark, dir).count()
+    assert(rows > 0 && rows <= sealedBatch)
+  }
+
   test("stateful sessionizer (batch mode) == declarative q_sessionize") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
