@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.{TextOps, VectorOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests: the native Catalyst expressions must agree with the
+  * composed higher-order-function references on adversarial inputs —
+  * repeated/leading/trailing spaces, empty and sub-n documents, repeated
+  * shingles, negative/small floats.
+  */
+class NativeExprPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("WordNGrams == array_distinct(shingles(words)) on random text") {
+    import spark.implicits._
+    val word = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val sep = Gen.oneOf(" ", "  ", "   ") // runs of spaces
+    val doc = for {
+      k <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(k, word)
+      ss <- Gen.listOfN(k + 1, sep)
+    } yield ss.zipAll(ws, " ", "").map { case (s, w) => s + w }.mkString
+    val prop = Prop.forAll(Gen.listOfN(12, doc)) { docs =>
+      val df = docs.toDF("text")
+      val native = df.select(TextOps.distinctWordNGrams(col("text"), 3).as("sh"))
+        .collect().map(_.getSeq[String](0).toList).toList
+      val hof = df.select(array_distinct(
+          TextOps.shingles(TextOps.words(col("text")), 3)).as("sh"))
+        .collect().map(_.getSeq[String](0).toList).toList
+      native == hof
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("native cosine == HOF cosine on random dense vectors") {
+    import spark.implicits._
+    val vec = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f)).map(_.toArray)
+    val prop = Prop.forAll(Gen.listOfN(8, Gen.zip(vec, vec))) { pairs =>
+      val df = pairs.toDF("a", "b")
+      df.select(
+        VectorOps.cosine(col("a"), col("b")).as("n"),
+        VectorOps.cosineHof(col("a"), col("b")).as("h"))
+        .collect()
+        .forall { r =>
+          val (n, h) = (r.getDouble(0), r.getDouble(1))
+          n == h || (n.isNaN && h.isNaN)
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("signedDot == HOF dot on random vectors against every plane") {
+    import spark.implicits._
+    val signs = graft.operators.VectorQueries.planeSigns(4, 16)
+    val vec = Gen.listOfN(16, Gen.chooseNum(-5.0f, 5.0f)).map(_.toArray)
+    val prop = Prop.forAll(Gen.listOfN(10, vec)) { vs =>
+      val df = vs.map(Tuple1(_)).toDF("a")
+      signs.forall { s =>
+        df.select(
+          VectorOps.signedDot(col("a"), s.toArray).as("n"),
+          VectorOps.dot(col("a"), array(s.map(lit): _*)).as("h"))
+          .collect().forall(r => r.getDouble(0) == r.getDouble(1))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
