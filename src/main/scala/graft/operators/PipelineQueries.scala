@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Portable.pround
+import graft.functions.TextOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data pipeline operators: deterministic train/test
+  * splitting, benchmark decontamination, and a composed cleaning pipeline
+  * (quality filter → exact dedup → stats). These are the glue operations a
+  * 100 TB corpus build runs between the primitive dedup/quality stages.
+  */
+object PipelineQueries {
+
+  /** Deterministic hash-based train/test split (the reproducible,
+    * rescalable way to split a corpus — no RNG, stable under re-runs and
+    * under adding data). Bucket = md5-derived 60-bit int mod 100.
+    */
+  private val trainTestSplit = Q(
+    "q_train_test_split",
+    (spark, dir) => {
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+        lit(100L))
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          when(bucket < 90, "train").otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          pround(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy(col("split"))
+    },
+    Some("""SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                        % 100 < 90 THEN 'train' ELSE 'test' END AS split,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              FLOOR((AVG(n_chars)) * 10000 + 0.5) / 10000 AS avg_chars
+            FROM documents GROUP BY 1 ORDER BY split"""))
+
+  /** Benchmark decontamination: flag corpus docs sharing any word-4-gram
+    * with the benchmark set (doc_id < 20 stands in for the eval set).
+    * The benchmark shingle set is broadcast; the corpus side is a
+    * semi-join-shaped aggregate keyed on the shingle — linear, skew-free.
+    */
+  private val contamination = Q(
+    "q_contamination",
+    (spark, dir) => {
+      val sh = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.distinctWordNGrams(col("text"), 4)).as("sh"))
+      val bench = broadcast(sh.filter(col("doc_id") < 20).select(col("sh")).distinct())
+      sh.filter(col("doc_id") >= 20)
+        .join(bench, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS sh
+                   FROM toks, UNNEST(generate_series(1, len(ws) - 3)) AS u(i)
+                   WHERE len(ws) >= 4),
+            bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20)
+            SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM sh s JOIN bench b ON s.sh = b.sh
+            WHERE s.doc_id >= 20
+            GROUP BY s.doc_id ORDER BY s.doc_id"""))
+
+  /** Composed cleaning pipeline: quality-score filter (>= 0.4) → exact
+    * dedup keep-first → per-source stats. The shape every corpus build
+    * runs; each stage is the oracle-checked primitive from its own query.
+    */
+  private val cleanPipeline = Q(
+    "q_clean_pipeline",
+    (spark, dir) => {
+      val ws = TextOps.words(col("text"))
+      val nTok = size(ws).cast("double")
+      val charSum = aggregate(transform(ws, w => length(w).cast("long")),
+        lit(0L), (acc, v) => acc + v).cast("double")
+      val avgLen = when(size(ws) === 0, lit(0.0)).otherwise(charSum / nTok)
+      val score = least(nTok / 100.0, lit(1.0)) * 0.4 +
+        TextOps.stopwordRatio(ws) * 0.3 +
+        least(avgLen / 8.0, lit(1.0)) * 0.3
+      val kept = Tables(spark, dir, "documents")
+        .withColumn("score", score)
+        .filter(col("score") >= 0.4)
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      kept
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), pround(avg(col("score")), 4).as("avg_score"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (SELECT doc_id, source, text,
+                    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                  FROM documents),
+            m AS (SELECT doc_id, source, text,
+                    CAST(len(ws) AS DOUBLE) AS n_tok,
+                    CASE WHEN len(ws) = 0 THEN 0.0
+                         ELSE CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                              / CAST(len(ws) AS DOUBLE) END AS avg_len,
+                    CASE WHEN len(ws) = 0 THEN 0.0
+                         ELSE CAST(len(list_filter(ws, w -> w IN
+                           ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                           / CAST(len(ws) AS DOUBLE) END AS ratio
+                  FROM t),
+            scored AS (SELECT doc_id, source, text,
+                         LEAST(n_tok / 100.0, 1.0) * 0.4 + ratio * 0.3
+                           + LEAST(avg_len / 8.0, 1.0) * 0.3 AS score
+                       FROM m),
+            kept AS (SELECT * FROM scored WHERE score >= 0.4),
+            dedup AS (SELECT doc_id, source, score FROM (
+                        SELECT doc_id, source, score,
+                          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                        FROM kept)
+                      WHERE rn = 1)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              FLOOR((AVG(score)) * 10000 + 0.5) / 10000 AS avg_score
+            FROM dedup GROUP BY source ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(trainTestSplit, contamination, cleanPipeline)
+}
