@@ -5,7 +5,7 @@ set -e
 cd "$(dirname "$0")/.."
 
 echo "=== compile + tests ==="
-sbt -batch test 2>&1 | grep -aE "Tests: succeeded|All tests|\*\*\*|error" | head -5
+sbt -batch test 2>&1 | grep -aE "Tests: succeeded|All tests passed|TESTS FAILED|Failed tests" | head -5
 
 echo "=== t1 smoke (entry) ==="
 sbt -batch "runMain graft.Smoke" 2>&1 | grep -aE "ENTRY_ROWS|QUERIES"
