@@ -37,6 +37,24 @@ object TextOps {
     Bridge.column(graft.plans.WordNGrams(Bridge.expression(text), n, distinct = true))
   }
 
+  /** Native tokenizer (graft.plans.WordNGrams n=1): same values as
+    * `words(text)` but a compiled single pass instead of the interpreted
+    * split+filter HOF chain.
+    */
+  def wordsNative(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.WordNGrams(Bridge.expression(text), 1, distinct = false))
+  }
+
+  /** One-pass native token statistics: struct(n_tokens, stop_hits,
+    * char_sum) — see graft.plans.TokenStats. Bit-parity with
+    * `size(words(text))` / stopword filter counts / summed `length(w)`.
+    */
+  def tokenStats(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.TokenStats(Bridge.expression(text)))
+  }
+
   /** Seeded portable hash: first 16 lowercase hex chars of md5(seed ':' s). */
   def hashHex(seed: Column, s: Column): Column =
     substring(md5(concat(seed.cast("string"), lit(":"), s)), 1, 16)

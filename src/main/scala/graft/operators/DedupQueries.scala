@@ -161,7 +161,7 @@ object DedupQueries {
       val sigChar = (1 to 16).map(i =>
         when(col(s"s$i") > 0, lit("1")).otherwise(lit("0")))
       Tables(spark, dir, "documents")
-        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+        .select(col("doc_id"), explode(TextOps.wordsNative(col("text"))).as("w"))
         .select(col("doc_id"), md5(col("w")).as("m")) // hash each word once
         .groupBy(col("doc_id"))
         .agg(voteCols.head, voteCols.tail: _*)

@@ -74,13 +74,14 @@ object PipelineQueries {
   private val cleanPipeline = Q(
     "q_clean_pipeline",
     (spark, dir) => {
-      val ws = TextOps.words(col("text"))
-      val nTok = size(ws).cast("double")
-      val charSum = aggregate(transform(ws, w => length(w).cast("long")),
-        lit(0L), (acc, v) => acc + v).cast("double")
-      val avgLen = when(size(ws) === 0, lit(0.0)).otherwise(charSum / nTok)
+      val st = TextOps.tokenStats(col("text"))
+      val nTok = st.getField("n_tokens").cast("double")
+      val charSum = st.getField("char_sum").cast("double")
+      val avgLen = when(st.getField("n_tokens") === 0, lit(0.0)).otherwise(charSum / nTok)
+      val ratio = when(st.getField("n_tokens") === 0, lit(0.0))
+        .otherwise(st.getField("stop_hits").cast("double") / nTok)
       val score = least(nTok / 100.0, lit(1.0)) * 0.4 +
-        TextOps.stopwordRatio(ws) * 0.3 +
+        ratio * 0.3 +
         least(avgLen / 8.0, lit(1.0)) * 0.3
       val kept = Tables(spark, dir, "documents")
         .withColumn("score", score)

@@ -39,7 +39,7 @@ object TextQueries {
     "q_word_count",
     (spark, dir) =>
       Tables(spark, dir, "documents")
-        .select(explode(TextOps.words(lower(col("text")))).as("word"))
+        .select(explode(TextOps.wordsNative(lower(col("text")))).as("word"))
         .groupBy(col("word"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("word")),
@@ -55,13 +55,16 @@ object TextQueries {
   private val invertedIndex = Q(
     "q_inverted_index",
     (spark, dir) =>
+      // distinct=true shingle pass (n=1) dedups (doc, word) on the map
+      // side, so the shuffle carries each posting once and the per-word
+      // aggregate is a plain count — no countDistinct Expand.
       Tables(spark, dir, "documents")
-        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+        .select(col("doc_id"), explode(TextOps.distinctWordNGrams(col("text"), 1)).as("word"))
         .groupBy(col("word"))
         .agg(
           concat_ws(",",
-            transform(sort_array(collect_set(col("doc_id"))), _.cast("string"))).as("doc_ids"),
-          countDistinct(col("doc_id")).as("n_docs"))
+            transform(sort_array(collect_list(col("doc_id"))), _.cast("string"))).as("doc_ids"),
+          count(lit(1)).as("n_docs"))
         .orderBy(col("word")),
     Some("""SELECT word, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
               CAST(COUNT(*) AS BIGINT) AS n_docs
@@ -97,7 +100,7 @@ object TextQueries {
       Tables(spark, dir, "documents")
         .select(
           col("doc_id"),
-          size(TextOps.words(col("text"))).cast("bigint").as("ws_tokens"),
+          TextOps.tokenStats(col("text")).getField("n_tokens").as("ws_tokens"),
           size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).cast("bigint").as("re_tokens"))
         .orderBy(col("doc_id")),
     Some("""SELECT doc_id,
@@ -111,9 +114,12 @@ object TextQueries {
   private val langId = Q(
     "q_lang_id",
     (spark, dir) => {
-      val ws = TextOps.words(col("text"))
+      val st = TextOps.tokenStats(col("text"))
+      val ratio = when(st.getField("n_tokens") === 0, lit(0.0))
+        .otherwise(st.getField("stop_hits").cast("double") /
+          st.getField("n_tokens").cast("double"))
       Tables(spark, dir, "documents")
-        .select(col("lang"), TextOps.stopwordRatio(ws).as("ratio"))
+        .select(col("lang"), ratio.as("ratio"))
         .select(col("lang"),
           when(col("ratio") >= 0.05, lit("en")).otherwise(lit("und")).as("pred_lang"),
           col("ratio"))
@@ -140,17 +146,18 @@ object TextQueries {
   private val qualityScore = Q(
     "q_quality_score",
     (spark, dir) => {
-      val ws = TextOps.words(col("text"))
-      val nTok = size(ws).cast("double")
-      val charSum = aggregate(transform(ws, w => length(w).cast("long")),
-        lit(0L), (acc, v) => acc + v).cast("double")
-      val avgLen = when(size(ws) === 0, lit(0.0)).otherwise(charSum / nTok)
+      val st = TextOps.tokenStats(col("text"))
+      val nTok = st.getField("n_tokens").cast("double")
+      val charSum = st.getField("char_sum").cast("double")
+      val avgLen = when(st.getField("n_tokens") === 0, lit(0.0)).otherwise(charSum / nTok)
+      val ratio = when(st.getField("n_tokens") === 0, lit(0.0))
+        .otherwise(st.getField("stop_hits").cast("double") / nTok)
       val score = pround(
         least(nTok / 100.0, lit(1.0)) * 0.4 +
-          TextOps.stopwordRatio(ws) * 0.3 +
+          ratio * 0.3 +
           least(avgLen / 8.0, lit(1.0)) * 0.3, 4)
       Tables(spark, dir, "documents")
-        .select(col("doc_id"), size(ws).cast("bigint").as("n_tokens"),
+        .select(col("doc_id"), st.getField("n_tokens").as("n_tokens"),
           pround(avgLen, 4).as("avg_token_len"), score.as("score"))
         .orderBy(col("doc_id"))
     },
@@ -210,7 +217,7 @@ object TextQueries {
     "q_tfidf",
     (spark, dir) => {
       val docs = Tables(spark, dir, "documents")
-      val wd = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+      val wd = docs.select(col("doc_id"), explode(TextOps.wordsNative(col("text"))).as("word"))
       val tf = wd.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
       val dt = wd.groupBy(col("doc_id")).agg(count(lit(1)).as("dt"))
       val df = wd.select(col("doc_id"), col("word")).distinct()

@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSim)
     e.injectFunction(GraftExtensions.wordNGrams)
+    e.injectFunction(GraftExtensions.tokenStats)
   }
 }
 
@@ -44,6 +45,11 @@ object GraftExtensions {
       intLit(exprs(1), "n"),
       distinct = exprs.length < 3 || intLit(exprs(2), "distinct") != 0))
 
+  private val tokenStats = (
+    FunctionIdentifier("token_stats"),
+    new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
+    (exprs: Seq[Expression]) => TokenStats(exprs(0)))
+
   /** Register the engine's SQL functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -51,5 +57,7 @@ object GraftExtensions {
       "cosine_sim", exprs => cosineSim._3(exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "word_ngrams", exprs => wordNGrams._3(exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "token_stats", exprs => tokenStats._3(exprs), "built-in")
   }
 }

@@ -35,6 +35,39 @@ class NativeExprPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("TokenStats == HOF token/stopword/length stats on random text") {
+    import spark.implicits._
+    // include stopwords, multi-space runs, leading/trailing spaces, and
+    // empty documents; also a non-BMP char to pin codepoint counting
+    val word = Gen.frequency(
+      (3, Gen.oneOf(TextOps.stopwords)),
+      (1, Gen.const("theé")), // stopword prefix, not a stopword
+      (1, Gen.const("a😀b")), // surrogate pair: 3 codepoints, 4 UTF-16 units
+      (5, Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))))
+    val sep = Gen.oneOf(" ", "  ", "   ")
+    val doc = for {
+      k <- Gen.choose(0, 15)
+      ws <- Gen.listOfN(k, word)
+      ss <- Gen.listOfN(k + 1, sep)
+    } yield ss.zipAll(ws, " ", "").map { case (s, w) => s + w }.mkString
+    val prop = Prop.forAll(Gen.listOfN(12, doc)) { docs =>
+      val df = docs.toDF("text")
+      val ws = TextOps.words(col("text"))
+      val native = df.select(TextOps.tokenStats(col("text")).as("st"))
+        .selectExpr("st.n_tokens", "st.stop_hits", "st.char_sum")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      val hof = df.select(
+          size(ws).cast("long").as("n"),
+          size(filter(ws, w => w.isInCollection(TextOps.stopwords))).cast("long").as("h"),
+          aggregate(transform(ws, w => length(w).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      native == hof
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("native cosine == HOF cosine on random dense vectors") {
     import spark.implicits._
     val vec = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f)).map(_.toArray)
