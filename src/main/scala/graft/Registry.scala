@@ -9,7 +9,8 @@ object Registry {
   val all: Seq[Q] =
     Relational.all ++ AdvancedJoins.all ++ ScalarQueries.all ++ TextQueries.all ++
       EventQueries.all ++ VectorQueries.all ++ IvfQueries.all ++
-      DedupQueries.all ++ Multimodal.all ++ KMeans.all ++ PipelineQueries.all ++ MapReduceQueries.all
+      DedupQueries.all ++ GraphQueries.all ++ Multimodal.all ++ KMeans.all ++
+      PipelineQueries.all ++ MapReduceQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -95,7 +95,12 @@ object DedupQueries {
         pround(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4).as("jaccard"))
   }
 
-  private def minhashOracle: String = {
+  /** Shared oracle CTE chain: documents → shingles → minhash signatures →
+    * LSH bands → candidate pairs (`cand(doc_a, doc_b)`). Used by the
+    * minhash query and by the connected-components clustering oracle so
+    * both replay the identical candidate generator.
+    */
+  private[graft] def minhashCandCte: String = {
     val mhCols = minhashSeeds.zipWithIndex
       .map { case (k, i) => s"MIN(xor(x, $k)) AS mh$i" }.mkString(", ")
     val bandSelects = (0 until 4).map { b =>
@@ -103,8 +108,8 @@ object DedupQueries {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
     }.mkString(" UNION ALL ")
-    s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
-                      FROM documents),
+    s"""toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                 FROM documents),
         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
                FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
                WHERE len(ws) >= 3),
@@ -113,7 +118,11 @@ object DedupQueries {
         bands AS ($bandSelects),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                  FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"""
+  }
+
+  private def minhashOracle: String = {
+    s"""WITH $minhashCandCte,
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
                   FROM cand c

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-shaped operators for the dedup pipeline: connected components
+  * over near-duplicate candidate pairs.
+  *
+  * MinHash-LSH emits *pairs*, but corpus dedup must keep one document per
+  * duplicate *cluster* — near-duplication is transitively closed in
+  * practice (A~B, B~C ⇒ keep one of {A,B,C}). That closure is exactly
+  * connected components on the candidate graph, computed here with
+  * iterative hash-min label propagation: every node starts as its own
+  * label and repeatedly takes the minimum label among itself and its
+  * neighbors until a fixpoint. The result (min reachable doc_id per node)
+  * is iteration-order independent, so the output is deterministic even
+  * though the loop runs a data-dependent number of rounds.
+  *
+  * Scale posture (100 TB): each round is one join + one min-aggregate,
+  * both hash-partitioned on node id — no driver-side graph state; rounds
+  * needed = graph diameter, and dup-cluster diameters are tiny (pairs all
+  * share shingles). At cluster scale the same loop runs with
+  * `localCheckpoint()` per round to truncate lineage, and the two-phase
+  * large-star/small-star variant (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond", SoCC'14 — see PAPERS.md) bounds rounds to
+  * O(log²n) on adversarial graphs. The reference engine has no graph
+  * counterpart (SURVEY.md §2.2) — this is a north-star pipeline operator.
+  */
+object GraphQueries {
+
+  /** Hash-min label propagation to a fixpoint. `edges` must be symmetric
+    * (both directions present). Returns (node, component=min reachable id).
+    */
+  private[graft] def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val viaNeighbors = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      val next = labels.union(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    labels.select(col("node"), col("lbl").as("component"))
+  }
+
+  /** Dedup clustering: minhash-LSH candidate pairs → connected components
+    * → canonical keep (lowest doc_id per cluster). Output: every document
+    * that has at least one near-duplicate candidate, its cluster id, and
+    * whether it is the cluster's canonical survivor.
+    */
+  private val ccDedup = Q(
+    "q_cc_dedup",
+    (spark, dir) => {
+      val sh = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.distinctWordNGrams(col("text"), 3)).as("sh"))
+      val cand = DedupQueries.minhashCandidates(sh).persist()
+      // force materialization once so the CC loop's repeated scans reuse it
+      cand.count()
+      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val out = connectedComponents(edges)
+        .select(col("node").as("doc_id"), col("component"),
+          (col("node") === col("component")).cast("int").as("is_canonical"))
+        .orderBy(col("doc_id"))
+      cand.unpersist()
+      out
+    },
+    Some(s"""WITH RECURSIVE ${DedupQueries.minhashCandCte},
+             edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                       UNION ALL SELECT doc_b, doc_a FROM cand),
+             walk(node, lbl) AS (
+               SELECT DISTINCT src, src FROM edges
+               UNION
+               SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+             cc AS (SELECT node, MIN(lbl) AS component FROM walk GROUP BY node)
+             SELECT node AS doc_id, component,
+               CAST(CASE WHEN node = component THEN 1 ELSE 0 END AS INT) AS is_canonical
+             FROM cc ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(ccDedup)
+}

@@ -47,6 +47,30 @@ class DedupPropertiesSpec extends AnyFunSuite {
       s"identical docs must collide in every band; got $pairs")
   }
 
+  test("connectedComponents labels every node with its cluster minimum") {
+    import spark.implicits._
+    // two chains and one isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L), (21L, 22L))
+    val edges = pairs.toDF("src", "dst")
+      .union(pairs.map(_.swap).toDF("src", "dst"))
+    val cc = graft.operators.GraphQueries.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("cc_dedup: exactly one canonical doc per component") {
+    val cc = Registry.byName("q_cc_dedup").build(spark, dir)
+    val perComp = cc.groupBy(col("component"))
+      .agg(sum(col("is_canonical")).as("n_canon"), min(col("doc_id")).as("min_doc"))
+      .collect()
+    assert(perComp.nonEmpty)
+    perComp.foreach { r =>
+      assert(r.getAs[Long]("n_canon") === 1L)
+      assert(r.getAs[Long]("min_doc") === r.getAs[Long]("component"))
+    }
+  }
+
   test("simhash of identical texts is identical") {
     val sims = Registry.byName("q_dedup_simhash").build(spark, dir)
     // deterministic: running twice yields byte-identical signatures
