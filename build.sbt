@@ -15,7 +15,6 @@ run / fork := true
 // JSON line from stdout, and sbt's default LoggedOutput prefixes every
 // line with "[info] " which broke that parse in round 1 (BENCH_r01.json
 // "parsed": null).
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

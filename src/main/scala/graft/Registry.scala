@@ -10,7 +10,8 @@ object Registry {
     Relational.all ++ AdvancedJoins.all ++ ScalarQueries.all ++ TextQueries.all ++
       EventQueries.all ++ VectorQueries.all ++ IvfQueries.all ++
       DedupQueries.all ++ GraphQueries.all ++ Multimodal.all ++ KMeans.all ++
-      PipelineQueries.all ++ MapReduceQueries.all
+      PipelineQueries.all ++ MapReduceQueries.all ++ SqlQueries.all ++
+      SamplingQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

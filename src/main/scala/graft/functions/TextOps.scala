@@ -46,6 +46,14 @@ object TextOps {
     Bridge.column(graft.plans.WordNGrams(Bridge.expression(text), 1, distinct = false))
   }
 
+  /** Native tokenize+shingle keeping duplicates (n-gram occurrences, not
+    * the distinct set) — for frequency-weighted pipelines (bigram LM).
+    */
+  def wordNGramsAll(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.WordNGrams(Bridge.expression(text), n, distinct = false))
+  }
+
   /** One-pass native token statistics: struct(n_tokens, stop_hits,
     * char_sum) — see graft.plans.TokenStats. Bit-parity with
     * `size(words(text))` / stopword filter counts / summed `length(w)`.

@@ -88,5 +88,30 @@ object AdvancedJoins {
             FROM events JOIN bands ON value >= lo AND value < hi
             GROUP BY r_name ORDER BY r_name"""))
 
-  val all: Seq[Q] = Seq(asofJoin, rangeJoin)
+  /** Skew-resistant join as a declared capability: the lineitem⋈orders
+    * join runs through `Skew.saltedJoin` (partition-derived salt on the
+    * large side, small side replicated per salt), then aggregates per
+    * order priority. The salt never escapes the join, so the result — and
+    * the oracle — are those of the plain inner join; what the query pins
+    * is that the salted plan is a drop-in equivalent. Hot-key mitigation
+    * for when AQE's runtime skew split isn't enough (SCALE.md).
+    */
+  private val saltedJoin = Q(
+    "q_salted_join",
+    (spark, dir) => {
+      val lineitem = Tables(spark, dir, "lineitem")
+      val orders = Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.functions.Skew.saltedJoin(lineitem, orders, "l_orderkey", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          pround(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+              FLOOR((SUM(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  val all: Seq[Q] = Seq(asofJoin, rangeJoin, saltedJoin)
 }

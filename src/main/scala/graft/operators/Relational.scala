@@ -399,8 +399,41 @@ object Relational {
               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS cnt_p
             FROM orders GROUP BY 1 ORDER BY y"""))
 
+  /** Navigation window functions with explicit full-partition frames:
+    * first/last/nth order per customer plus cume_dist. The frame is
+    * spelled out (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING) because
+    * last_value/nth_value under the default frame see only the prefix.
+    */
+  private val windowFrames = Q(
+    "q_window_frames",
+    (spark, dir) => {
+      val order = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(spark, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(full).as("first_order"),
+          last(col("o_orderkey")).over(full).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_order"),
+          pround(cume_dist().over(order), 4).as("cd"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              first_value(o_orderkey) OVER w_full AS first_order,
+              last_value(o_orderkey) OVER w_full AS last_order,
+              nth_value(o_orderkey, 2) OVER w_full AS second_order,
+              FLOOR((cume_dist() OVER w_ord) * 10000 + 0.5) / 10000 AS cd
+            FROM orders WHERE o_custkey < 50
+            WINDOW
+              w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+              w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_custkey, o_orderkey"""))
+
   val all: Seq[Q] = Seq(
     filterProject, aggPricing, distinctQ, joinEqui, joinBroadcast, joinSemi,
     joinAnti, topk, setOps, rollupQ, cubeQ, groupingSets, windowRank, windowRunning,
-    windowAnalytics, pivotQ, stringFuncs, dateFuncs, mathFuncs, topkPerGroup)
+    windowAnalytics, pivotQ, stringFuncs, dateFuncs, mathFuncs, topkPerGroup,
+    windowFrames)
 }

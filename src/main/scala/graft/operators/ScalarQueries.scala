@@ -159,6 +159,61 @@ object ScalarQueries {
               last_day(CAST(o_orderdate AS DATE)) AS month_end
             FROM orders ORDER BY o_orderkey"""))
 
+  /** MapType surface: per-lang source→count maps built with
+    * map_from_entries, probed with element_at (missing key → NULL), and
+    * enumerated via sorted map_keys. The map is assembled from a grouped
+    * aggregate, so construction order never affects the declared output.
+    */
+  private val mapFuncs = Q(
+    "q_map_funcs",
+    (spark, dir) => {
+      val counts = Tables(spark, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"))
+      counts
+        .groupBy(col("lang"))
+        .agg(map_from_entries(collect_list(struct(col("source"), col("cnt")))).as("m"))
+        .select(col("lang"),
+          size(col("m")).as("n_sources"),
+          element_at(col("m"), "src0").as("src0_cnt"),
+          element_at(col("m"), "no_such_source").as("missing_cnt"),
+          concat_ws(",", sort_array(map_keys(col("m")))).as("sources"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM documents GROUP BY lang, source)
+            SELECT lang, CAST(COUNT(*) AS INT) AS n_sources,
+              MAX(CASE WHEN source = 'src0' THEN cnt END) AS src0_cnt,
+              CAST(NULL AS BIGINT) AS missing_cnt,
+              string_agg(source, ',' ORDER BY source) AS sources
+            FROM c GROUP BY lang ORDER BY lang"""))
+
+  /** StructType surface: argmax via lexicographic struct max —
+    * max(struct(price, orderkey)) picks the highest price and breaks ties
+    * on the highest orderkey, then getField projects the components back
+    * out. The oracle replays the identical tiebreak with a ranking window.
+    */
+  private val structFuncs = Q(
+    "q_struct_funcs",
+    (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("best"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_custkey"),
+          col("best").getField("o_orderkey").as("best_order"),
+          pround(col("best").getField("o_totalprice"), 2).as("best_price"),
+          col("n_orders"))
+        .orderBy(col("o_custkey")),
+    Some("""SELECT o_custkey, o_orderkey AS best_order,
+              FLOOR((o_totalprice) * 100 + 0.5) / 100 AS best_price, n_orders
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+                  FROM orders)
+            WHERE rn = 1 ORDER BY o_custkey"""))
+
   val all: Seq[Q] = Seq(regexFuncs, condFuncs, approxDistinct, statsAgg,
-    percentile, stringFuncs2, dateFuncs2)
+    percentile, stringFuncs2, dateFuncs2, mapFuncs, structFuncs)
 }

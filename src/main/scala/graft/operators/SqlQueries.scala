@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The SQL entry surface: queries issued through `spark.sql` over temp
+  * views instead of the DataFrame builder — correlated scalar subqueries,
+  * EXISTS/NOT EXISTS, multi-CTE chains with windows, and LATERAL VIEW
+  * posexplode (the SQL spelling of the reference's emit-many map, with
+  * ordinal position). Catalyst plans both entry paths into the same
+  * logical algebra, so these also pin that the SQL front-end decorrelates
+  * subqueries into joins rather than per-row re-execution (see PLANS.md).
+  */
+object SqlQueries {
+
+  private def view(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
+
+  private def sql(names: Seq[String], text: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => { view(spark, dir, names: _*); spark.sql(text) }
+
+  /** Correlated scalar subquery in SELECT and WHERE (decorrelated by
+    * Catalyst into an aggregate + join — no per-row subplan execution).
+    */
+  private val corrScalar = Q(
+    "q_corr_scalar",
+    sql(Seq("customer", "orders"),
+      """SELECT c_custkey, c_name,
+           CAST((SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS BIGINT)
+             AS n_orders
+         FROM customer c
+         WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 3
+         ORDER BY c_custkey"""),
+    Some("""SELECT c_custkey, c_name,
+              CAST((SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS BIGINT)
+                AS n_orders
+            FROM customer c
+            WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 3
+            ORDER BY c_custkey"""))
+
+  /** Correlated EXISTS / NOT EXISTS combination (semi ⨝ anti in one
+    * predicate tree): customers with a finished order but no open one.
+    */
+  private val existsSql = Q(
+    "q_exists_sql",
+    sql(Seq("customer", "orders"),
+      """SELECT c_custkey, c_mktsegment
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+         ORDER BY c_custkey"""),
+    Some("""SELECT c_custkey, c_mktsegment
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+            ORDER BY c_custkey"""))
+
+  /** Multi-CTE chain ending in a ranking window: top-2 nations per region
+    * by order count (integer metrics only — no float knife edges).
+    */
+  private val cteSql = {
+    val text =
+      """WITH nat_orders AS (
+           SELECT n.n_nationkey, n.n_name, n.n_regionkey,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM customer c
+           JOIN orders o ON o.o_custkey = c.c_custkey
+           JOIN nation n ON n.n_nationkey = c.c_nationkey
+           GROUP BY n.n_nationkey, n.n_name, n.n_regionkey),
+         ranked AS (
+           SELECT r.r_name, no.n_name, no.n_orders,
+                  CAST(row_number() OVER (PARTITION BY r.r_name
+                    ORDER BY no.n_orders DESC, no.n_name) AS INT) AS rk
+           FROM nat_orders no JOIN region r ON r.r_regionkey = no.n_regionkey)
+         SELECT r_name, n_name, n_orders, rk
+         FROM ranked WHERE rk <= 2 ORDER BY r_name, rk"""
+    Q("q_cte_sql",
+      sql(Seq("customer", "orders", "nation", "region"), text),
+      Some(text))
+  }
+
+  /** LATERAL VIEW posexplode: tokenization with ordinal positions — the
+    * UDTF/emit-many surface in SQL. Positions index the raw split array
+    * (0-based), empties filtered after.
+    */
+  private val posexplodeSql = Q(
+    "q_posexplode",
+    sql(Seq("documents"),
+      """SELECT doc_id, pos, word
+         FROM documents
+         LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word
+         WHERE doc_id < 5 AND word <> ''
+         ORDER BY doc_id, pos"""),
+    Some("""SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS word
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents WHERE doc_id < 5) t,
+                 UNNEST(generate_series(1, len(ws))) AS u(i)
+            WHERE ws[i] <> '' ORDER BY doc_id, pos"""))
+
+  val all: Seq[Q] = Seq(corrScalar, existsSql, cteSql, posexplodeSql)
+}

@@ -254,6 +254,57 @@ object TextQueries {
             SELECT doc_id, CAST(rn AS INT) AS rn, word, tfidf FROM ranked
             WHERE rn <= 5 ORDER BY doc_id, rn"""))
 
+  /** Text normalization pipeline: uppercase, strip single-letter tokens,
+    * collapse whitespace runs, trim — regex-driven cleaning with identical
+    * PCRE semantics on both engines (DuckDB needs the explicit 'g' flag
+    * for global replacement; Spark is global by default).
+    */
+  private val textClean = Q(
+    "q_text_clean",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"),
+          trim(regexp_replace(
+            regexp_replace(upper(col("text")), "\\b[A-Z]\\b", ""),
+            " +", " ")).as("cleaned"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+              trim(regexp_replace(
+                regexp_replace(upper(text), '\b[A-Z]\b', '', 'g'),
+                ' +', ' ', 'g')) AS cleaned
+            FROM documents WHERE doc_id < 10 ORDER BY doc_id"""))
+
+  /** Bigram language model: P(w2 | w1) = c(w1,w2) / c(w1,·) — the
+    * two-shuffle counting pipeline (bigram counts, then a w1-partition
+    * window for the denominator), reporting the 20 most frequent bigrams.
+    */
+  private val bigramLm = Q(
+    "q_bigram_lm",
+    (spark, dir) => {
+      val bg = Tables(spark, dir, "documents")
+        .select(explode(TextOps.wordNGramsAll(col("text"), 2)).as("bg"))
+        .select(substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      val byW1 = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+      bg.select(col("w1"), col("w2"), col("cnt"),
+          pround(col("cnt").cast("double") /
+            sum(col("cnt")).over(byW1).cast("double"), 4).as("p"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some("""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                          FROM documents),
+            bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+                   FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
+                   WHERE len(ws) >= 2),
+            c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY w1, w2)
+            SELECT w1, w2, cnt,
+              FLOOR((CAST(cnt AS DOUBLE) /
+                CAST(SUM(cnt) OVER (PARTITION BY w1) AS DOUBLE)) * 10000 + 0.5) / 10000 AS p
+            FROM c ORDER BY cnt DESC, w1, w2 LIMIT 20"""))
+
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
-    tokenCount, langId, qualityScore, fingerprint, tfidf)
+    tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm)
 }
