@@ -34,20 +34,28 @@ object GraphQueries {
     * (both directions present). Returns (node, component=min reachable id).
     */
   private[graft] def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    var cached = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).persist()
+    var labels = cached
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
+      // One shuffle per round: own labels and neighbor labels merge in a
+      // single min-aggregate, and the convergence signal (any node whose
+      // min neighbor label beats its own) rides along in the same pass
+      // instead of a second join.
       val viaNeighbors = edges.join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("lbl"))
-      val next = labels.union(viaNeighbors)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("node"), col("lbl"), lit(false).as("own"))
+      val merged = labels.select(col("node"), col("lbl"), lit(true).as("own"))
+        .union(viaNeighbors)
+        .groupBy(col("node"))
+        .agg(min(col("lbl")).as("new_lbl"),
+          min(when(col("own"), col("lbl"))).as("old_lbl"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") < col("prev")).count()
-      labels.unpersist()
-      labels = next
+      changed = merged.filter(col("new_lbl") < col("old_lbl")).count()
+      cached.unpersist()
+      cached = merged
+      labels = merged.select(col("node"), col("new_lbl").as("lbl"))
       round += 1
     }
     labels.select(col("node"), col("lbl").as("component"))
