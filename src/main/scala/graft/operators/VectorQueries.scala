@@ -141,5 +141,27 @@ object VectorQueries {
             WHERE a.vec_id < 100 AND b.vec_id < 100
             ORDER BY cos DESC, vec_a, vec_b LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(arrayFuncs, knnBrute, knnLsh, dedupEmbed)
+  /** Per-label mean embedding (centroid) via dimension-parallel
+    * aggregation: posexplode fans each vector into (dim, value) rows, so
+    * the average is a plain partial+final aggregate keyed on
+    * (label, dim) — the shape that scales to any vector count because no
+    * single task ever holds more than one dimension stripe of state.
+    * First 8 dimensions reported.
+    */
+  private val embedCentroid = Q(
+    "q_embed_centroid",
+    (spark, dir) =>
+      Tables(spark, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .filter(col("dim") < 8)
+        .groupBy(col("label"), col("dim"))
+        .agg(pround(avg(col("v")), 4).as("centroid"), count(lit(1)).as("n"))
+        .orderBy(col("label"), col("dim")),
+    Some("""SELECT label, CAST(i - 1 AS INT) AS dim,
+              FLOOR((AVG(embedding[i])) * 10000 + 0.5) / 10000 AS centroid,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+            WHERE i <= 8 GROUP BY label, i ORDER BY label, dim"""))
+
+  val all: Seq[Q] = Seq(arrayFuncs, knnBrute, knnLsh, dedupEmbed, embedCentroid)
 }
