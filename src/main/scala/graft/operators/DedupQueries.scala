@@ -100,7 +100,13 @@ object DedupQueries {
     * minhash query and by the connected-components clustering oracle so
     * both replay the identical candidate generator.
     */
-  private[graft] def minhashCandCte: String = {
+  private[graft] def minhashCandCte: String = minhashCandCteFrom("documents")
+
+  /** Same chain over any source relation exposing (doc_id, text) — the
+    * corpus pipeline runs it over the quality-filtered, exact-deduped
+    * survivors instead of raw documents.
+    */
+  private[graft] def minhashCandCteFrom(src: String): String = {
     val mhCols = minhashSeeds.zipWithIndex
       .map { case (k, i) => s"MIN(xor(x, $k)) AS mh$i" }.mkString(", ")
     val bandSelects = (0 until 4).map { b =>
@@ -109,7 +115,7 @@ object DedupQueries {
       s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
     }.mkString(" UNION ALL ")
     s"""toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
-                 FROM documents),
+                 FROM $src),
         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
                FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
                WHERE len(ws) >= 3),

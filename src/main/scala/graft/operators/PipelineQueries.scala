@@ -121,5 +121,86 @@ object PipelineQueries {
               FLOOR((AVG(score)) * 10000 + 0.5) / 10000 AS avg_score
             FROM dedup GROUP BY source ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(trainTestSplit, contamination, cleanPipeline)
+  /** The full corpus build, end-to-end in one declared query:
+    * quality-score filter → exact dedup (keep-first by content hash) →
+    * near-duplicate CLUSTER removal (minhash-LSH candidates over the
+    * survivors, connected components, drop every non-canonical member) →
+    * per-lang corpus stats. Every stage is the oracle-checked primitive
+    * from its own query; this query pins their composition — including
+    * that near-dup closure runs on the *filtered, exact-deduped* set
+    * (running it earlier would let a low-quality duplicate decide which
+    * cluster member survives).
+    */
+  private val corpusPipeline = Q(
+    "q_corpus_pipeline",
+    (spark, dir) => {
+      val st = TextOps.tokenStats(col("text"))
+      val nTok = st.getField("n_tokens").cast("double")
+      val avgLen = when(st.getField("n_tokens") === 0, lit(0.0))
+        .otherwise(st.getField("char_sum").cast("double") / nTok)
+      val ratio = when(st.getField("n_tokens") === 0, lit(0.0))
+        .otherwise(st.getField("stop_hits").cast("double") / nTok)
+      val score = least(nTok / 100.0, lit(1.0)) * 0.4 +
+        ratio * 0.3 + least(avgLen / 8.0, lit(1.0)) * 0.3
+      val kept = Tables(spark, dir, "documents")
+        .withColumn("score", score)
+        .filter(col("score") >= 0.4)
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val exact = kept.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val sh = exact.select(col("doc_id"),
+        explode(TextOps.distinctWordNGrams(col("text"), 3)).as("sh"))
+      val cand = DedupQueries.minhashCandidates(sh).persist()
+      cand.count()
+      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val dropIds = GraphQueries.connectedComponents(edges)
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      val out = exact.join(dropIds, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), pround(avg(col("score")), 4).as("avg_score"))
+        .orderBy(col("lang"))
+      cand.unpersist()
+      out
+    },
+    Some(s"""WITH RECURSIVE
+             t AS (SELECT doc_id, lang, text,
+                     list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                   FROM documents),
+             m AS (SELECT doc_id, lang, text,
+                     CAST(len(ws) AS DOUBLE) AS n_tok,
+                     CASE WHEN len(ws) = 0 THEN 0.0
+                          ELSE CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                               / CAST(len(ws) AS DOUBLE) END AS avg_len,
+                     CASE WHEN len(ws) = 0 THEN 0.0
+                          ELSE CAST(len(list_filter(ws, w -> w IN
+                            ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                            / CAST(len(ws) AS DOUBLE) END AS ratio
+                   FROM t),
+             scored AS (SELECT doc_id, lang, text,
+                          LEAST(n_tok / 100.0, 1.0) * 0.4 + ratio * 0.3
+                            + LEAST(avg_len / 8.0, 1.0) * 0.3 AS score
+                        FROM m),
+             kept AS (SELECT * FROM scored WHERE score >= 0.4),
+             exact AS (SELECT doc_id, lang, text, score FROM (
+                         SELECT doc_id, lang, text, score,
+                           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                         FROM kept)
+                       WHERE rn = 1),
+             ${DedupQueries.minhashCandCteFrom("exact")},
+             cc_edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                          UNION ALL SELECT doc_b, doc_a FROM cand),
+             walk(node, lbl) AS (
+               SELECT DISTINCT src, src FROM cc_edges
+               UNION
+               SELECT e.dst, w.lbl FROM walk w JOIN cc_edges e ON e.src = w.node),
+             cc AS (SELECT node, MIN(lbl) AS component FROM walk GROUP BY node),
+             final AS (SELECT * FROM exact
+                       WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> component))
+             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               FLOOR((AVG(score)) * 10000 + 0.5) / 10000 AS avg_score
+             FROM final GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[Q] = Seq(trainTestSplit, contamination, cleanPipeline, corpusPipeline)
 }
