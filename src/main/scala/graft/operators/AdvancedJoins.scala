@@ -102,7 +102,7 @@ object AdvancedJoins {
       val lineitem = Tables(spark, dir, "lineitem")
       val orders = Tables(spark, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      graft.functions.Skew.saltedJoin(lineitem, orders, "l_orderkey", 8)
+      graft.functions.Skew.saltedJoin(lineitem, orders, "l_orderkey", 4)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           pround(sum(col("l_quantity")), 4).as("sum_qty"))

@@ -34,19 +34,29 @@ object GraphQueries {
     * (both directions present). Returns (node, component=min reachable id).
     */
   private[graft] def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // One propagation step, lazily: own labels and neighbor labels merge
+    // in a single min-aggregate.
+    def step(labels: DataFrame): DataFrame = {
+      val viaNeighbors = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      labels.union(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+    }
     var cached = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).persist()
     var labels = cached
     var changed = 1L
-    var round = 0
-    while (changed > 0 && round < maxRounds) {
-      // One shuffle per round: own labels and neighbor labels merge in a
-      // single min-aggregate, and the convergence signal (any node whose
-      // min neighbor label beats its own) rides along in the same pass
-      // instead of a second join.
-      val viaNeighbors = edges.join(labels, edges("src") === labels("node"))
+    var props = 0
+    while (changed > 0 && props < maxRounds) {
+      // Two lazy propagation steps execute in ONE job; the convergence
+      // signal (did step 2 improve on step 1?) rides in the second
+      // aggregate via an own-label marker instead of a separate join.
+      // If step 2 changed nothing, step 2's output is the fixpoint even
+      // when step 1 did change something.
+      val mid = step(labels)
+      val viaNeighbors = edges.join(mid, edges("src") === mid("node"))
         .select(col("dst").as("node"), col("lbl"), lit(false).as("own"))
-      val merged = labels.select(col("node"), col("lbl"), lit(true).as("own"))
+      val merged = mid.select(col("node"), col("lbl"), lit(true).as("own"))
         .union(viaNeighbors)
         .groupBy(col("node"))
         .agg(min(col("lbl")).as("new_lbl"),
@@ -56,7 +66,7 @@ object GraphQueries {
       cached.unpersist()
       cached = merged
       labels = merged.select(col("node"), col("new_lbl").as("lbl"))
-      round += 1
+      props += 2
     }
     labels.select(col("node"), col("lbl").as("component"))
   }
