@@ -92,5 +92,71 @@ object EventQueries {
               CAST(COUNT(*) AS BIGINT) AS cnt
             FROM events GROUP BY 1 ORDER BY bucket"""))
 
-  val all: Seq[Q] = Seq(jsonFuncs, timeWindow, sessionize, histogram)
+  /** Interval self-join: per purchase, the same user's click count in the
+    * following hour. Equi-key on user_id carries the join (hash shuffle,
+    * scale-safe); the time band is a residual predicate — the batch twin
+    * of a stream-stream interval join (`graft.streaming` has the
+    * watermarked variant).
+    */
+  private val eventWindowJoin = Q(
+    "q_event_window_join",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"))
+      purchases.join(clicks,
+          purchases("user_id") === clicks("user_id") &&
+            col("cts") > col("ts") &&
+            col("cts") <= col("ts") + expr("INTERVAL 1 HOUR"),
+          "left")
+        .groupBy(col("event_id"))
+        .agg(count(col("cts")).as("clicks_1h"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT p.event_id, CAST(COUNT(c.cts) AS BIGINT) AS clicks_1h
+            FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+                       FROM events WHERE event_type = 'click') c
+              ON c.user_id = p.user_id
+             AND c.cts > p.ts AND c.cts <= p.ts + INTERVAL 1 HOUR
+            GROUP BY p.event_id ORDER BY p.event_id"""))
+
+  /** Quantile bucketing: ntile(10) decile assignment over event values,
+    * then per-decile aggregates — the two-level window→agg composition
+    * used for score calibration and threshold picking.
+    *
+    * Scale note: the unpartitioned ntile window funnels the sort into one
+    * task — exact decile EDGES need a total order, which is the contract
+    * here. At 100 TB the same table would be bucketed by broadcast
+    * `percentile_approx` cut points (map-side, no global sort) at the
+    * cost of approximate edges; both shapes are this query modulo that
+    * trade (see SCALE.md).
+    */
+  private val decileStats = Q(
+    "q_decile_stats",
+    (spark, dir) => {
+      val w = Window.orderBy(col("value"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("value"), ntile(10).over(w).as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          pround(min(col("value")), 4).as("lo"),
+          pround(max(col("value")), 4).as("hi"),
+          pround(avg(col("value")), 4).as("mean"))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH d AS (SELECT event_id, value,
+                    CAST(ntile(10) OVER (ORDER BY value, event_id) AS INT) AS decile
+                  FROM events)
+            SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+              FLOOR((MIN(value)) * 10000 + 0.5) / 10000 AS lo,
+              FLOOR((MAX(value)) * 10000 + 0.5) / 10000 AS hi,
+              FLOOR((AVG(value)) * 10000 + 0.5) / 10000 AS mean
+            FROM d GROUP BY decile ORDER BY decile"""))
+
+  val all: Seq[Q] = Seq(jsonFuncs, timeWindow, sessionize, histogram,
+    eventWindowJoin, decileStats)
 }
