@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.cosineSim)
     e.injectFunction(GraftExtensions.wordNGrams)
     e.injectFunction(GraftExtensions.tokenStats)
+    e.injectOptimizerRule(_ => NativeTextRewrite)
   }
 }
 
@@ -59,5 +60,8 @@ object GraftExtensions {
       "word_ngrams", exprs => wordNGrams._3(exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "token_stats", exprs => tokenStats._3(exprs), "built-in")
+    if (!spark.experimental.extraOptimizations.contains(NativeTextRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ NativeTextRewrite
   }
 }
