@@ -32,4 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Probe hook: lets the validation battery flip Spark confs in the forked
+  // JVM (e.g. -Dspark.sql.adaptive.enabled=false for the AQE-invariance
+  // probe) without touching source.
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -18,6 +18,17 @@ for SF in 0.001 0.01 0.1; do
   python3 tools/check.py "/root/testdata/sf$SF" "/tmp/graft_v$SF" | tail -1
 done
 
+echo "=== determinism probes @ sf0.001 (7 shuffle partitions; AQE off) ==="
+rm -rf /tmp/graft_v7p
+SPARK_GRAFT_CPUS=7 sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/graft_v7p" 2>&1 \
+  | grep -a "\[verify\].*failed" || true
+python3 tools/check.py /root/testdata/sf0.001 /tmp/graft_v7p | tail -1
+rm -rf /tmp/graft_vnoaqe
+SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.adaptive.enabled=false" \
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/graft_vnoaqe" 2>&1 \
+  | grep -a "\[verify\].*failed" || true
+python3 tools/check.py /root/testdata/sf0.001 /tmp/graft_vnoaqe | tail -1
+
 echo "=== bench @ sf0.1 ==="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>&1 \
   | grep -a '"metric"' | head -1
