@@ -31,9 +31,10 @@ object VectorOps {
   /** Euclidean (L2) norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1] over array<float> columns — the native
-    * codegen'd expression (graft.plans.CosineSimilarity); bit-identical to
-    * cosineHof but runs inside whole-stage codegen.
+  /** Cosine similarity in [-1, 1] over array<float|double> columns (mixed
+    * element types allowed; floats widen to double exactly like the HOF
+    * cast) — the native codegen'd expression (graft.plans.CosineSimilarity);
+    * bit-identical to cosineHof but runs inside whole-stage codegen.
     */
   def cosine(a: Column, b: Column): Column =
     Bridge.column(graft.plans.CosineSimilarity(

@@ -29,7 +29,7 @@ object KMeans {
       .orderBy(col("ccos").desc, col("cid"))
     e.crossJoin(cdf)
       .select(col("vec_id"), col("embedding"), col("cid"),
-        VectorOps.cosineHof(col("embedding"), col("c")).as("ccos"))
+        VectorOps.cosine(col("embedding"), col("c")).as("ccos"))
       .withColumn("rn", row_number().over(byVec))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
@@ -66,7 +66,7 @@ object KMeans {
     assign(e, cents)
       .join(broadcast(e.sparkSession.createDataFrame(
         cents.map { case (c, v) => (c, v.toSeq) }).toDF("cluster", "c")), "cluster")
-      .select(avg(VectorOps.cosineHof(col("embedding"), col("c"))))
+      .select(avg(VectorOps.cosine(col("embedding"), col("c"))))
       .collect()(0).getDouble(0)
 
   /** Declared query: assignment after ONE trained iteration (init = the

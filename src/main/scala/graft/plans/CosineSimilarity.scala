@@ -26,25 +26,35 @@ import org.apache.spark.sql.types._
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def isNumericArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  // element accessors chosen per side: float arrays widen to double
+  // exactly like the HOF form's cast — mixed float/double pairs (e.g.
+  // raw embeddings vs double-precision centroids) stay bit-identical
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })) TypeCheckResult.TypeCheckSuccess
+    if (Seq(left, right).forall(isNumericArray)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects two array<float> args, got ${left.dataType.sql}, ${right.dataType.sql}")
+      s"cosine_sim expects two array<float|double> args, got ${left.dataType.sql}, ${right.dataType.sql}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left); val rf = isFloat(right)
     val n = math.min(x.numElements(), y.numElements())
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       ab += xi * yi; aa += xi * xi; bb += yi * yi
       i += 1
     }
@@ -57,12 +67,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ab = ctx.freshName("ab"); val aa = ctx.freshName("aa")
       val bb = ctx.freshName("bb")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
+         |  double $xi = $getX;
+         |  double $yi = $getY;
          |  $ab += $xi * $yi; $aa += $xi * $xi; $bb += $yi * $yi;
          |}
          |${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));

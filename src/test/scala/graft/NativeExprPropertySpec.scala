@@ -86,6 +86,29 @@ class NativeExprPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("native cosine == HOF cosine on mixed float/double vector pairs") {
+    import spark.implicits._
+    val fvec = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f)).map(_.toArray)
+    val dvec = Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0)).map(_.toArray)
+    val prop = Prop.forAll(Gen.listOfN(8, Gen.zip(fvec, dvec))) { pairs =>
+      val df = pairs.toDF("a", "b") // a: array<float>, b: array<double>
+      df.select(
+        VectorOps.cosine(col("a"), col("b")).as("n"),
+        VectorOps.cosineHof(col("a"), col("b")).as("h"),
+        VectorOps.cosine(col("b"), col("b")).as("nd"),
+        VectorOps.cosineHof(col("b"), col("b")).as("hd"))
+        .collect()
+        .forall { r =>
+          (r.getDouble(0) == r.getDouble(1) ||
+            (r.getDouble(0).isNaN && r.getDouble(1).isNaN)) &&
+          (r.getDouble(2) == r.getDouble(3) ||
+            (r.getDouble(2).isNaN && r.getDouble(3).isNaN))
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("signedDot == HOF dot on random vectors against every plane") {
     import spark.implicits._
     val signs = graft.operators.VectorQueries.planeSigns(4, 16)
