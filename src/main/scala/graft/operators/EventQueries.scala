@@ -157,6 +157,90 @@ object EventQueries {
               FLOOR((AVG(value)) * 10000 + 0.5) / 10000 AS mean
             FROM d GROUP BY decile ORDER BY decile"""))
 
+  /** Ordered funnel: per user, view → click within a day of the first
+    * view → purchase within a day of that click; users counted at their
+    * deepest stage. Three conditional min-aggregates chained by strict
+    * time order — each stage is a groupBy(user) shuffle, no window over
+    * the event stream.
+    */
+  private val funnel = Q(
+    "q_funnel",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 1 DAY"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 1 DAY"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      val stage = ev.select(col("user_id")).distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1)
+            .otherwise(0).as("stage"))
+      stage.groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("stage"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+            v AS (SELECT user_id, MIN(ts) AS t_view FROM e
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > v.t_view
+                    AND e.ts <= v.t_view + INTERVAL 1 DAY GROUP BY e.user_id),
+            p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                    AND e.ts <= c.t_click + INTERVAL 1 DAY GROUP BY e.user_id),
+            stage AS (SELECT u.user_id,
+                        CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                             WHEN c.t_click IS NOT NULL THEN 2
+                             WHEN v.t_view IS NOT NULL THEN 1
+                             ELSE 0 END AS stage
+                      FROM (SELECT DISTINCT user_id FROM e) u
+                      LEFT JOIN v USING (user_id)
+                      LEFT JOIN c USING (user_id)
+                      LEFT JOIN p USING (user_id))
+            SELECT CAST(stage AS INT) AS stage, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM stage GROUP BY stage ORDER BY stage"""))
+
+  /** Cohort retention: users grouped by first-activity day, retained if
+    * active again 7+ days later. Two aggregates over the same shuffle
+    * key (user) then a per-cohort rollup — the standard retention shape.
+    */
+  private val retention = Q(
+    "q_retention",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val byUser = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_day"),
+          max(to_date(col("ts"))).as("last_day"))
+      byUser
+        .select(col("user_id"), col("cohort_day"),
+          (datediff(col("last_day"), col("cohort_day")) >= 7).cast("long").as("retained"))
+        .groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("cohort_size"),
+          sum(col("retained")).as("retained_7d"))
+        .orderBy(col("cohort_day"))
+    },
+    Some("""WITH u AS (SELECT user_id,
+                    MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS cohort_day,
+                    MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_day
+                  FROM events GROUP BY user_id)
+            SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size,
+              CAST(SUM(CASE WHEN last_day - cohort_day >= 7 THEN 1 ELSE 0 END) AS BIGINT)
+                AS retained_7d
+            FROM u GROUP BY cohort_day ORDER BY cohort_day"""))
+
   val all: Seq[Q] = Seq(jsonFuncs, timeWindow, sessionize, histogram,
-    eventWindowJoin, decileStats)
+    eventWindowJoin, decileStats, funnel, retention)
 }
