@@ -399,6 +399,55 @@ object Relational {
               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS cnt_p
             FROM orders GROUP BY 1 ORDER BY y"""))
 
+  /** Full outer join: per-nation customer vs supplier counts — nations
+    * present on only one side survive with NULL on the other (the join
+    * family's missing member next to inner/broadcast/semi/anti/asof/
+    * range/salted).
+    */
+  private val joinOuter = Q(
+    "q_join_outer",
+    (spark, dir) => {
+      val c = Tables(spark, dir, "customer")
+        .groupBy(col("c_nationkey").as("k")).agg(count(lit(1)).as("n_cust"))
+      val s = Tables(spark, dir, "supplier")
+        .groupBy(col("s_nationkey").as("k")).agg(count(lit(1)).as("n_supp"))
+      c.join(s, Seq("k"), "full_outer")
+        .select(col("k"), col("n_cust"), col("n_supp"))
+        .orderBy(col("k"))
+    },
+    Some("""SELECT COALESCE(c.k, s.k) AS k, c.n_cust, s.n_supp
+            FROM (SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_cust
+                  FROM customer GROUP BY 1) c
+            FULL OUTER JOIN (SELECT s_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_supp
+                             FROM supplier GROUP BY 1) s
+              ON c.k = s.k
+            ORDER BY k"""))
+
+  /** Bag-semantics set operations (UNION ALL / INTERSECT ALL / EXCEPT
+    * ALL): multiplicities preserved, unlike q_set_ops' set semantics.
+    */
+  private val setOpsAll = Q(
+    "q_set_ops_all",
+    (spark, dir) => {
+      val c = Tables(spark, dir, "customer").select(col("c_nationkey").as("k"))
+      val s = Tables(spark, dir, "supplier").select(col("s_nationkey").as("k"))
+      val u = c.unionAll(s).withColumn("op", lit("union_all"))
+      val i = c.intersectAll(s).withColumn("op", lit("intersect_all"))
+      val e = c.exceptAll(s).withColumn("op", lit("except_all"))
+      u.unionByName(i).unionByName(e)
+        .select(col("op"), col("k"))
+        .orderBy(col("op"), col("k"))
+    },
+    Some("""SELECT 'union_all' AS op, k FROM
+              (SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier)
+            UNION ALL
+            SELECT 'intersect_all' AS op, k FROM
+              (SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+            UNION ALL
+            SELECT 'except_all' AS op, k FROM
+              (SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+            ORDER BY op, k"""))
+
   /** Navigation window functions with explicit full-partition frames:
     * first/last/nth order per customer plus cume_dist. The frame is
     * spelled out (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING) because
@@ -435,5 +484,5 @@ object Relational {
     filterProject, aggPricing, distinctQ, joinEqui, joinBroadcast, joinSemi,
     joinAnti, topk, setOps, rollupQ, cubeQ, groupingSets, windowRank, windowRunning,
     windowAnalytics, pivotQ, stringFuncs, dateFuncs, mathFuncs, topkPerGroup,
-    windowFrames)
+    windowFrames, joinOuter, setOpsAll)
 }

@@ -214,6 +214,33 @@ object ScalarQueries {
                   FROM orders)
             WHERE rn = 1 ORDER BY o_custkey"""))
 
+  /** Bitwise function battery: popcount, shifts, and/or/xor. (Spark
+    * bitwiseXOR == DuckDB xor — rule 5 of the portable-hashing
+    * discipline, here declared as a user-facing capability.)
+    */
+  private val bitFuncs = Q(
+    "q_bit_funcs",
+    (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          bit_count(col("l_partkey")).cast("int").as("bits"),
+          shiftleft(col("l_linenumber"), 2).cast("int").as("shl"),
+          shiftright(col("l_partkey"), 1).as("shr"),
+          col("l_partkey").bitwiseAND(lit(255L)).as("band"),
+          col("l_partkey").bitwiseOR(lit(255L)).as("bor"),
+          col("l_partkey").bitwiseXOR(lit(255L)).as("bxor"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber,
+              CAST(bit_count(l_partkey) AS INT) AS bits,
+              CAST(l_linenumber << 2 AS INT) AS shl,
+              l_partkey >> 1 AS shr,
+              l_partkey & 255 AS band,
+              l_partkey | 255 AS bor,
+              xor(l_partkey, 255) AS bxor
+            FROM lineitem WHERE l_orderkey < 100
+            ORDER BY l_orderkey, l_linenumber"""))
+
   val all: Seq[Q] = Seq(regexFuncs, condFuncs, approxDistinct, statsAgg,
-    percentile, stringFuncs2, dateFuncs2, mapFuncs, structFuncs)
+    percentile, stringFuncs2, dateFuncs2, mapFuncs, structFuncs, bitFuncs)
 }
