@@ -448,6 +448,32 @@ object Relational {
               (SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
             ORDER BY op, k"""))
 
+  /** Unpivot (melt): wide measure columns to (metric, value) rows — the
+    * inverse of q_pivot, all measures double so the melted column is
+    * type-stable. Values pass through untouched (no arithmetic), so the
+    * hash compare is exact.
+    */
+  private val unpivotQ = Q(
+    "q_unpivot",
+    (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .filter(col("l_orderkey") < 50)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+    Some("""SELECT l_orderkey, l_linenumber, metric, value FROM (
+              SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+              FROM lineitem WHERE l_orderkey < 50
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+              FROM lineitem WHERE l_orderkey < 50
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+              FROM lineitem WHERE l_orderkey < 50)
+            ORDER BY l_orderkey, l_linenumber, metric"""))
+
   /** Navigation window functions with explicit full-partition frames:
     * first/last/nth order per customer plus cume_dist. The frame is
     * spelled out (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING) because
@@ -484,5 +510,5 @@ object Relational {
     filterProject, aggPricing, distinctQ, joinEqui, joinBroadcast, joinSemi,
     joinAnti, topk, setOps, rollupQ, cubeQ, groupingSets, windowRank, windowRunning,
     windowAnalytics, pivotQ, stringFuncs, dateFuncs, mathFuncs, topkPerGroup,
-    windowFrames, joinOuter, setOpsAll)
+    windowFrames, joinOuter, setOpsAll, unpivotQ)
 }
