@@ -23,11 +23,13 @@ object Relational {
       Tables(spark, dir, "lineitem")
         .filter(col("l_quantity") > 30)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+        // l_quantity joins the sort so the order is total over the output
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     },
     Some("""SELECT l_orderkey, l_linenumber, l_quantity
             FROM lineitem WHERE l_quantity > 30
-            ORDER BY l_orderkey, l_linenumber"""))
+            ORDER BY l_orderkey, l_linenumber, l_quantity"""))
 
   /** TPC-H Q1 shape: hash aggregate with partial (map-side) aggregation —
     * the combiner the reference engine lacks. Four groups regardless of
@@ -462,7 +464,9 @@ object Relational {
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "metric", "value")
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+        // — value joins the sort to keep the order total
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"), col("value")),
     Some("""SELECT l_orderkey, l_linenumber, metric, value FROM (
               SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
               FROM lineitem WHERE l_orderkey < 50
@@ -472,7 +476,7 @@ object Relational {
               UNION ALL
               SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
               FROM lineitem WHERE l_orderkey < 50)
-            ORDER BY l_orderkey, l_linenumber, metric"""))
+            ORDER BY l_orderkey, l_linenumber, metric, value"""))
 
   /** Navigation window functions with explicit full-partition frames:
     * first/last/nth order per customer plus cume_dist. The frame is

@@ -230,7 +230,9 @@ object ScalarQueries {
           col("l_partkey").bitwiseAND(lit(255L)).as("band"),
           col("l_partkey").bitwiseOR(lit(255L)).as("bor"),
           col("l_partkey").bitwiseXOR(lit(255L)).as("bxor"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        // bxor is injective in l_partkey, making the sort total over the
+        // non-unique (l_orderkey, l_linenumber) pairs
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("bxor")),
     Some("""SELECT l_orderkey, l_linenumber,
               CAST(bit_count(l_partkey) AS INT) AS bits,
               CAST(l_linenumber << 2 AS INT) AS shl,
@@ -239,7 +241,7 @@ object ScalarQueries {
               l_partkey | 255 AS bor,
               xor(l_partkey, 255) AS bxor
             FROM lineitem WHERE l_orderkey < 100
-            ORDER BY l_orderkey, l_linenumber"""))
+            ORDER BY l_orderkey, l_linenumber, bxor"""))
 
   val all: Seq[Q] = Seq(regexFuncs, condFuncs, approxDistinct, statsAgg,
     percentile, stringFuncs2, dateFuncs2, mapFuncs, structFuncs, bitFuncs)

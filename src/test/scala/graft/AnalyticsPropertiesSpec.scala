@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the round-2 analytics operators — properties
+  * the oracle hash can't state directly.
+  */
+class AnalyticsPropertiesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  test("funnel stages partition the user population") {
+    val stages = Registry.byName("q_funnel").build(spark, dir).collect()
+    val total = stages.map(_.getAs[Long]("n_users")).sum
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(total === users)
+    val byStage = stages.map(r => r.getAs[Int]("stage")).toSeq
+    assert(byStage === byStage.sorted && byStage.distinct === byStage)
+  }
+
+  test("retention cohorts cover every user exactly once") {
+    val r = Registry.byName("q_retention").build(spark, dir).collect()
+    val cohortSum = r.map(_.getAs[Long]("cohort_size")).sum
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(cohortSum === users)
+    r.foreach(row =>
+      assert(row.getAs[Long]("retained_7d") <= row.getAs[Long]("cohort_size")))
+  }
+
+  test("stratified sample rates are sane and reproducible") {
+    val a = Registry.byName("q_stratified_sample").build(spark, dir).collect()
+    val b = Registry.byName("q_stratified_sample").build(spark, dir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    a.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_total"))
+      val rate = r.getAs[Double]("rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("unpivot preserves multiplicity and mass per measure") {
+    val melted = Registry.byName("q_unpivot").build(spark, dir)
+    val base = Tables(spark, dir, "lineitem").filter(col("l_orderkey") < 50)
+    assert(melted.count() === base.count() * 3)
+    // ((l_orderkey, l_linenumber) is not unique in the synthetic data, so
+    // a keyed round-trip is ill-posed; conservation of per-measure mass
+    // pins value integrity instead)
+    val meltedSums = melted.groupBy("metric").agg(sum("value").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val origSums = base.agg(
+      sum("l_quantity"), sum("l_extendedprice"), sum("l_discount")).collect()(0)
+    def close(a: Double, b: Double) = math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+    assert(close(meltedSums("l_quantity"), origSums.getDouble(0)))
+    assert(close(meltedSums("l_extendedprice"), origSums.getDouble(1)))
+    assert(close(meltedSums("l_discount"), origSums.getDouble(2)))
+  }
+
+  test("full outer join keeps one-sided keys with nulls") {
+    val out = Registry.byName("q_join_outer").build(spark, dir).collect()
+    val custNations = Tables(spark, dir, "customer")
+      .select("c_nationkey").distinct().count()
+    val suppNations = Tables(spark, dir, "supplier")
+      .select("s_nationkey").distinct().count()
+    assert(out.length >= math.max(custNations, suppNations))
+    // supplier side is tiny at sf0.001 → some nations must be NULL there
+    assert(out.exists(r => r.isNullAt(r.fieldIndex("n_supp"))) || suppNations == out.length)
+  }
+}
