@@ -243,6 +243,70 @@ object ScalarQueries {
             FROM lineitem WHERE l_orderkey < 100
             ORDER BY l_orderkey, l_linenumber, bxor"""))
 
+  /** Second array battery: sort, reverse, min/max, position/contains,
+    * concat — pure element shuffling and comparisons on float arrays, no
+    * arithmetic, so cross-engine equality is exact. (array_distinct is
+    * compared through sort_array: DuckDB's list_distinct does not
+    * preserve first-occurrence order.)
+    */
+  private val arrayFuncs2 = Q(
+    "q_array_funcs2",
+    (spark, dir) => {
+      val e4 = slice(col("embedding"), 1, 4)
+      Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          array_sort(e4).as("sorted4"),
+          reverse(e4).as("rev4"),
+          array_max(e4).as("max4"),
+          array_min(e4).as("min4"),
+          array_position(e4, element_at(col("embedding"), 3)).cast("int").as("pos3"),
+          array_contains(e4, element_at(col("embedding"), 1)).cast("int").as("has1"),
+          size(concat(e4, slice(col("embedding"), 5, 2))).as("cat6"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT vec_id,
+              list_sort(embedding[1:4]) AS sorted4,
+              list_reverse(embedding[1:4]) AS rev4,
+              list_max(embedding[1:4]) AS max4,
+              list_min(embedding[1:4]) AS min4,
+              list_position(embedding[1:4], embedding[3]) AS pos3,
+              CAST(CASE WHEN list_contains(embedding[1:4], embedding[1])
+                   THEN 1 ELSE 0 END AS INT) AS has1,
+              CAST(len(list_concat(embedding[1:4], embedding[5:6])) AS INT) AS cat6
+            FROM embeddings WHERE vec_id < 100 ORDER BY vec_id"""))
+
+  /** Third string battery: padding, translate, repeat, reverse,
+    * split_part, position, left/right.
+    */
+  private val stringFuncs3 = Q(
+    "q_string_funcs3",
+    (spark, dir) =>
+      Tables(spark, dir, "part")
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("lp"),
+          rpad(col("p_brand"), 12, "*").as("rp"),
+          translate(col("p_type"), "ae", "@3").as("tr"),
+          repeat(col("p_brand"), 2).as("rep"),
+          reverse(col("p_name")).as("rev"),
+          expr("split_part(p_type, ' ', 1)").as("first_word"),
+          locate("a", col("p_name")).cast("int").as("pos_a"),
+          expr("left(p_name, 4)").as("l4"),
+          expr("right(p_name, 4)").as("r4"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+              lpad(p_brand, 12, '*') AS lp,
+              rpad(p_brand, 12, '*') AS rp,
+              translate(p_type, 'ae', '@3') AS tr,
+              repeat(p_brand, 2) AS rep,
+              reverse(p_name) AS rev,
+              split_part(p_type, ' ', 1) AS first_word,
+              CAST(strpos(p_name, 'a') AS INT) AS pos_a,
+              left(p_name, 4) AS l4,
+              right(p_name, 4) AS r4
+            FROM part ORDER BY p_partkey"""))
+
   val all: Seq[Q] = Seq(regexFuncs, condFuncs, approxDistinct, statsAgg,
-    percentile, stringFuncs2, dateFuncs2, mapFuncs, structFuncs, bitFuncs)
+    percentile, stringFuncs2, dateFuncs2, mapFuncs, structFuncs, bitFuncs,
+    arrayFuncs2, stringFuncs3)
 }
