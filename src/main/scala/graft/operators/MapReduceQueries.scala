@@ -31,7 +31,11 @@ object MapReduceQueries {
             WHERE word <> '' GROUP BY word ORDER BY word"""))
 
   /** Char count through the facade's general path (flatMapGroups reduce —
-    * the reference's exact emit2/emit3 shape, SampleClient.cpp:34-65).
+    * the reference's exact emit2/emit3 shape): like SampleClient's map
+    * (`SampleClient.cpp:34-50`), each record builds a local char histogram
+    * and emits one (char, count) pair per NONZERO bin — the reference's
+    * own per-record pre-aggregation, which also keeps the shuffle at
+    * distinct-chars-per-doc instead of one tuple per character.
     */
   private val mrCharCount = Q(
     "q_mr_char_count",
@@ -40,7 +44,9 @@ object MapReduceQueries {
       val docs = Tables(spark, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
       MapReduce.mapReduce(docs) { case (_, text) =>
-        text.iterator.map(c => (c.toString, 1L))
+        val hist = scala.collection.mutable.LinkedHashMap.empty[Char, Long]
+        text.foreach(c => hist.update(c, hist.getOrElse(c, 0L) + 1L))
+        hist.iterator.map { case (c, n) => (c.toString, n) }
       } { (ch, counts) => Iterator.single((ch, counts.sum)) }
         .toDF("ch", "cnt")
         .orderBy(col("ch"))
