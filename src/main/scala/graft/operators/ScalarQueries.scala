@@ -306,7 +306,67 @@ object ScalarQueries {
               right(p_name, 4) AS r4
             FROM part ORDER BY p_partkey"""))
 
+  /** Third date battery: interval arithmetic, add_months, quarter
+    * extraction and truncation, month spans.
+    */
+  private val dateFuncs3 = Q(
+    "q_date_funcs3",
+    (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate") + expr("INTERVAL 30 DAY")).as("plus30"),
+          to_date(col("o_orderdate") - expr("INTERVAL 1 WEEK")).as("minus1w"),
+          add_months(col("o_orderdate"), 3).as("plus3m"),
+          quarter(col("o_orderdate")).as("q"),
+          to_date(date_trunc("quarter", col("o_orderdate"))).as("q_start"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+            - (1992 * 12 + 1)).as("months_since"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+              CAST(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY AS DATE) AS plus30,
+              CAST(CAST(o_orderdate AS TIMESTAMP) - INTERVAL 1 WEEK AS DATE) AS minus1w,
+              CAST(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+              CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+              CAST(date_trunc('quarter', CAST(o_orderdate AS TIMESTAMP)) AS DATE) AS q_start,
+              CAST(EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate)
+                - (1992 * 12 + 1) AS INT) AS months_since
+            FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"""))
+
+  /** User-facing higher-order lambda functions (transform / filter /
+    * aggregate / zip_with) — declared as a capability even though the
+    * engine's own hot paths use the native expressions instead (the HOFs
+    * evaluate interpreted; see plans.TokenStats). Arithmetic restricted
+    * to exact ops (x*2 on floats widened to double, left-fold sums in
+    * index order) so equality is bitwise.
+    */
+  private val hofFuncs = Q(
+    "q_hof_funcs",
+    (spark, dir) => {
+      val e4 = slice(col("embedding"), 1, 4)
+      Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          transform(e4, x => x.cast("double") * 2.0).as("doubled"),
+          size(filter(e4, x => x > 0.0f)).as("n_pos"),
+          pround(aggregate(e4, lit(0.0), (acc, x) => acc + x.cast("double")), 4).as("sum4"),
+          pround(aggregate(zip_with(e4, slice(col("embedding"), 5, 4),
+              (a, b) => a.cast("double") * b.cast("double")),
+            lit(0.0), (acc, v) => acc + v), 4).as("dot45"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT vec_id,
+              list_transform(CAST(embedding[1:4] AS DOUBLE[]), x -> x * 2.0) AS doubled,
+              CAST(len(list_filter(embedding[1:4], x -> x > 0.0)) AS INT) AS n_pos,
+              FLOOR((list_aggregate(CAST(embedding[1:4] AS DOUBLE[]), 'sum')) * 10000 + 0.5)
+                / 10000 AS sum4,
+              FLOOR((list_aggregate(
+                  list_transform(list_zip(CAST(embedding[1:4] AS DOUBLE[]),
+                                          CAST(embedding[5:8] AS DOUBLE[])),
+                                 t -> t[1] * t[2]), 'sum')) * 10000 + 0.5) / 10000 AS dot45
+            FROM embeddings WHERE vec_id < 100 ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(regexFuncs, condFuncs, approxDistinct, statsAgg,
     percentile, stringFuncs2, dateFuncs2, mapFuncs, structFuncs, bitFuncs,
-    arrayFuncs2, stringFuncs3)
+    arrayFuncs2, stringFuncs3, dateFuncs3, hofFuncs)
 }
