@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{floor, lit}
+import org.apache.spark.sql.functions.{conv, floor, lit, md5, substring}
 
 /** Cross-engine deterministic primitives.
   *
@@ -17,4 +17,12 @@ object Portable {
     val f = math.pow(10, scale)
     floor(c * lit(f) + lit(0.5)) / lit(f)
   }
+
+  /** Canonical portable 60-bit hash (determinism rule 5): the first 15
+    * hex chars of md5 parsed as a non-negative long. DuckDB equivalent:
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`. The width-15 prefix
+    * is parity-critical — keep this the only definition.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 }

@@ -63,6 +63,25 @@ object TextOps {
     Bridge.column(graft.plans.TokenStats(Bridge.expression(text)))
   }
 
+  /** Quality-score building blocks shared by q_quality_score,
+    * q_clean_pipeline and q_corpus_pipeline (single source for the
+    * 0.4/0.3/0.3 blend — the three queries and their DuckDB oracles must
+    * never diverge). Returns (nTokens, avgTokenLen, stopwordRatio, score)
+    * computed from one native TokenStats pass.
+    */
+  def qualityScore(text: Column): (Column, Column, Column, Column) = {
+    import org.apache.spark.sql.functions.{least, lit, when}
+    val st = tokenStats(text)
+    val nTok = st.getField("n_tokens").cast("double")
+    val avgLen = when(st.getField("n_tokens") === 0, lit(0.0))
+      .otherwise(st.getField("char_sum").cast("double") / nTok)
+    val ratio = when(st.getField("n_tokens") === 0, lit(0.0))
+      .otherwise(st.getField("stop_hits").cast("double") / nTok)
+    val score = least(nTok / 100.0, lit(1.0)) * 0.4 +
+      ratio * 0.3 + least(avgLen / 8.0, lit(1.0)) * 0.3
+    (st.getField("n_tokens"), avgLen, ratio, score)
+  }
+
   /** Seeded portable hash: first 16 lowercase hex chars of md5(seed ':' s). */
   def hashHex(seed: Column, s: Column): Column =
     substring(md5(concat(seed.cast("string"), lit(":"), s)), 1, 16)

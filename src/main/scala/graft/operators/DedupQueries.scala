@@ -62,7 +62,7 @@ object DedupQueries {
     * of 4, bucket self-join on (band, signature).
     */
   private[graft] def minhashCandidates(sh: DataFrame): DataFrame = {
-    val x = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+    val x = graft.functions.Portable.hash60(col("sh"))
     val mhCols = minhashSeeds.zipWithIndex.map { case (k, i) =>
       min(col("x").bitwiseXOR(lit(k))).as(s"mh$i")
     }

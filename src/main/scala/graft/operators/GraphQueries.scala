@@ -68,7 +68,34 @@ object GraphQueries {
       labels = merged.select(col("node"), col("new_lbl").as("lbl"))
       props += 2
     }
-    labels.select(col("node"), col("lbl").as("component"))
+    // A truncated propagation would silently return WRONG labels (multiple
+    // "canonical" docs per cluster); refuse instead — maxRounds is a
+    // runaway backstop, not an approximation knob.
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds propagation steps " +
+        s"($changed labels still improving) — raise maxRounds for this graph")
+    // Materialize the final labels eagerly (truncates the round-by-round
+    // lineage, per the SCALE.md posture) so the loop's last cache entry
+    // can be dropped instead of leaking one per invocation.
+    val out = labels.select(col("node"), col("lbl").as("component"))
+      .localCheckpoint(true)
+    cached.unpersist()
+    out
+  }
+
+  /** Symmetrize candidate pairs and label their connected components:
+    * (doc_a, doc_b) → (node, component). Materializes the candidate set
+    * once so the propagation loop's repeated scans reuse it. Single home
+    * for the wiring shared by q_cc_dedup and q_corpus_pipeline.
+    */
+  private[graft] def componentsOf(candPairs: DataFrame): DataFrame = {
+    val cand = candPairs.persist()
+    cand.count()
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val cc = connectedComponents(edges) // eager (localCheckpoint inside)
+    cand.unpersist()
+    cc
   }
 
   /** Dedup clustering: minhash-LSH candidate pairs → connected components
@@ -82,17 +109,10 @@ object GraphQueries {
       val sh = Tables(spark, dir, "documents")
         .select(col("doc_id"),
           explode(TextOps.distinctWordNGrams(col("text"), 3)).as("sh"))
-      val cand = DedupQueries.minhashCandidates(sh).persist()
-      // force materialization once so the CC loop's repeated scans reuse it
-      cand.count()
-      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      val out = connectedComponents(edges)
+      componentsOf(DedupQueries.minhashCandidates(sh))
         .select(col("node").as("doc_id"), col("component"),
           (col("node") === col("component")).cast("int").as("is_canonical"))
         .orderBy(col("doc_id"))
-      cand.unpersist()
-      out
     },
     Some(s"""WITH RECURSIVE ${DedupQueries.minhashCandCte},
              edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand

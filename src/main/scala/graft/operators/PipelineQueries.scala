@@ -20,9 +20,7 @@ object PipelineQueries {
   private val trainTestSplit = Q(
     "q_train_test_split",
     (spark, dir) => {
-      val bucket = pmod(
-        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
-        lit(100L))
+      val bucket = pmod(graft.functions.Portable.hash60(col("doc_id")), lit(100L))
       Tables(spark, dir, "documents")
         .select(col("doc_id"), col("n_chars"),
           when(bucket < 90, "train").otherwise("test").as("split"))
@@ -74,15 +72,7 @@ object PipelineQueries {
   private val cleanPipeline = Q(
     "q_clean_pipeline",
     (spark, dir) => {
-      val st = TextOps.tokenStats(col("text"))
-      val nTok = st.getField("n_tokens").cast("double")
-      val charSum = st.getField("char_sum").cast("double")
-      val avgLen = when(st.getField("n_tokens") === 0, lit(0.0)).otherwise(charSum / nTok)
-      val ratio = when(st.getField("n_tokens") === 0, lit(0.0))
-        .otherwise(st.getField("stop_hits").cast("double") / nTok)
-      val score = least(nTok / 100.0, lit(1.0)) * 0.4 +
-        ratio * 0.3 +
-        least(avgLen / 8.0, lit(1.0)) * 0.3
+      val (_, _, _, score) = TextOps.qualityScore(col("text"))
       val kept = Tables(spark, dir, "documents")
         .withColumn("score", score)
         .filter(col("score") >= 0.4)
@@ -134,14 +124,7 @@ object PipelineQueries {
   private val corpusPipeline = Q(
     "q_corpus_pipeline",
     (spark, dir) => {
-      val st = TextOps.tokenStats(col("text"))
-      val nTok = st.getField("n_tokens").cast("double")
-      val avgLen = when(st.getField("n_tokens") === 0, lit(0.0))
-        .otherwise(st.getField("char_sum").cast("double") / nTok)
-      val ratio = when(st.getField("n_tokens") === 0, lit(0.0))
-        .otherwise(st.getField("stop_hits").cast("double") / nTok)
-      val score = least(nTok / 100.0, lit(1.0)) * 0.4 +
-        ratio * 0.3 + least(avgLen / 8.0, lit(1.0)) * 0.3
+      val (_, _, _, score) = TextOps.qualityScore(col("text"))
       val kept = Tables(spark, dir, "documents")
         .withColumn("score", score)
         .filter(col("score") >= 0.4)
@@ -150,19 +133,13 @@ object PipelineQueries {
         .filter(col("rn") === 1).drop("rn")
       val sh = exact.select(col("doc_id"),
         explode(TextOps.distinctWordNGrams(col("text"), 3)).as("sh"))
-      val cand = DedupQueries.minhashCandidates(sh).persist()
-      cand.count()
-      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      val dropIds = GraphQueries.connectedComponents(edges)
+      val dropIds = GraphQueries.componentsOf(DedupQueries.minhashCandidates(sh))
         .filter(col("node") =!= col("component"))
         .select(col("node").as("doc_id"))
-      val out = exact.join(dropIds, Seq("doc_id"), "left_anti")
+      exact.join(dropIds, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), pround(avg(col("score")), 4).as("avg_score"))
         .orderBy(col("lang"))
-      cand.unpersist()
-      out
     },
     Some(s"""WITH RECURSIVE
              t AS (SELECT doc_id, lang, text,

@@ -21,9 +21,7 @@ object SamplingQueries {
   private val stratifiedSample = Q(
     "q_stratified_sample",
     (spark, dir) => {
-      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-      val in = (h % 5 === 0).cast("long")
+      val in = (graft.functions.Portable.hash60(col("doc_id")) % 5 === 0).cast("long")
       Tables(spark, dir, "documents")
         .groupBy(col("lang"))
         .agg(

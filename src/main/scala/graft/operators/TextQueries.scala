@@ -146,19 +146,10 @@ object TextQueries {
   private val qualityScore = Q(
     "q_quality_score",
     (spark, dir) => {
-      val st = TextOps.tokenStats(col("text"))
-      val nTok = st.getField("n_tokens").cast("double")
-      val charSum = st.getField("char_sum").cast("double")
-      val avgLen = when(st.getField("n_tokens") === 0, lit(0.0)).otherwise(charSum / nTok)
-      val ratio = when(st.getField("n_tokens") === 0, lit(0.0))
-        .otherwise(st.getField("stop_hits").cast("double") / nTok)
-      val score = pround(
-        least(nTok / 100.0, lit(1.0)) * 0.4 +
-          ratio * 0.3 +
-          least(avgLen / 8.0, lit(1.0)) * 0.3, 4)
+      val (nTokens, avgLen, _, score) = TextOps.qualityScore(col("text"))
       Tables(spark, dir, "documents")
-        .select(col("doc_id"), st.getField("n_tokens").as("n_tokens"),
-          pround(avgLen, 4).as("avg_token_len"), score.as("score"))
+        .select(col("doc_id"), nTokens.as("n_tokens"),
+          pround(avgLen, 4).as("avg_token_len"), pround(score, 4).as("score"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws

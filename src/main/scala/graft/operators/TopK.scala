@@ -19,16 +19,31 @@ import org.apache.spark.sql.functions._
   */
 object TopK {
 
-  /** Keep the k largest (value, id) pairs under (value DESC, id ASC). */
+  /** Keep the k largest (value, id) pairs under (value DESC, id ASC).
+    * The buffer is maintained in sorted order, so the per-row reduce is
+    * an O(1) early reject for rows below the current k-th (the common
+    * case once the buffer fills) or an O(k) ordered insert — never a
+    * re-sort per record.
+    */
   final class TopKAgg(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
-    private def cut(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      s.sortBy { case (v, id) => (-v, id) }.take(k)
+    // total order: value DESC, id ASC — `beats` means "ranks strictly higher"
+    private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def insert(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
+      val i = b.indexWhere(x => beats(a, x)) match {
+        case -1 => b.length
+        case n => n
+      }
+      val grown = (b.take(i) :+ a) ++ b.drop(i)
+      if (grown.length > k) grown.dropRight(1) else grown
+    }
     override def zero: Seq[(Double, Long)] = Seq.empty
     override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-      cut(b :+ a)
+      if (b.length >= k && !beats(a, b.last)) b else insert(b, a)
     override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      cut(a ++ b)
-    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = cut(r)
+      b.foldLeft(a)((acc, x) =>
+        if (acc.length >= k && !beats(x, acc.last)) acc else insert(acc, x))
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
     override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
     override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder

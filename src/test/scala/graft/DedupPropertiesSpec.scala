@@ -59,6 +59,20 @@ class DedupPropertiesSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents refuses to return unconverged labels") {
+    import spark.implicits._
+    val pairs = (1L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq // chain 1..9
+    val edges = pairs.toDF("src", "dst")
+      .union(pairs.map(_.swap).toDF("src", "dst"))
+    intercept[IllegalStateException] {
+      graft.operators.GraphQueries.connectedComponents(edges, maxRounds = 2)
+    }
+    // with enough rounds the same chain converges to min-label 1
+    val cc = graft.operators.GraphQueries.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet === Set(1L))
+  }
+
   test("cc_dedup: exactly one canonical doc per component") {
     val cc = Registry.byName("q_cc_dedup").build(spark, dir)
     val perComp = cc.groupBy(col("component"))

@@ -53,11 +53,16 @@ class NativeExprPropertySpec extends AnyFunSuite {
     val prop = Prop.forAll(Gen.listOfN(12, doc)) { docs =>
       val df = docs.toDF("text")
       val ws = TextOps.words(col("text"))
+      // rule-proof token count: NativeTextRewrite (installed session-wide
+      // by suites that call GraftExtensions.register) matches the
+      // `w <> ''` lambda — this equivalent `length(w) > 0` shape stays a
+      // genuine HOF, keeping the native-vs-HOF comparison non-vacuous
+      val wsByLen = filter(split(col("text"), " "), w => length(w) > 0)
       val native = df.select(TextOps.tokenStats(col("text")).as("st"))
         .selectExpr("st.n_tokens", "st.stop_hits", "st.char_sum")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
       val hof = df.select(
-          size(ws).cast("long").as("n"),
+          size(wsByLen).cast("long").as("n"),
           size(filter(ws, w => w.isInCollection(TextOps.stopwords))).cast("long").as("h"),
           aggregate(transform(ws, w => length(w).cast("long")),
             lit(0L), (acc, v) => acc + v).as("c"))
