@@ -45,6 +45,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness keeps only the tail of stdout; with ~90 queries the full
+    // line above outgrows that window. This minimal trailer guarantees the
+    // captured tail always ends with a complete, parseable total.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()
   }
 }

@@ -130,10 +130,8 @@ object EventQueries {
     *
     * Scale note: the unpartitioned ntile window funnels the sort into one
     * task — exact decile EDGES need a total order, which is the contract
-    * here. At 100 TB the same table would be bucketed by broadcast
-    * `percentile_approx` cut points (map-side, no global sort) at the
-    * cost of approximate edges; both shapes are this query modulo that
-    * trade (see SCALE.md).
+    * here. q_decile_approx below is the 100 TB shape: histogram-derived
+    * cut points, map-side bucket assignment, no global sort (SCALE.md).
     */
   private val decileStats = Q(
     "q_decile_stats",
@@ -156,6 +154,52 @@ object EventQueries {
               FLOOR((MAX(value)) * 10000 + 0.5) / 10000 AS hi,
               FLOOR((AVG(value)) * 10000 + 0.5) / 10000 AS mean
             FROM d GROUP BY decile ORDER BY decile"""))
+
+  /** Scale-safe decile bucketing — the 100 TB twin of q_decile_stats.
+    * No global sort anywhere: a fixed-grid histogram (0.1-wide bins, one
+    * partial+final count aggregate) stands in for the total order; the
+    * cumulative window runs over the tiny histogram (hundreds of rows,
+    * not the table); each bin's decile is ceil(cum*10/N); and rows get
+    * their decile by a broadcast join on bin — map-side at any scale.
+    * All rows in a bin share a decile, so edges are approximate within
+    * one bin width (the documented trade vs the exact ntile twin), but
+    * the computation is deterministic in both engines, so the hash gate
+    * checks it exactly.
+    */
+  private val decileApprox = Q(
+    "q_decile_approx",
+    (spark, dir) => {
+      val binned = Tables.events(spark, dir)
+        .select(col("value"), floor(col("value") * 10).cast("bigint").as("bin"))
+      val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      val deciles = hist
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("bin"),
+          ceil(col("cum") * 10.0 / col("n")).cast("int").as("decile"))
+      binned.join(broadcast(deciles), "bin")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          pround(min(col("value")), 4).as("lo"),
+          pround(max(col("value")), 4).as("hi"),
+          pround(avg(col("value")), 4).as("mean"))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH b AS (SELECT value, CAST(FLOOR(value * 10) AS BIGINT) AS bin FROM events),
+            h AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY bin),
+            cum AS (SELECT bin,
+                  CAST(SUM(c) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                  CAST(SUM(c) OVER () AS BIGINT) AS n
+                FROM h),
+            d AS (SELECT bin, CAST(CEIL(cum * 10.0 / n) AS INT) AS decile FROM cum)
+            SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+              FLOOR((MIN(value)) * 10000 + 0.5) / 10000 AS lo,
+              FLOOR((MAX(value)) * 10000 + 0.5) / 10000 AS hi,
+              FLOOR((AVG(value)) * 10000 + 0.5) / 10000 AS mean
+            FROM b JOIN d USING (bin) GROUP BY decile ORDER BY decile"""))
 
   /** Ordered funnel: per user, view → click within a day of the first
     * view → purchase within a day of that click; users counted at their
@@ -242,5 +286,5 @@ object EventQueries {
             FROM u GROUP BY cohort_day ORDER BY cohort_day"""))
 
   val all: Seq[Q] = Seq(jsonFuncs, timeWindow, sessionize, histogram,
-    eventWindowJoin, decileStats, funnel, retention)
+    eventWindowJoin, decileStats, decileApprox, funnel, retention)
 }

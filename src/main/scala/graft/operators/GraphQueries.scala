@@ -18,69 +18,83 @@ import org.apache.spark.sql.functions._
   * is iteration-order independent, so the output is deterministic even
   * though the loop runs a data-dependent number of rounds.
   *
-  * Scale posture (100 TB): each round is one join + one min-aggregate,
-  * both hash-partitioned on node id — no driver-side graph state; rounds
-  * needed = graph diameter, and dup-cluster diameters are tiny (pairs all
-  * share shingles). At cluster scale the same loop runs with
-  * `localCheckpoint()` per round to truncate lineage, and the two-phase
-  * large-star/small-star variant (Kiveris et al., "Connected Components
-  * in MapReduce and Beyond", SoCC'14 — see PAPERS.md) bounds rounds to
-  * O(log²n) on adversarial graphs. The reference engine has no graph
-  * counterpart (SURVEY.md §2.2) — this is a north-star pipeline operator.
+  * Scale posture (100 TB): each round is a join + min-aggregate + one
+  * pointer-jumping self-join, all hash-partitioned on node id — no
+  * driver-side graph state. The jump step (lbl ← min(lbl, lbl(lbl)))
+  * halves the remaining pointer depth every round, so round count is
+  * O(log n) even on adversarial chain-shaped graphs (crawl mirrors),
+  * where plain hash-min needs diameter rounds — the logarithmic-round
+  * family of Rastogi et al., "Finding Connected Components in Map-Reduce
+  * in Logarithmic Rounds" (ICDE'13) and Kiveris et al., "Connected
+  * Components in MapReduce and Beyond" (SoCC'14), see PAPERS.md; the
+  * jump is the same shortcutting those algorithms rely on, kept in the
+  * one-relation label-table form (a large-star/small-star edge rewrite
+  * would carry the edge set through every round instead). Verified by a
+  * property test: a 300-node path converges within 12 rounds where
+  * diameter-bound propagation would need ~300
+  * (DedupPropertiesSpec). At cluster scale the same loop runs with
+  * `localCheckpoint()` per round to truncate lineage. The reference
+  * engine has no graph counterpart (SURVEY.md §2.2) — this is a
+  * north-star pipeline operator.
   */
 object GraphQueries {
 
-  /** Hash-min label propagation to a fixpoint. `edges` must be symmetric
-    * (both directions present). Returns (node, component=min reachable id).
+  /** Hash-min label propagation with pointer-jumping, to a fixpoint.
+    * `edges` must be symmetric (both directions present). Returns
+    * (node, component = min reachable id) — the same fixpoint as plain
+    * hash-min, reached in O(log n) rounds instead of O(diameter).
     */
   private[graft] def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    // One propagation step, lazily: own labels and neighbor labels merge
-    // in a single min-aggregate.
-    def step(labels: DataFrame): DataFrame = {
-      val viaNeighbors = edges.join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("lbl"))
-      labels.union(viaNeighbors)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-    }
-    var cached = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).persist()
-    var labels = cached
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(false)
     var changed = 1L
-    var props = 0
-    while (changed > 0 && props < maxRounds) {
-      // Two lazy propagation steps execute in ONE job; the convergence
-      // signal (did step 2 improve on step 1?) rides in the second
-      // aggregate via an own-label marker instead of a separate join.
-      // If step 2 changed nothing, step 2's output is the fixpoint even
-      // when step 1 did change something.
-      val mid = step(labels)
-      val viaNeighbors = edges.join(mid, edges("src") === mid("node"))
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      // (1) Hash-min neighbor step: own label and neighbor labels merge in
+      // one min-aggregate; the pre-round label rides along as `old` so the
+      // convergence signal needs no separate join.
+      val viaNeighbors = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("lbl"), lit(false).as("own"))
-      val merged = mid.select(col("node"), col("lbl"), lit(true).as("own"))
+      val stepped = labels.select(col("node"), col("lbl"), lit(true).as("own"))
         .union(viaNeighbors)
         .groupBy(col("node"))
-        .agg(min(col("lbl")).as("new_lbl"),
-          min(when(col("own"), col("lbl"))).as("old_lbl"))
-        .persist()
-      changed = merged.filter(col("new_lbl") < col("old_lbl")).count()
-      cached.unpersist()
-      cached = merged
-      labels = merged.select(col("node"), col("new_lbl").as("lbl"))
-      props += 2
+        .agg(min(col("lbl")).as("lbl"),
+          min(when(col("own"), col("lbl"))).as("old"))
+      // (2) Pointer-jumping shortcut: lbl ← min(lbl, lbl(lbl)). Every
+      // label value is itself a node id present in `stepped` (labels only
+      // ever take node-id values), so the lookup is an inner self-join
+      // that can never drop rows. This halves the remaining pointer depth
+      // each round — the step that makes chain-shaped graphs converge in
+      // logarithmic rounds.
+      //
+      // The lazy localCheckpoint (materialized by the convergence count
+      // below) truncates lineage each round: the union + self-join embed
+      // the previous round's plan 3×, which is exponential in round count
+      // — by round ~10 even stringifying the plan OOMs. Re-rooting on the
+      // checkpointed blocks keeps every round's plan O(1). Blocks are
+      // reclaimed by the ContextCleaner as old rounds go out of scope; on
+      // a multi-executor cluster, swap in checkpoint() to reliable
+      // storage if executor loss mid-loop must be survivable.
+      val lookup = stepped.select(col("node").as("l_node"), col("lbl").as("l_lbl"))
+      val jumped = stepped.join(lookup, stepped("lbl") === col("l_node"))
+        .select(stepped("node"), least(stepped("lbl"), col("l_lbl")).as("lbl"),
+          stepped("old"))
+        .localCheckpoint(false)
+      changed = jumped.filter(col("lbl") < col("old")).count()
+      labels = jumped.select(col("node"), col("lbl"))
+      rounds += 1
     }
     // A truncated propagation would silently return WRONG labels (multiple
     // "canonical" docs per cluster); refuse instead — maxRounds is a
     // runaway backstop, not an approximation knob.
     if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxRounds propagation steps " +
+      s"connectedComponents did not converge within $maxRounds rounds " +
         s"($changed labels still improving) — raise maxRounds for this graph")
-    // The final round's cache stays registered: the returned DataFrame
-    // reads it, so unpersisting here would force a full lineage recompute
-    // (including the already-unpersisted earlier rounds) on execution,
-    // and an eager localCheckpoint pays an extra materialization job per
-    // invocation (measured ~2x on q_cc_dedup). Spark's ContextCleaner
-    // unpersists the blocks once the DataFrame is garbage-collected, so
-    // retention is bounded by the caller's reference lifetime.
+    // The final round's checkpoint blocks stay registered: the returned
+    // DataFrame reads them directly (no recompute), and Spark's
+    // ContextCleaner reclaims them once the DataFrame is
+    // garbage-collected, so retention is bounded by the caller's
+    // reference lifetime.
     labels.select(col("node"), col("lbl").as("component"))
   }
 

@@ -38,18 +38,26 @@ object SamplingQueries {
                 / CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.5) / 10000 AS rate
             FROM documents GROUP BY lang ORDER BY lang"""))
 
-  /** Z-score outlier screening: per-segment account-balance z-scores via
-    * whole-partition window aggregates; the outlier flag compares the
-    * rounded score so the flag is exactly as portable as the score itself.
+  /** Z-score outlier screening: per-segment account-balance z-scores.
+    * The moments come from a plain groupBy aggregate (partial+final, so
+    * every partition contributes map-side) broadcast-joined back onto the
+    * rows — NOT from a whole-partition window, which would funnel each
+    * segment (5 values here) into a single task at scale. The moment
+    * table is |segments| rows, always broadcastable. The outlier flag
+    * compares the rounded score so the flag is exactly as portable as
+    * the score itself.
     */
   private val zscore = Q(
     "q_zscore_outlier",
     (spark, dir) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("c_mktsegment"))
-      val z = (col("c_acctbal") - avg(col("c_acctbal")).over(w)) /
-        stddev_samp(col("c_acctbal")).over(w)
+      val moments = Tables(spark, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(avg(col("c_acctbal")).as("mu"),
+          stddev_samp(col("c_acctbal")).as("sigma"))
       Tables(spark, dir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment"), pround(z, 4).as("z"))
+        .join(broadcast(moments), "c_mktsegment")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          pround((col("c_acctbal") - col("mu")) / col("sigma"), 4).as("z"))
         .withColumn("is_outlier", (abs(col("z")) >= 2.0).cast("int"))
         .orderBy(col("c_custkey"))
     },

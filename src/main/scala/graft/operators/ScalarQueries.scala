@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.Portable.pround
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Additional scalar-function coverage: regex, conditional/null handling,
@@ -61,10 +62,15 @@ object ScalarQueries {
               FLOOR((SUM(LEAST(o_totalprice, 100000.0))) * 100 + 0.5) / 100 AS sum_capped
             FROM orders GROUP BY 1, 2, 3 ORDER BY status_class, price_band, prio"""))
 
-  /** Approximate distinct (HLL++): no oracle — HLL sketches aren't
-    * bit-compatible across engines (SURVEY.md §7.3), so the driver records
-    * the weaker rows-only check. The exact companion q_distinct-style
-    * counts are oracle-checked elsewhere.
+  /** Approximate distinct (HLL++). HLL sketches aren't bit-compatible
+    * across engines (SURVEY.md §7.3), so the estimate itself can't be
+    * hash-compared — instead the query emits the oracle-checkable exact
+    * counts alongside a bound-check flag asserting the HLL estimate lands
+    * within a declared ±5% relative error (sketch precision rsd = 0.01,
+    * so the bound carries real margin at small cardinalities); the
+    * DuckDB oracle asserts the flag is 1. A drifting sketch turns the
+    * flag to 0 and fails the hash gate, so the approximation accuracy is
+    * genuinely driver-checked, not merely declared.
     */
   private val approxDistinct = Q(
     "q_approx_distinct",
@@ -72,10 +78,20 @@ object ScalarQueries {
       Tables(spark, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          ((abs(col("ap") - col("exact_parts")) / col("exact_parts") <= 0.05) &&
+            (abs(col("ao") - col("exact_orders")) / col("exact_orders") <= 0.05))
+            .cast("int").as("approx_within_5pct"))
         .orderBy(col("l_returnflag")),
-    None)
+    Some("""SELECT l_returnflag,
+              CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+              CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+              CAST(1 AS INT) AS approx_within_5pct
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Statistical aggregates: stddev/variance/correlation/covariance.
     * Accumulation-order drift is ~1e-12 relative; pround absorbs it.
@@ -118,6 +134,50 @@ object ScalarQueries {
               FLOOR((quantile_cont(l_quantity, 0.9)) * 10000 + 0.5) / 10000 AS p90,
               FLOOR((quantile_cont(l_extendedprice, 0.5)) * 100 + 0.5) / 100 AS p50_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Scale-safe approximate percentiles — the 100 TB twin of q_percentile.
+    * Spark's exact `percentile` buffers every group value in one
+    * aggregation buffer (executor OOM at scale, SCALE.md); engine-native
+    * sketches (approx_percentile / approx_quantile) aren't cross-engine
+    * comparable. This takes the portable middle path: a fixed-grid
+    * histogram (unit-width bins — one partial+final count aggregate), a
+    * cumulative window over the ~50-row histogram (NOT the raw table),
+    * and the percentile approximated as the first bin whose cumulative
+    * count crosses q*N. Deterministic in both engines, so the hash gate
+    * checks it exactly; error is bounded by the bin width by construction.
+    */
+  private val percentileApprox = Q(
+    "q_percentile_approx",
+    (spark, dir) => {
+      val hist = Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          floor(col("l_quantity")).cast("bigint").as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val byFlag = Window.partitionBy(col("flag"))
+      hist
+        .withColumn("cum", sum(col("c")).over(byFlag.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(byFlag))
+        .groupBy(col("flag"))
+        .agg(
+          min(when(col("cum") >= col("n") * 0.25, col("bin"))).as("p25_bin"),
+          min(when(col("cum") >= col("n") * 0.5, col("bin"))).as("p50_bin"),
+          min(when(col("cum") >= col("n") * 0.9, col("bin"))).as("p90_bin"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH h AS (SELECT l_returnflag AS flag, CAST(FLOOR(l_quantity) AS BIGINT) AS bin,
+                  CAST(COUNT(*) AS BIGINT) AS c
+                FROM lineitem GROUP BY 1, 2),
+            cum AS (SELECT flag, bin,
+                  CAST(SUM(c) OVER (PARTITION BY flag ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                  CAST(SUM(c) OVER (PARTITION BY flag) AS BIGINT) AS n
+                FROM h)
+            SELECT flag,
+              MIN(CASE WHEN cum >= n * 0.25 THEN bin END) AS p25_bin,
+              MIN(CASE WHEN cum >= n * 0.5 THEN bin END) AS p50_bin,
+              MIN(CASE WHEN cum >= n * 0.9 THEN bin END) AS p90_bin
+            FROM cum GROUP BY flag ORDER BY flag"""))
 
   /** Second string-function battery: pad/replace/reverse/left. */
   private val stringFuncs2 = Q(
@@ -248,16 +308,25 @@ object ScalarQueries {
     * arithmetic, so cross-engine equality is exact. (array_distinct is
     * compared through sort_array: DuckDB's list_distinct does not
     * preserve first-occurrence order.)
+    *
+    * Array-valued results are serialized to fixed-point CSV strings
+    * (FLOOR(x*10^4+0.5) integers joined with ',') — the driver's checker
+    * sorts result columns with pandas, which cannot hash raw arrays, and
+    * float→string formatting is not portable across engines while
+    * integer→string is. Same discipline as q_inverted_index.
     */
   private val arrayFuncs2 = Q(
     "q_array_funcs2",
     (spark, dir) => {
       val e4 = slice(col("embedding"), 1, 4)
+      def csv4(a: org.apache.spark.sql.Column) =
+        concat_ws(",", transform(a, x =>
+          floor(x.cast("double") * 10000d + 0.5d).cast("string")))
       Tables(spark, dir, "embeddings")
         .filter(col("vec_id") < 100)
         .select(col("vec_id"),
-          array_sort(e4).as("sorted4"),
-          reverse(e4).as("rev4"),
+          csv4(array_sort(e4)).as("sorted4"),
+          csv4(reverse(e4)).as("rev4"),
           array_max(e4).as("max4"),
           array_min(e4).as("min4"),
           array_position(e4, element_at(col("embedding"), 3)).cast("int").as("pos3"),
@@ -266,8 +335,10 @@ object ScalarQueries {
         .orderBy(col("vec_id"))
     },
     Some("""SELECT vec_id,
-              list_sort(embedding[1:4]) AS sorted4,
-              list_reverse(embedding[1:4]) AS rev4,
+              array_to_string(list_transform(CAST(list_sort(embedding[1:4]) AS DOUBLE[]),
+                x -> CAST(CAST(FLOOR(x * 10000 + 0.5) AS BIGINT) AS VARCHAR)), ',') AS sorted4,
+              array_to_string(list_transform(CAST(list_reverse(embedding[1:4]) AS DOUBLE[]),
+                x -> CAST(CAST(FLOOR(x * 10000 + 0.5) AS BIGINT) AS VARCHAR)), ',') AS rev4,
               list_max(embedding[1:4]) AS max4,
               list_min(embedding[1:4]) AS min4,
               list_position(embedding[1:4], embedding[3]) AS pos3,
@@ -344,10 +415,14 @@ object ScalarQueries {
     "q_hof_funcs",
     (spark, dir) => {
       val e4 = slice(col("embedding"), 1, 4)
+      // `doubled` is array-valued → serialized to a fixed-point CSV string
+      // (the driver's pandas checker cannot sort raw arrays; integer→string
+      // is portable where float→string is not).
       Tables(spark, dir, "embeddings")
         .filter(col("vec_id") < 100)
         .select(col("vec_id"),
-          transform(e4, x => x.cast("double") * 2.0).as("doubled"),
+          concat_ws(",", transform(e4, x =>
+            floor(x.cast("double") * 2.0 * 10000d + 0.5d).cast("string"))).as("doubled"),
           size(filter(e4, x => x > 0.0f)).as("n_pos"),
           pround(aggregate(e4, lit(0.0), (acc, x) => acc + x.cast("double")), 4).as("sum4"),
           pround(aggregate(zip_with(e4, slice(col("embedding"), 5, 4),
@@ -356,7 +431,8 @@ object ScalarQueries {
         .orderBy(col("vec_id"))
     },
     Some("""SELECT vec_id,
-              list_transform(CAST(embedding[1:4] AS DOUBLE[]), x -> x * 2.0) AS doubled,
+              array_to_string(list_transform(CAST(embedding[1:4] AS DOUBLE[]),
+                x -> CAST(CAST(FLOOR(x * 2.0 * 10000 + 0.5) AS BIGINT) AS VARCHAR)), ',') AS doubled,
               CAST(len(list_filter(embedding[1:4], x -> x > 0.0)) AS INT) AS n_pos,
               FLOOR((list_aggregate(CAST(embedding[1:4] AS DOUBLE[]), 'sum')) * 10000 + 0.5)
                 / 10000 AS sum4,
@@ -367,6 +443,6 @@ object ScalarQueries {
             FROM embeddings WHERE vec_id < 100 ORDER BY vec_id"""))
 
   val all: Seq[Q] = Seq(regexFuncs, condFuncs, approxDistinct, statsAgg,
-    percentile, stringFuncs2, dateFuncs2, mapFuncs, structFuncs, bitFuncs,
-    arrayFuncs2, stringFuncs3, dateFuncs3, hofFuncs)
+    percentile, percentileApprox, stringFuncs2, dateFuncs2, mapFuncs,
+    structFuncs, bitFuncs, arrayFuncs2, stringFuncs3, dateFuncs3, hofFuncs)
 }

@@ -73,6 +73,22 @@ class DedupPropertiesSpec extends AnyFunSuite {
     assert(cc.values.toSet === Set(1L))
   }
 
+  test("connectedComponents converges on a long path in logarithmic rounds") {
+    import spark.implicits._
+    // Adversarial chain (crawl-mirror shape): diameter-bound hash-min
+    // would need ~n rounds; the pointer-jumping shortcut must get there
+    // in O(log n). 12 rounds ≫ log2(300) ≈ 8.2 and ≪ 300, so this fails
+    // loudly (convergence guard throws) if the shortcut ever regresses.
+    val n = 300L
+    val pairs = (1L to n).sliding(2).map(s => (s.head, s.last)).toSeq
+    val edges = pairs.toDF("src", "dst")
+      .union(pairs.map(_.swap).toDF("src", "dst"))
+    val cc = graft.operators.GraphQueries.connectedComponents(edges, maxRounds = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size === n.toInt)
+    assert(cc.values.toSet === Set(1L))
+  }
+
   test("cc_dedup: exactly one canonical doc per component") {
     val cc = Registry.byName("q_cc_dedup").build(spark, dir)
     val perComp = cc.groupBy(col("component"))

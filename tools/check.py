@@ -68,6 +68,17 @@ def main():
                  if gtypes.get(c) != etypes.get(c)}
         if tdiff:
             print(f"TYPEDIFF {name}: {tdiff}")
+        # the driver's checker sorts all columns with pandas, which dies on
+        # unhashable cells (numpy arrays / dicts) — mirror that constraint
+        # here so nested output columns fail locally before the driver runs
+        nested = sorted(c for c, t in {**etypes, **gtypes}.items()
+                        if any(k in t for k in ("list", "map", "struct")))
+        if nested:
+            print(f"FAIL {name}: nested output columns {nested} — the driver's "
+                  f"pandas checker cannot sort arrays/maps/structs; serialize "
+                  f"them to strings (concat_ws / array_to_string)")
+            n_fail += 1
+            continue
         got_cols = sorted(got[0].keys()) if got else []
         exp_cols_s = sorted(exp_cols)
         if got and got_cols != exp_cols_s:
