@@ -32,7 +32,11 @@ object Bench {
       try Tables(spark, sfDir, n).cache().count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Ad-hoc profiling: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm-up
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }

@@ -49,13 +49,25 @@ object GraphQueries {
       .withColumn("lbl", col("node")).localCheckpoint(false)
     var changed = 1L
     var rounds = 0
+    // One hash-min propagation step, lazily: own labels and neighbor
+    // labels merge in a single min-aggregate.
+    def step(ls: DataFrame): DataFrame = {
+      val viaNeighbors = edges.join(ls, edges("src") === ls("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      ls.union(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+    }
     while (changed > 0 && rounds < maxRounds) {
-      // (1) Hash-min neighbor step: own label and neighbor labels merge in
-      // one min-aggregate; the pre-round label rides along as `old` so the
-      // convergence signal needs no separate join.
-      val viaNeighbors = edges.join(labels, edges("src") === labels("node"))
+      // (1) Two lazy hash-min steps execute in ONE job; the convergence
+      // signal (did step 2 improve on step 1?) rides in the second
+      // aggregate via an own-label marker instead of a separate join. If
+      // step 2 changed nothing, step 1's output was already the hash-min
+      // fixpoint (and the jump below is then a no-op), so near-clique dup
+      // clusters converge in a single round.
+      val mid = step(labels)
+      val viaNeighbors = edges.join(mid, edges("src") === mid("node"))
         .select(col("dst").as("node"), col("lbl"), lit(false).as("own"))
-      val stepped = labels.select(col("node"), col("lbl"), lit(true).as("own"))
+      val stepped = mid.select(col("node"), col("lbl"), lit(true).as("own"))
         .union(viaNeighbors)
         .groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"),
