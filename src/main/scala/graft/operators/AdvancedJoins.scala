@@ -113,5 +113,43 @@ object AdvancedJoins {
             FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  val all: Seq[Q] = Seq(asofJoin, rangeJoin, saltedJoin)
+  /** Bloom-filter runtime-filtered join: build a Bloom filter over the
+    * qualifying orders' keys (driver-held, ~1 MB — broadcast model state
+    * like a k-means centroid table, never data rows), pre-filter lineitem
+    * map-side with `mightContain`, then run the exact semi-join on the
+    * survivors. Bloom filters admit false positives but never false
+    * negatives, so the exact join restores precise semantics and the
+    * oracle is the PLAIN semi-join SQL — the query pins that the
+    * runtime-filter plan is a drop-in equivalent. At 100 TB this is the
+    * shape that keeps a selective dim join from shuffling the fact table:
+    * the probe drops non-qualifying rows at the scan, the same idea as
+    * Spark's own `spark.sql.optimizer.runtime.bloomFilter` injection
+    * (which stays enabled; this declares it as a user-facing capability).
+    * The probe is a Scala UDF because no public built-in exposes
+    * mightContain — acceptable outside the per-row hot path since it
+    * replaces a full shuffle, the textbook UDF trade.
+    */
+  private val bloomJoin = Q(
+    "q_bloom_join",
+    (spark, dir) => {
+      val bigOrders = Tables(spark, dir, "orders")
+        .filter(col("o_totalprice") > 250000.0)
+        .select(col("o_orderkey"))
+      val bloom = bigOrders.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+      val mightContain = udf((k: Long) => bloom.mightContain(k))
+      Tables(spark, dir, "lineitem")
+        .filter(mightContain(col("l_orderkey")))
+        .join(bigOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"), pround(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+              FLOOR((SUM(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_totalprice > 250000.0)
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val all: Seq[Q] = Seq(asofJoin, rangeJoin, saltedJoin, bloomJoin)
 }

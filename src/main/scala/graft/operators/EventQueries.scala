@@ -155,6 +155,31 @@ object EventQueries {
               FLOOR((AVG(value)) * 10000 + 0.5) / 10000 AS mean
             FROM d GROUP BY decile ORDER BY decile"""))
 
+  /** Sliding time-range window: per event, the same user's trailing
+    * 1-hour value sum — RANGE frame over epoch-microsecond ordering, the
+    * batch twin of a sliding streaming window (q_time_window is the
+    * tumbling twin). Partitioned by user_id, so parallelism scales with
+    * users; RANGE semantics make equal-timestamp peers a single frame,
+    * so the result is deterministic under any tie order.
+    */
+  private val windowRangeTime = Q(
+    "q_window_range_time",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0)
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          pround(sum(col("value")).over(w), 4).as("sum_1h"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id,
+              FLOOR((SUM(value) OVER (PARTITION BY user_id
+                ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) * 10000 + 0.5)
+                / 10000 AS sum_1h
+            FROM events ORDER BY event_id"""))
+
   /** Scale-safe decile bucketing — the 100 TB twin of q_decile_stats.
     * No global sort anywhere: a fixed-grid histogram (0.1-wide bins, one
     * partial+final count aggregate) stands in for the total order; the
@@ -286,5 +311,6 @@ object EventQueries {
             FROM u GROUP BY cohort_day ORDER BY cohort_day"""))
 
   val all: Seq[Q] = Seq(jsonFuncs, timeWindow, sessionize, histogram,
-    eventWindowJoin, decileStats, decileApprox, funnel, retention)
+    eventWindowJoin, windowRangeTime, decileStats, decileApprox, funnel,
+    retention)
 }

@@ -510,9 +510,28 @@ object Relational {
                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
             ORDER BY o_custkey, o_orderkey"""))
 
+  /** Explicit cartesian product over two broadcast-sized dims — the only
+    * join kind still missing from the declared surface. Deliberately
+    * bounded: a cross join is only ever sane when at least one side is
+    * tiny (Catalyst plans BroadcastNestedLoopJoin); big-big cartesian at
+    * scale is a design error, not an operator gap.
+    */
+  private val crossJoin = Q(
+    "q_cross_join",
+    (spark, dir) => {
+      val r = Tables(spark, dir, "region").select(col("r_regionkey"), col("r_name"))
+      val n = Tables(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      r.crossJoin(n)
+        .select(col("r_name"), col("n_name"),
+          (col("r_regionkey") * 100 + col("n_nationkey")).as("pair_id"))
+        .orderBy(col("pair_id"))
+    },
+    Some("""SELECT r_name, n_name, r_regionkey * 100 + n_nationkey AS pair_id
+            FROM region CROSS JOIN nation ORDER BY pair_id"""))
+
   val all: Seq[Q] = Seq(
     filterProject, aggPricing, distinctQ, joinEqui, joinBroadcast, joinSemi,
     joinAnti, topk, setOps, rollupQ, cubeQ, groupingSets, windowRank, windowRunning,
     windowAnalytics, pivotQ, stringFuncs, dateFuncs, mathFuncs, topkPerGroup,
-    windowFrames, joinOuter, setOpsAll, unpivotQ)
+    windowFrames, joinOuter, setOpsAll, unpivotQ, crossJoin)
 }

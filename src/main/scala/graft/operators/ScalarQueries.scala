@@ -442,7 +442,120 @@ object ScalarQueries {
                                  t -> t[1] * t[2]), 'sum')) * 10000 + 0.5) / 10000 AS dot45
             FROM embeddings WHERE vec_id < 100 ORDER BY vec_id"""))
 
+  /** Boolean aggregates: bool_and / bool_or plus filtered counting.
+    * (Spark count_if == DuckDB's COUNT(*) FILTER — same BIGINT result.)
+    */
+  private val boolAgg = Q(
+    "q_bool_agg",
+    (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          bool_and(col("l_quantity") > 0).as("all_positive"),
+          bool_or(col("l_discount") > 0.09).as("any_deep_discount"),
+          count_if(col("l_tax") > 0.03).as("n_taxed"),
+          count_if(col("l_linenumber") === 1).as("n_first_lines"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+              bool_and(l_quantity > 0) AS all_positive,
+              bool_or(l_discount > 0.09) AS any_deep_discount,
+              CAST(COUNT(*) FILTER (WHERE l_tax > 0.03) AS BIGINT) AS n_taxed,
+              CAST(COUNT(*) FILTER (WHERE l_linenumber = 1) AS BIGINT) AS n_first_lines
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Transcendental math battery: ln / exp / sqrt / explicit powers.
+    * Everything funnels through an average before rounding — per-value
+    * last-ulp libm drift between the JVM and DuckDB stays ~1e-15 relative
+    * on O(10) magnitudes, far inside pround(4)'s knife edge. (Sums are
+    * deliberately avoided: they amplify ulp drift linearly with row
+    * count.)
+    */
+  private val mathFuncs2 = Q(
+    "q_math_funcs2",
+    (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          pround(avg(log(col("l_extendedprice"))), 4).as("avg_ln_price"),
+          pround(avg(sqrt(col("l_quantity"))), 4).as("avg_sqrt_qty"),
+          pround(exp(avg(log(lit(1.0) + col("l_discount")))), 4).as("geo_mean_disc"),
+          pround(avg(col("l_tax") * col("l_tax")), 6).as("avg_tax_sq"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+              FLOOR((AVG(ln(l_extendedprice))) * 10000 + 0.5) / 10000 AS avg_ln_price,
+              FLOOR((AVG(sqrt(l_quantity))) * 10000 + 0.5) / 10000 AS avg_sqrt_qty,
+              FLOOR((exp(AVG(ln(1.0 + l_discount)))) * 10000 + 0.5) / 10000 AS geo_mean_disc,
+              FLOOR((AVG(l_tax * l_tax)) * 1000000 + 0.5) / 1000000 AS avg_tax_sq
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Statistical mode with a deterministic tiebreak: the most frequent
+    * order priority per order status; ties break to the lexicographically
+    * smallest priority. min(struct(-cnt, prio)) realizes (count DESC,
+    * value ASC) as a single lexicographic aggregate — no window over the
+    * raw table, just two partial+final aggregations.
+    */
+  private val modeAgg = Q(
+    "q_mode",
+    (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(min(struct((-col("cnt")).as("neg"), col("o_orderpriority").as("p"))).as("best"),
+          sum(col("cnt")).as("n_orders"))
+        .select(col("o_orderstatus"),
+          col("best.p").as("mode_priority"),
+          (-col("best.neg")).cast("bigint").as("mode_count"),
+          col("n_orders").cast("bigint").as("n_orders"))
+        .orderBy(col("o_orderstatus")),
+    Some("""WITH c AS (SELECT o_orderstatus, o_orderpriority,
+                    CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM orders GROUP BY 1, 2),
+            r AS (SELECT o_orderstatus, o_orderpriority, cnt,
+                    CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n_orders,
+                    row_number() OVER (PARTITION BY o_orderstatus
+                      ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+                  FROM c)
+            SELECT o_orderstatus, o_orderpriority AS mode_priority,
+              cnt AS mode_count, n_orders
+            FROM r WHERE rn = 1 ORDER BY o_orderstatus"""))
+
+  /** Distribution shape: per-segment skewness and excess kurtosis from
+    * standardized moments. Engine-native skewness()/kurtosis() differ in
+    * bias correction across engines, so both sides compute the identical
+    * two-pass formula: broadcast the per-segment (mu, sigma) moment table
+    * back onto the rows (the q_zscore_outlier scale pattern — no
+    * whole-segment windows) and average z³ / z⁴ written as explicit
+    * products (pow() is another portability trap).
+    */
+  private val skewMoments = Q(
+    "q_skew_moments",
+    (spark, dir) => {
+      val cust = Tables(spark, dir, "customer")
+      val moments = cust.groupBy(col("c_mktsegment"))
+        .agg(avg(col("c_acctbal")).as("mu"),
+          stddev_samp(col("c_acctbal")).as("sigma"))
+      val z = (col("c_acctbal") - col("mu")) / col("sigma")
+      cust.join(broadcast(moments), "c_mktsegment")
+        .select(col("c_mktsegment"), (z * z * z).as("z3"), (z * z * z * z).as("z4"))
+        .groupBy(col("c_mktsegment"))
+        .agg(pround(avg(col("z3")), 4).as("skewness"),
+          pround(avg(col("z4")) - 3.0, 4).as("excess_kurtosis"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""WITH m AS (SELECT c_mktsegment, AVG(c_acctbal) AS mu,
+                    stddev_samp(c_acctbal) AS sigma
+                  FROM customer GROUP BY c_mktsegment),
+            z AS (SELECT c.c_mktsegment,
+                    (c.c_acctbal - m.mu) / m.sigma AS z
+                  FROM customer c JOIN m USING (c_mktsegment))
+            SELECT c_mktsegment,
+              FLOOR((AVG(z * z * z)) * 10000 + 0.5) / 10000 AS skewness,
+              FLOOR((AVG(z * z * z * z) - 3.0) * 10000 + 0.5) / 10000 AS excess_kurtosis
+            FROM z GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   val all: Seq[Q] = Seq(regexFuncs, condFuncs, approxDistinct, statsAgg,
     percentile, percentileApprox, stringFuncs2, dateFuncs2, mapFuncs,
-    structFuncs, bitFuncs, arrayFuncs2, stringFuncs3, dateFuncs3, hofFuncs)
+    structFuncs, bitFuncs, arrayFuncs2, stringFuncs3, dateFuncs3, hofFuncs,
+    boolAgg, mathFuncs2, modeAgg, skewMoments)
 }
