@@ -85,4 +85,42 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("q_zscore_outlier joins broadcast moments — no whole-segment window") {
+    val plan = executedPlan("q_zscore_outlier")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast moments join:\n$plan")
+    assert(!plan.contains("Window"), s"windows would single-task segments at scale:\n$plan")
+  }
+
+  test("q_skew_moments uses the same broadcast-moments shape") {
+    val plan = executedPlan("q_skew_moments")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q_decile_approx assigns buckets via broadcast join (no global sort of events)") {
+    val plan = executedPlan("q_decile_approx")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast bucket join:\n$plan")
+    // the final ORDER BY on the 10-row decile aggregate may rangepartition;
+    // the raw events must never be globally sorted by value/bin
+    assert(!plan.contains("rangepartitioning(value") && !plan.contains("rangepartitioning(bin"),
+      s"global sort of the fact table:\n$plan")
+  }
+
+  test("q_percentile_approx windows over the histogram, not the table") {
+    val df = Registry.byName("q_percentile_approx").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // window input must be the aggregated (flag, bin) histogram: the
+    // aggregate runs BELOW the window in the plan tree
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, plan)
+    assert(plan.substring(winIdx).contains("HashAggregate"),
+      s"window must sit above the histogram aggregate:\n$plan")
+  }
+
+  test("q_bloom_join pre-filters map-side and still plans the exact semi-join") {
+    val plan = executedPlan("q_bloom_join")
+    assert(plan.contains("LeftSemi"), s"exact semi-join must remain:\n$plan")
+  }
 }
