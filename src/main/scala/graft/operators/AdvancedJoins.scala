@@ -125,9 +125,9 @@ object AdvancedJoins {
     * the probe drops non-qualifying rows at the scan, the same idea as
     * Spark's own `spark.sql.optimizer.runtime.bloomFilter` injection
     * (which stays enabled; this declares it as a user-facing capability).
-    * The probe is a Scala UDF because no public built-in exposes
-    * mightContain — acceptable outside the per-row hot path since it
-    * replaces a full shuffle, the textbook UDF trade.
+    * The probe is the codegen'd `plans.BloomProbe` expression — a Scala
+    * UDF would break whole-stage codegen exactly on the hot scan the
+    * filter exists to accelerate.
     */
   private val bloomJoin = Q(
     "q_bloom_join",
@@ -136,9 +136,8 @@ object AdvancedJoins {
         .filter(col("o_totalprice") > 250000.0)
         .select(col("o_orderkey"))
       val bloom = bigOrders.stat.bloomFilter("o_orderkey", 100000L, 0.01)
-      val mightContain = udf((k: Long) => bloom.mightContain(k))
       Tables(spark, dir, "lineitem")
-        .filter(mightContain(col("l_orderkey")))
+        .filter(graft.functions.Probes.bloomProbe(col("l_orderkey"), bloom))
         .join(bigOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"), pround(sum(col("l_quantity")), 4).as("sum_qty"))

@@ -130,4 +130,22 @@ class NativeExprPropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("BloomProbe never false-negatives and agrees with the driver-side probe") {
+    import spark.implicits._
+    val keys = Gen.listOfN(200, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    val prop = Prop.forAll(keys, keys) { (inserted, probes) =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+      inserted.foreach(bf.putLong)
+      val got = (inserted ++ probes).toDF("k")
+        .select(col("k"), graft.functions.Probes.bloomProbe(col("k"), bf).as("hit"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      // no false negatives on inserted keys; exact agreement with the
+      // driver-side probe everywhere (same object, same hash path)
+      inserted.forall(got(_)) &&
+        (inserted ++ probes).forall(k => got(k) == bf.mightContainLong(k))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
