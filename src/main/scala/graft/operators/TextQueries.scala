@@ -296,6 +296,82 @@ object TextQueries {
                 CAST(SUM(cnt) OVER (PARTITION BY w1) AS DOUBLE)) * 10000 + 0.5) / 10000 AS p
             FROM c ORDER BY cnt DESC, w1, w2 LIMIT 20"""))
 
+  /** Repetition filter (the Gopher-style quality rule): per document, the
+    * duplicate-trigram ratio 1 − |distinct 3-grams| / |3-grams|; documents
+    * above the threshold get flagged. Both shingle passes are the native
+    * WordNGrams expression (one compiled scan each, no interpreted HOF
+    * walks); the flag compares the ROUNDED ratio, so it is exactly as
+    * portable as the ratio itself. Per-row computation only — rides the
+    * scan at any scale. Documents with no trigram (< 3 words) are out of
+    * scope of the rule and are not emitted.
+    */
+  private val repetitionFilter = Q(
+    "q_repetition_filter",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.wordNGramsAll(col("text"), 3)).cast("bigint").as("n3_total"),
+          size(TextOps.distinctWordNGrams(col("text"), 3)).cast("bigint").as("n3_distinct"))
+        .filter(col("n3_total") > 0)
+        .withColumn("dup_ratio",
+          pround(lit(1.0) - col("n3_distinct").cast("double") / col("n3_total").cast("double"), 4))
+        .withColumn("is_repetitive", (col("dup_ratio") > 0.2).cast("int"))
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                          FROM documents),
+            tg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+                   FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+                   WHERE len(ws) >= 3),
+            agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n3_total,
+                           CAST(COUNT(DISTINCT g) AS BIGINT) AS n3_distinct
+                    FROM tg GROUP BY doc_id),
+            r AS (SELECT doc_id, n3_total, n3_distinct,
+                    FLOOR((1.0 - CAST(n3_distinct AS DOUBLE) / CAST(n3_total AS DOUBLE))
+                      * 10000 + 0.5) / 10000 AS dup_ratio
+                  FROM agg)
+            SELECT doc_id, n3_total, n3_distinct, dup_ratio,
+              CAST(CASE WHEN dup_ratio > 0.2 THEN 1 ELSE 0 END AS INT) AS is_repetitive
+            FROM r ORDER BY doc_id"""))
+
+  /** Zipf rank statistics: the corpus vocabulary ranked by frequency with
+    * each head word's cumulative token share — the standard vocabulary
+    * health check for a training corpus. The ranking windows run over the
+    * AGGREGATED vocabulary (Heaps-law sublinear in corpus size — the same
+    * windows-over-the-small-aggregate pattern as q_percentile_approx),
+    * never over raw tokens.
+    */
+  private val zipfStats = Q(
+    "q_zipf_stats",
+    (spark, dir) => {
+      val wc = Tables(spark, dir, "documents")
+        .select(explode(TextOps.wordsNative(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val ord = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("w"))
+      val cum = ord.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val whole = org.apache.spark.sql.expressions.Window.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      wc.select(col("w"), col("cnt"),
+          row_number().over(ord).as("rank"),
+          pround(sum(col("cnt")).over(cum).cast("double") /
+            sum(col("cnt")).over(whole).cast("double"), 4).as("cum_share"))
+        .orderBy(col("rank")).limit(20)
+    },
+    Some("""WITH wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM documents,
+                      UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS t(w)
+                 GROUP BY w)
+            SELECT w, cnt,
+              CAST(row_number() OVER (ORDER BY cnt DESC, w) AS INT) AS rank,
+              FLOOR((CAST(SUM(cnt) OVER (ORDER BY cnt DESC, w
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                / CAST(SUM(cnt) OVER () AS DOUBLE)) * 10000 + 0.5) / 10000 AS cum_share
+            FROM wc ORDER BY rank LIMIT 20"""))
+
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
-    tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm)
+    tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm,
+    repetitionFilter, zipfStats)
 }
