@@ -45,6 +45,19 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("cnt"))
 
+  /** Sliding 1-hour windows advancing every 15 minutes — the streaming
+    * twin of q_window_range_time's trailing-hour view (each event lands in
+    * 4 overlapping windows; state is watermark-bounded like the tumbling
+    * case, ×4 for the overlap).
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
   /** Streaming dedup-by-key within the watermark horizon — the streaming
     * twin of q_dedup_exact's keep-first semantics.
     */

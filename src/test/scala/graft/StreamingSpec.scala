@@ -24,6 +24,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("win").count() === batch)
   }
 
+  test("streaming sliding window == batch sliding-window aggregation") {
+    val stream = Streams.slidingCounts(Streams.eventsStream(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("slide")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    // every event lands in exactly 4 overlapping (1h, 15m-slide) windows
+    val got = spark.table("slide").agg(sum("cnt")).collect()(0).getLong(0)
+    val want = Tables.events(spark, dir).count() * 4
+    assert(got === want)
+    // and the streaming result equals the identical batch aggregation
+    val batch = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .count()
+    assert(spark.table("slide").count() === batch)
+  }
+
   test("streaming dedup-by-key emits each event_id once") {
     val stream = Streams.dedupByKey(Streams.eventsStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("dedup")
