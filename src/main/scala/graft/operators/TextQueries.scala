@@ -335,10 +335,11 @@ object TextQueries {
 
   /** Zipf rank statistics: the corpus vocabulary ranked by frequency with
     * each head word's cumulative token share — the standard vocabulary
-    * health check for a training corpus. The ranking windows run over the
-    * AGGREGATED vocabulary (Heaps-law sublinear in corpus size — the same
-    * windows-over-the-small-aggregate pattern as q_percentile_approx),
-    * never over raw tokens.
+    * health check for a training corpus. Scale shape: the head is taken
+    * with orderBy+limit (TakeOrderedAndProject — per-partition heaps, a
+    * 20-row driver merge, never a global sort of the vocabulary); the
+    * total token count joins in as a broadcast scalar; the ranking
+    * window then runs over just the 20 head rows.
     */
   private val zipfStats = Q(
     "q_zipf_stats",
@@ -346,19 +347,19 @@ object TextQueries {
       val wc = Tables(spark, dir, "documents")
         .select(explode(TextOps.wordsNative(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val total = wc.agg(sum(col("cnt")).as("total"))
+      val head = wc.orderBy(col("cnt").desc, col("w")).limit(20)
       val ord = org.apache.spark.sql.expressions.Window
         .orderBy(col("cnt").desc, col("w"))
       val cum = ord.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-      val whole = org.apache.spark.sql.expressions.Window.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      wc.select(col("w"), col("cnt"),
+      head.crossJoin(broadcast(total))
+        .select(col("w"), col("cnt"),
           row_number().over(ord).as("rank"),
           pround(sum(col("cnt")).over(cum).cast("double") /
-            sum(col("cnt")).over(whole).cast("double"), 4).as("cum_share"))
-        .orderBy(col("rank")).limit(20)
+            col("total").cast("double"), 4).as("cum_share"))
+        .orderBy(col("rank"))
     },
     Some("""WITH wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
                  FROM documents,

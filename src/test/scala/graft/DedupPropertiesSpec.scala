@@ -89,6 +89,39 @@ class DedupPropertiesSpec extends AnyFunSuite {
     assert(cc.values.toSet === Set(1L))
   }
 
+  test("connectedComponents == driver union-find on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield es.filter { case (a, b) => a != b }
+    val prop = Prop.forAll(edgeGen) { es =>
+      es.isEmpty || {
+        // reference: driver-side union-find with min-label components
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = (es.flatMap(e => Seq(e._1, e._2)).distinct)
+          .map(v => v -> find(v)).toMap
+        val edges = es.toDF("src", "dst")
+          .union(es.map(_.swap).toDF("src", "dst"))
+        val got = graft.operators.GraphQueries.connectedComponents(edges)
+          .as[(Long, Long)].collect().toMap
+        got == want
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cc_dedup: exactly one canonical doc per component") {
     val cc = Registry.byName("q_cc_dedup").build(spark, dir)
     val perComp = cc.groupBy(col("component"))
