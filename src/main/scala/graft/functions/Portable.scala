@@ -25,4 +25,21 @@ object Portable {
     */
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Fixed-point CSV serialization of a numeric array: each element as
+    * FLOOR(x·10ⁿ+0.5) rendered as an integer string, joined with ','.
+    * The only portable way to emit float arrays as output columns —
+    * float→string formatting differs across engines, integer→string
+    * does not, and the downstream checker cannot sort raw arrays
+    * (FIXTURES.md). DuckDB equivalent:
+    * `array_to_string(list_transform(CAST(a AS DOUBLE[]),
+    *    x -> CAST(CAST(FLOOR(x * 10^n + 0.5) AS BIGINT) AS VARCHAR)), ',')`.
+    * The rounding form is parity-critical — keep this the only definition.
+    */
+  def pcsv(arr: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    org.apache.spark.sql.functions.concat_ws(",",
+      org.apache.spark.sql.functions.transform(arr, x =>
+        floor(x.cast("double") * lit(f) + lit(0.5)).cast("string")))
+  }
 }

@@ -135,7 +135,12 @@ object AdvancedJoins {
       val bigOrders = Tables(spark, dir, "orders")
         .filter(col("o_totalprice") > 250000.0)
         .select(col("o_orderkey"))
-      val bloom = bigOrders.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+      // capacity from the actual build-side cardinality (one cheap count
+      // on the already-filtered dim): an undersized filter saturates at
+      // scale (fpp → 1) and silently degenerates the pre-filter to a
+      // pass-through — correct but useless
+      val nKeys = math.max(1000L, bigOrders.count())
+      val bloom = bigOrders.stat.bloomFilter("o_orderkey", nKeys, 0.01)
       Tables(spark, dir, "lineitem")
         .filter(graft.functions.Probes.bloomProbe(col("l_orderkey"), bloom))
         .join(bigOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")

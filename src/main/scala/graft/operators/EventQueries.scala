@@ -197,8 +197,11 @@ object EventQueries {
       val binned = Tables.events(spark, dir)
         .select(col("value"), floor(col("value") * 10).cast("bigint").as("bin"))
       val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      // null-ordering pinned explicitly (determinism rule 7): Spark
+      // defaults nulls-first ascending, DuckDB nulls-last — a single
+      // NULL value would silently shift every cumulative count.
       val deciles = hist
-        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("bin"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("bin").asc_nulls_first)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("n", sum(col("c")).over(
           Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
@@ -215,7 +218,7 @@ object EventQueries {
     Some("""WITH b AS (SELECT value, CAST(FLOOR(value * 10) AS BIGINT) AS bin FROM events),
             h AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY bin),
             cum AS (SELECT bin,
-                  CAST(SUM(c) OVER (ORDER BY bin
+                  CAST(SUM(c) OVER (ORDER BY bin NULLS FIRST
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
                   CAST(SUM(c) OVER () AS BIGINT) AS n
                 FROM h),

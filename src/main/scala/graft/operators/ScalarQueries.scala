@@ -154,8 +154,9 @@ object ScalarQueries {
           floor(col("l_quantity")).cast("bigint").as("bin"))
         .agg(count(lit(1)).as("c"))
       val byFlag = Window.partitionBy(col("flag"))
+      // null-ordering pinned explicitly (determinism rule 7)
       hist
-        .withColumn("cum", sum(col("c")).over(byFlag.orderBy(col("bin"))
+        .withColumn("cum", sum(col("c")).over(byFlag.orderBy(col("bin").asc_nulls_first)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("n", sum(col("c")).over(byFlag))
         .groupBy(col("flag"))
@@ -169,7 +170,7 @@ object ScalarQueries {
                   CAST(COUNT(*) AS BIGINT) AS c
                 FROM lineitem GROUP BY 1, 2),
             cum AS (SELECT flag, bin,
-                  CAST(SUM(c) OVER (PARTITION BY flag ORDER BY bin
+                  CAST(SUM(c) OVER (PARTITION BY flag ORDER BY bin NULLS FIRST
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
                   CAST(SUM(c) OVER (PARTITION BY flag) AS BIGINT) AS n
                 FROM h)
@@ -319,14 +320,12 @@ object ScalarQueries {
     "q_array_funcs2",
     (spark, dir) => {
       val e4 = slice(col("embedding"), 1, 4)
-      def csv4(a: org.apache.spark.sql.Column) =
-        concat_ws(",", transform(a, x =>
-          floor(x.cast("double") * 10000d + 0.5d).cast("string")))
+      import graft.functions.Portable.pcsv
       Tables(spark, dir, "embeddings")
         .filter(col("vec_id") < 100)
         .select(col("vec_id"),
-          csv4(array_sort(e4)).as("sorted4"),
-          csv4(reverse(e4)).as("rev4"),
+          pcsv(array_sort(e4), 4).as("sorted4"),
+          pcsv(reverse(e4), 4).as("rev4"),
           array_max(e4).as("max4"),
           array_min(e4).as("min4"),
           array_position(e4, element_at(col("embedding"), 3)).cast("int").as("pos3"),
@@ -415,14 +414,13 @@ object ScalarQueries {
     "q_hof_funcs",
     (spark, dir) => {
       val e4 = slice(col("embedding"), 1, 4)
-      // `doubled` is array-valued → serialized to a fixed-point CSV string
-      // (the driver's pandas checker cannot sort raw arrays; integer→string
-      // is portable where float→string is not).
+      // `doubled` is array-valued → serialized via Portable.pcsv (the
+      // driver's checker cannot sort raw arrays; FIXTURES.md).
       Tables(spark, dir, "embeddings")
         .filter(col("vec_id") < 100)
         .select(col("vec_id"),
-          concat_ws(",", transform(e4, x =>
-            floor(x.cast("double") * 2.0 * 10000d + 0.5d).cast("string"))).as("doubled"),
+          graft.functions.Portable.pcsv(
+            transform(e4, x => x.cast("double") * 2.0), 4).as("doubled"),
           size(filter(e4, x => x > 0.0f)).as("n_pos"),
           pround(aggregate(e4, lit(0.0), (acc, x) => acc + x.cast("double")), 4).as("sum4"),
           pround(aggregate(zip_with(e4, slice(col("embedding"), 5, 4),
