@@ -101,5 +101,31 @@ object SqlQueries {
                  UNNEST(generate_series(1, len(ws))) AS u(i)
             WHERE ws[i] <> '' ORDER BY doc_id, pos"""))
 
-  val all: Seq[Q] = Seq(corrScalar, existsSql, cteSql, posexplodeSql)
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): a 12-row month ladder for
+    * 1992 LEFT-JOINed to orders — months with no orders still appear with
+    * a zero count, which a plain GROUP BY over orders cannot produce.
+    * The same SQL text runs on both engines (casts pin the DATE +
+    * INTERVAL and date_trunc result types, which differ by dialect).
+    * Scale: the recursion generates a bounded scalar ladder (12 rows,
+    * broadcast side of the join); the fact side is one pass.
+    */
+  private val recursiveSql = {
+    val text =
+      """WITH RECURSIVE months(m) AS (
+           SELECT CAST('1992-01-01' AS DATE)
+           UNION ALL
+           SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+           WHERE m < CAST('1992-12-01' AS DATE)
+         )
+         SELECT m AS month_start, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+         FROM months
+         LEFT JOIN orders o ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m
+         GROUP BY m
+         ORDER BY month_start"""
+    Q("q_recursive_sql",
+      sql(Seq("orders"), text),
+      Some(text))
+  }
+
+  val all: Seq[Q] = Seq(corrScalar, existsSql, cteSql, posexplodeSql, recursiveSql)
 }
