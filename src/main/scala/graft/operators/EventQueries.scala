@@ -124,21 +124,38 @@ object EventQueries {
              AND c.cts > p.ts AND c.cts <= p.ts + INTERVAL 1 HOUR
             GROUP BY p.event_id ORDER BY p.event_id"""))
 
-  /** Quantile bucketing: ntile(10) decile assignment over event values,
-    * then per-decile aggregates — the two-level window→agg composition
-    * used for score calibration and threshold picking.
+  /** Quantile bucketing: exact ntile(10) decile assignment over event
+    * values, then per-decile aggregates — score calibration / threshold
+    * picking with EXACT edges.
     *
-    * Scale note: the unpartitioned ntile window funnels the sort into one
-    * task — exact decile EDGES need a total order, which is the contract
-    * here. q_decile_approx below is the 100 TB shape: histogram-derived
-    * cut points, map-side bucket assignment, no global sort (SCALE.md).
+    * Scale shape: an unpartitioned `ntile().over(orderBy(...))` window
+    * would funnel the whole table into one task, so the total order comes
+    * from `Ranks.withGlobalRowNumber` instead (range repartition +
+    * per-partition offsets — every stage distributed), and the decile is
+    * computed from the global row number with the exact ANSI ntile
+    * bucket-size rule (first n%10 buckets get one extra row), which is
+    * what DuckDB's ntile implements — the oracle replays the window form
+    * verbatim and still hash-matches. q_decile_approx below trades exact
+    * edges for a pure map-side assignment.
     */
   private val decileStats = Q(
     "q_decile_stats",
     (spark, dir) => {
-      val w = Window.orderBy(col("value"), col("event_id"))
-      Tables.events(spark, dir)
-        .select(col("event_id"), col("value"), ntile(10).over(w).as("decile"))
+      val ev = Tables.events(spark, dir).select(col("event_id"), col("value"))
+      val (numbered, n) = graft.functions.Ranks.withGlobalRowNumber(
+        ev, Seq(col("value"), col("event_id")), "rn")
+      val base = n / 10; val rem = n % 10
+      // ANSI ntile: buckets 1..rem have base+1 rows, the rest base rows.
+      // When n < 10 (base = 0) every row satisfies the first branch and
+      // gets its own bucket — exactly ntile's degenerate behavior.
+      // Integral DIV, not `/`: long `/` is double division, which loses
+      // exactness past 2^53 — a knife edge at large n.
+      val cut = rem * (base + 1)
+      val decile = expr(
+        s"""CAST(CASE WHEN rn <= $cut THEN ((rn - 1) DIV ${base + 1}) + 1
+           |     ELSE $rem + ((rn - $cut - 1) DIV $base) + 1 END AS INT)""".stripMargin)
+      numbered
+        .withColumn("decile", decile)
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"),
           pround(min(col("value")), 4).as("lo"),

@@ -1,4 +1,5 @@
 package graft
+// (Ranks parity test appended at the bottom of this suite)
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -65,5 +66,20 @@ class AnalyticsPropertiesSpec extends AnyFunSuite {
     assert(out.length >= math.max(custNations, suppNations))
     // supplier side is tiny at sf0.001 → some nations must be NULL there
     assert(out.exists(r => r.isNullAt(r.fieldIndex("n_supp"))) || suppNations == out.length)
+  }
+
+  test("Ranks.withGlobalRowNumber == unpartitioned row_number window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("value"))
+    val (numbered, n) = graft.functions.Ranks.withGlobalRowNumber(
+      ev, Seq(col("value"), col("event_id")), "rn")
+    assert(n === ev.count())
+    val viaWindow = ev.withColumn("rn",
+        row_number().over(Window.orderBy(col("value"), col("event_id"))).cast("long"))
+      .select(col("event_id"), col("rn"))
+    val diff = numbered.select(col("event_id"), col("rn"))
+      .exceptAll(viaWindow).count()
+    assert(diff === 0L, s"$diff row numbers differ from the window reference")
   }
 }

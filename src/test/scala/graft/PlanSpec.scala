@@ -107,6 +107,12 @@ class PlanSpec extends AnyFunSuite {
       s"global sort of the fact table:\n$plan")
   }
 
+  test("q_decile_stats has no window at all (distributed exact ntile)") {
+    val plan = executedPlan("q_decile_stats")
+    assert(!plan.contains("Window"),
+      s"exact ntile must come from Ranks.withGlobalRowNumber, not a global window:\n$plan")
+  }
+
   test("q_percentile_approx windows over the histogram, not the table") {
     val df = Registry.byName("q_percentile_approx").build(spark, dir)
     df.collect()
