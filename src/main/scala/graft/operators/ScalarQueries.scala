@@ -114,20 +114,30 @@ object ScalarQueries {
               FLOOR((covar_samp(l_quantity, l_extendedprice)) * 100 + 0.5) / 100 AS covar_qp
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
-    * `quantile_cont`: both linear-interpolate on the sorted values).
+  /** Exact interpolated percentiles — same definition as Spark's
+    * `percentile` / DuckDB's `quantile_cont` (linear interpolation on
+    * the sorted values), but computed DISTRIBUTED via
+    * `Ranks.exactPercentiles` (sort + row-number arithmetic) instead of
+    * the built-in aggregate, which buffers every group value in one
+    * aggregation buffer and OOMs once a group outgrows an executor. One
+    * sorted pass per measure; no task ever holds a whole group.
     */
   private val percentile = Q(
     "q_percentile",
-    (spark, dir) =>
-      Tables(spark, dir, "lineitem")
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+      val qty = graft.functions.Ranks
+        .exactPercentiles(li, "l_returnflag", "l_quantity", Seq(0.25, 0.5, 0.9))
         .groupBy(col("l_returnflag"))
         .agg(
-          pround(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
-          pround(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
-          pround(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
-          pround(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"))
-        .orderBy(col("l_returnflag")),
+          pround(min(when(col("p") === 0.25, col("v"))), 4).as("p25"),
+          pround(min(when(col("p") === 0.5, col("v"))), 4).as("p50"),
+          pround(min(when(col("p") === 0.9, col("v"))), 4).as("p90"))
+      val price = graft.functions.Ranks
+        .exactPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5))
+        .select(col("l_returnflag"), pround(col("v"), 2).as("p50_price"))
+      qty.join(price, "l_returnflag").orderBy(col("l_returnflag"))
+    },
     Some("""SELECT l_returnflag,
               FLOOR((quantile_cont(l_quantity, 0.25)) * 10000 + 0.5) / 10000 AS p25,
               FLOOR((quantile_cont(l_quantity, 0.5)) * 10000 + 0.5) / 10000 AS p50,
