@@ -23,12 +23,17 @@ final case class MediaPipelineOut(doc_id: Long, byte_sum: Long, brightness: Doub
 /** Multimodal column handling: treat image/audio/video as opaque `binary`
   * columns with typed metadata, decoded partition-wise.
   *
-  * The decode step is a clearly-marked STUB (this container has no image/
-  * audio libraries): it derives deterministic fake dimensions from the raw
-  * bytes. The Spark-side shape is the real one — a typed
-  * `Dataset[MediaRecord]` flowing through `mapPartitions` in executor-sized
-  * batches, which is exactly where a JNI/ffmpeg/opencv call would sit, with
-  * no driver involvement and no shuffle.
+  * The IMAGE path is real: q_image_decode encodes and decodes genuine PNG
+  * bytes with pure-JDK `javax.imageio` inside the `mapPartitions` seam
+  * (see below). The text-derived decode in q_multimodal_decode /
+  * q_multimodal_pipeline keeps its clearly-marked STUB arithmetic (it
+  * exercises the typed plumbing over arbitrary payloads), and audio/video
+  * remain stubbed — no pure-JDK codecs exist for them and this container
+  * has no media libraries. The Spark-side shape is the real one
+  * throughout — a typed `Dataset[MediaRecord]` flowing through
+  * `mapPartitions` in executor-sized batches, which is exactly where a
+  * JNI/ffmpeg/opencv call would sit, with no driver involvement and no
+  * shuffle.
   */
 object Multimodal {
 
@@ -140,5 +145,84 @@ object Multimodal {
               array_to_string(range(0, n_frames, 5), ',') AS frames
             FROM d ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(multimodalDecode, multimodalPipeline)
+  /** REAL image codec path — pure-JDK `javax.imageio` (no container
+    * libraries needed for PNG). Each document gets a deterministic
+    * grayscale test pattern (pixel (x,y) = (doc_id·31 + x·7 + y·13) mod
+    * 256) ENCODED to real PNG bytes in one partition pass, carried
+    * through the binary column, then DECODED back with ImageIO in
+    * another — the exact seam the stubs above mark. The oracle recomputes
+    * the pattern arithmetically (it cannot decode PNG and does not need
+    * to): if the encoder or decoder mangled dimensions or pixel data, the
+    * means would not hash-match, so the codec round-trip is genuinely
+    * driver-checked. Audio/video stay stubbed (no pure-JDK codecs exist
+    * for them).
+    */
+  def makePng(docId: Long): Array[Byte] = {
+    val w = (docId % 13 + 4).toInt
+    val h = (docId % 11 + 4).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real decode: parse the PNG, read true dimensions, average one
+    * channel (the pattern is grayscale, so any channel is the mean).
+    */
+  def decodePng(r: MediaRecord): MediaMeta = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+    MediaMeta(r.doc_id, r.data.length.toLong, r.data(0) & 0xff,
+      img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+  }
+
+  private val imageDecode = Q(
+    "q_image_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      val recs = Tables(spark, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaRecord(id, "image", makePng(id))))(
+          Encoders.product[MediaRecord])
+      recs.mapPartitions(_.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
+        }
+        val brightness =
+          math.floor((sum.toDouble / (w * h)) * 10000 + 0.5) / 10000
+        (r.doc_id, w, h, 3, brightness)
+      })(Encoders.product[(Long, Int, Int, Int, Double)])
+        .toDF("doc_id", "width", "height", "channels", "brightness")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dims AS (SELECT doc_id,
+                  CAST(doc_id % 13 + 4 AS INT) AS w,
+                  CAST(doc_id % 11 + 4 AS INT) AS h
+                FROM documents),
+            px AS (SELECT doc_id, w, h,
+                  (doc_id * 31 + x.i * 7 + y.i * 13) % 256 AS v
+                FROM dims,
+                     UNNEST(generate_series(0, w - 1)) AS x(i),
+                     UNNEST(generate_series(0, h - 1)) AS y(i))
+            SELECT doc_id, w AS width, h AS height, CAST(3 AS INT) AS channels,
+              FLOOR((CAST(SUM(v) AS DOUBLE) / (w * h)) * 10000 + 0.5) / 10000 AS brightness
+            FROM px GROUP BY doc_id, w, h ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(multimodalDecode, multimodalPipeline, imageDecode)
 }
