@@ -224,5 +224,70 @@ object Multimodal {
               FLOOR((CAST(SUM(v) AS DOUBLE) / (w * h)) * 10000 + 0.5) / 10000 AS brightness
             FROM px GROUP BY doc_id, w, h ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(multimodalDecode, multimodalPipeline, imageDecode)
+  /** REAL audio codec path — pure-JDK `javax.sound.sampled` (WAV/PCM
+    * needs no container libraries). Deterministic 16-bit mono samples →
+    * genuine WAV bytes → binary column → partition-wise decode reading
+    * the true frame count, sample rate, channel count and mean absolute
+    * amplitude. Oracle recomputes the sample formula arithmetically —
+    * a mangled header or sample byte order fails the hash gate. With
+    * images and audio real, only video remains stubbed (no pure-JDK
+    * codec exists).
+    */
+  def makeWav(docId: Long): Array[Byte] = {
+    val n = (docId % 400 + 100).toInt
+    val bytes = new Array[Byte](n * 2) // 16-bit mono PCM little-endian
+    var i = 0
+    while (i < n) {
+      val v = ((docId * 131 + i * 17) % 2001 - 1000).toShort
+      bytes(2 * i) = (v & 0xff).toByte
+      bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private val audioDecode = Q(
+    "q_audio_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      val recs = Tables(spark, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaRecord(id, "audio", makeWav(id))))(
+          Encoders.product[MediaRecord])
+      recs.mapPartitions(_.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.data))
+        val fmt = ais.getFormat
+        val n = ais.getFrameLength.toInt
+        val pcm = ais.readAllBytes()
+        var sumAbs = 0L
+        var i = 0
+        while (i < n) {
+          val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+          sumAbs += math.abs(v)
+          i += 1
+        }
+        val meanAbs = math.floor((sumAbs.toDouble / n) * 10000 + 0.5) / 10000
+        (r.doc_id, n.toLong, fmt.getSampleRate.toInt, fmt.getChannels, meanAbs)
+      })(Encoders.product[(Long, Long, Int, Int, Double)])
+        .toDF("doc_id", "n_frames", "sample_rate", "channels", "mean_abs")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dims AS (SELECT doc_id, CAST(doc_id % 400 + 100 AS BIGINT) AS n
+                FROM documents),
+            s AS (SELECT doc_id, n,
+                  ABS((doc_id * 131 + t.i * 17) % 2001 - 1000) AS a
+                FROM dims, UNNEST(generate_series(0, n - 1)) AS t(i))
+            SELECT doc_id, n AS n_frames, CAST(8000 AS INT) AS sample_rate,
+              CAST(1 AS INT) AS channels,
+              FLOOR((CAST(SUM(a) AS DOUBLE) / n) * 10000 + 0.5) / 10000 AS mean_abs
+            FROM s GROUP BY doc_id, n ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(multimodalDecode, multimodalPipeline, imageDecode, audioDecode)
 }
