@@ -378,27 +378,34 @@ object TextQueries {
     * perplexity-filter leg of a training-data pipeline. All joins are
     * hash equi-joins on content-derived keys (bigram, then w1) with
     * partial+final aggregates everywhere; no windows over raw tokens.
-    * The -log2 terms funnel through an average before rounding, keeping
-    * libm ulp drift inside pround(4). Documents with no bigram
-    * (< 2 words) have no likelihood and are not emitted.
+    * One explode pass: per-(doc, bigram) counts are aggregated first and
+    * persisted, so the corpus LM is a re-aggregation of the same cached
+    * relation and the scoring join carries distinct doc-bigrams instead
+    * of every occurrence (the weighted mean Σ dcnt·(-log2 p) / Σ dcnt is
+    * the occurrence average). The -log2 terms funnel through that mean
+    * before rounding, keeping libm ulp drift inside pround(4). Documents
+    * with no bigram (< 2 words) have no likelihood and are not emitted.
     */
   private val lmPerplexity = Q(
     "q_lm_perplexity",
     (spark, dir) => {
-      val bg = Tables(spark, dir, "documents")
+      val docBg = Tables(spark, dir, "documents")
         .select(col("doc_id"), explode(TextOps.wordNGramsAll(col("text"), 2)).as("bg"))
-        .select(col("doc_id"),
+        .groupBy(col("doc_id"),
           substring_index(col("bg"), " ", 1).as("w1"),
           substring_index(col("bg"), " ", -1).as("w2"))
-      val lm = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("dcnt"))
+        .persist()
+      val lm = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("dcnt")).as("cnt"))
       val tot = lm.groupBy(col("w1")).agg(sum(col("cnt")).as("tot"))
       val probs = lm.join(tot, "w1")
         .select(col("w1"), col("w2"),
           (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
-      bg.join(probs, Seq("w1", "w2"))
+      docBg.join(probs, Seq("w1", "w2"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          pround(avg(-log2(col("p"))), 4).as("avg_nll"))
+        .agg(sum(col("dcnt")).cast("bigint").as("n_bigrams"),
+          pround(sum(col("dcnt").cast("double") * -log2(col("p"))) /
+            sum(col("dcnt").cast("double")), 4).as("avg_nll"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
@@ -406,13 +413,16 @@ object TextQueries {
             bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
                    FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
                    WHERE len(ws) >= 2),
-            lm AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY w1, w2),
+            dbg AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS dcnt
+                    FROM bg GROUP BY doc_id, w1, w2),
+            lm AS (SELECT w1, w2, CAST(SUM(dcnt) AS BIGINT) AS cnt FROM dbg GROUP BY w1, w2),
             tot AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS tot FROM lm GROUP BY w1),
             p AS (SELECT w1, w2, CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS p
                   FROM lm JOIN tot USING (w1))
-            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-              FLOOR((AVG(-log2(p))) * 10000 + 0.5) / 10000 AS avg_nll
-            FROM bg JOIN p USING (w1, w2) GROUP BY doc_id ORDER BY doc_id"""))
+            SELECT doc_id, CAST(SUM(dcnt) AS BIGINT) AS n_bigrams,
+              FLOOR((SUM(CAST(dcnt AS DOUBLE) * -log2(p))
+                / SUM(CAST(dcnt AS DOUBLE))) * 10000 + 0.5) / 10000 AS avg_nll
+            FROM dbg JOIN p USING (w1, w2) GROUP BY doc_id ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
     tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm,
