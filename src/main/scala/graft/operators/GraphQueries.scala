@@ -171,5 +171,97 @@ object GraphQueries {
                CAST(CASE WHEN node = component THEN 1 ELSE 0 END AS INT) AS is_canonical
              FROM cc ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(ccDedup)
+  /** The bipartite trade graph both new graph queries run on: one
+    * undirected edge per distinct (customer, supplier) pair that ever
+    * traded (orders ⋈ lineitem). Node ids are namespaced ('c'/'s'
+    * prefix) because the key spaces overlap. One equi-join + one
+    * distinct — both hash shuffles on their keys.
+    */
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct()
+  }
+
+  private val edgesCte =
+    """pairs AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       edges AS (SELECT a AS src, b AS dst FROM pairs
+                 UNION ALL SELECT b, a FROM pairs)"""
+
+  /** Degree distribution of the trade graph: how many nodes have each
+    * degree. Integer-only (no float risk); two hash aggregates
+    * (node → degree, degree → node count), both partial+final. The
+    * histogram output is bounded by max degree, so the result stays tiny
+    * at any scale while the computation is fully distributed.
+    */
+  private val graphDegree = Q(
+    "q_graph_degree",
+    (spark, dir) => {
+      val e = tradeEdges(spark, dir)
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("deg"))
+    },
+    Some(s"""WITH $edgesCte,
+             deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                     FROM edges GROUP BY src)
+             SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+             FROM deg GROUP BY deg ORDER BY deg"""))
+
+  /** PageRank, 3 damped iterations (d = 0.85) over the symmetrized trade
+    * graph. Each iteration is one equi-join of the rank vector with the
+    * edge list plus a partial+final sum by destination — the standard
+    * distributed PageRank step, shuffling only on node id, no driver
+    * state beyond the scalar node count. Every node has degree ≥ 1
+    * (symmetrized edge list), so there is no dangling-mass term. The
+    * per-node sums funnel through pround(8); contributions are ~1/N so
+    * ulp drift is far below the rounding grain. Fixed iteration count
+    * keeps the query deterministic and lets DuckDB replay it as a CTE
+    * chain; a convergence-driven variant would loop the same step.
+    */
+  private val pageRank = Q(
+    "q_pagerank",
+    (spark, dir) => {
+      import graft.functions.Portable.pround
+      val pairs = tradeEdges(spark, dir)
+      val e = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val n = deg.count() // bounded driver scalar (node count), like the k-means model state
+      var r: DataFrame = deg.select(col("src").as("node"), lit(1.0 / n).as("r"))
+      for (_ <- 1 to 3) {
+        r = e.join(r, e("src") === r("node"))
+          .join(deg, "src")
+          .groupBy(col("dst"))
+          .agg(sum(col("r") / col("deg")).as("mass"))
+          .select(col("dst").as("node"),
+            (lit(0.15 / n) + lit(0.85) * col("mass")).as("r"))
+      }
+      r.select(col("node"), pround(col("r"), 8).as("pr"))
+        .orderBy(col("node"))
+    },
+    Some(s"""WITH $edgesCte,
+             deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                     FROM edges GROUP BY src),
+             n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+             r0 AS (SELECT node, 1.0 / n.n AS r FROM deg, n),
+             r1 AS (SELECT e.dst AS node, 0.15 / MIN(n.n) + 0.85 * SUM(r.r / d.deg) AS r
+                    FROM edges e JOIN r0 r ON e.src = r.node
+                    JOIN deg d ON e.src = d.node CROSS JOIN n GROUP BY e.dst),
+             r2 AS (SELECT e.dst AS node, 0.15 / MIN(n.n) + 0.85 * SUM(r.r / d.deg) AS r
+                    FROM edges e JOIN r1 r ON e.src = r.node
+                    JOIN deg d ON e.src = d.node CROSS JOIN n GROUP BY e.dst),
+             r3 AS (SELECT e.dst AS node, 0.15 / MIN(n.n) + 0.85 * SUM(r.r / d.deg) AS r
+                    FROM edges e JOIN r2 r ON e.src = r.node
+                    JOIN deg d ON e.src = d.node CROSS JOIN n GROUP BY e.dst)
+             SELECT node, FLOOR(r * 100000000 + 0.5) / 100000000 AS pr
+             FROM r3 ORDER BY node"""))
+
+  val all: Seq[Q] = Seq(ccDedup, graphDegree, pageRank)
 }

@@ -529,9 +529,69 @@ object Relational {
     Some("""SELECT r_name, n_name, r_regionkey * 100 + n_nationkey AS pair_id
             FROM region CROSS JOIN nation ORDER BY pair_id"""))
 
+  /** Ordered string aggregation (LISTAGG / string_agg): per-region
+    * comma-joined nation roster. `collect_list` has no deterministic
+    * order under shuffles, so the list is `array_sort`ed before joining —
+    * the portable spelling of `string_agg(... ORDER BY ...)`. Per-group
+    * state is the group's values (bounded by group cardinality, like any
+    * listagg); at 100 TB you'd cap roster groups or pre-aggregate, which
+    * the nation/region shape models.
+    */
+  private val stringAgg = Q(
+    "q_string_agg",
+    (spark, dir) => {
+      val r = Tables(spark, dir, "region").select(col("r_regionkey"), col("r_name"))
+      val n = Tables(spark, dir, "nation").select(col("n_regionkey"), col("n_name"))
+      r.join(n, col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy(col("r_name"))
+    },
+    Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+              CAST(COUNT(*) AS BIGINT) AS n_nations
+            FROM region JOIN nation ON r_regionkey = n_regionkey
+            GROUP BY r_name ORDER BY r_name"""))
+
+  /** argmin/argmax with a deterministic tiebreak: per market segment, the
+    * customer holding the max (and min) account balance. Spark's
+    * `max_by`/`min_by` are tie-nondeterministic, so both sides use the
+    * lexicographic struct-extremum idiom (compare (balance, name), then
+    * project the name) — same trick as q_mode. One partial+final
+    * aggregate, constant state per group: safe at any scale.
+    */
+  private val argMinMax = Q(
+    "q_argminmax",
+    (spark, dir) => {
+      Tables(spark, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          max(struct(col("c_acctbal"), col("c_name"))).as("mx"),
+          min(struct(col("c_acctbal"), col("c_name"))).as("mn"))
+        .select(col("c_mktsegment"),
+          col("mx.c_name").as("top_name"),
+          pround(col("mx.c_acctbal"), 4).as("top_bal"),
+          col("mn.c_name").as("bot_name"),
+          pround(col("mn.c_acctbal"), 4).as("bot_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""WITH rk AS (SELECT c_mktsegment, c_name, c_acctbal,
+              ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                ORDER BY c_acctbal DESC, c_name DESC) AS rmax,
+              ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                ORDER BY c_acctbal ASC, c_name ASC) AS rmin
+            FROM customer)
+            SELECT c_mktsegment,
+              MAX(CASE WHEN rmax = 1 THEN c_name END) AS top_name,
+              FLOOR(MAX(CASE WHEN rmax = 1 THEN c_acctbal END) * 10000 + 0.5) / 10000 AS top_bal,
+              MAX(CASE WHEN rmin = 1 THEN c_name END) AS bot_name,
+              FLOOR(MAX(CASE WHEN rmin = 1 THEN c_acctbal END) * 10000 + 0.5) / 10000 AS bot_bal
+            FROM rk GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   val all: Seq[Q] = Seq(
     filterProject, aggPricing, distinctQ, joinEqui, joinBroadcast, joinSemi,
     joinAnti, topk, setOps, rollupQ, cubeQ, groupingSets, windowRank, windowRunning,
     windowAnalytics, pivotQ, stringFuncs, dateFuncs, mathFuncs, topkPerGroup,
-    windowFrames, joinOuter, setOpsAll, unpivotQ, crossJoin)
+    windowFrames, joinOuter, setOpsAll, unpivotQ, crossJoin, stringAgg, argMinMax)
 }

@@ -127,5 +127,27 @@ object SqlQueries {
       Some(text))
   }
 
-  val all: Seq[Q] = Seq(corrScalar, existsSql, cteSql, posexplodeSql, recursiveSql)
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT: each customer's
+    * top-2 orders by price. Catalyst decorrelates the per-row LIMIT into
+    * a ranked window join (no per-customer re-execution — PLANS.md shows
+    * a single Window + filter, the same plan q_topk_per_group builds by
+    * hand), so the lateral spelling costs one shuffle at any scale. The
+    * same SQL text runs on both engines. Tiebreak (o_totalprice DESC,
+    * o_orderkey) is total, so the 2-row cut is deterministic.
+    */
+  private val lateralJoin = {
+    val text =
+      """SELECT c.c_custkey, t.o_orderkey, t.price
+         FROM customer c, LATERAL (
+           SELECT o_orderkey, FLOOR(o_totalprice * 10000 + 0.5) / 10000 AS price
+           FROM orders WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY c.c_custkey, t.o_orderkey"""
+    Q("q_lateral_join",
+      sql(Seq("customer", "orders"), text),
+      Some(text))
+  }
+
+  val all: Seq[Q] = Seq(corrScalar, existsSql, cteSql, posexplodeSql, recursiveSql,
+    lateralJoin)
 }
