@@ -562,8 +562,43 @@ object ScalarQueries {
               FLOOR((AVG(z * z * z * z) - 3.0) * 10000 + 0.5) / 10000 AS excess_kurtosis
             FROM z GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Count-min-sketch heavy hitters: the exact top-10 part keys by
+    * line-item count, each cross-checked against a CMS frequency estimate
+    * (eps = 5e-4, confidence 0.99, fixed seed). Like q_approx_distinct,
+    * the sketch value itself isn't cross-engine comparable, so the output
+    * carries the oracle-checkable exact counts plus a flag asserting the
+    * CMS guarantee (exact ≤ estimate ≤ exact + eps·N) — a broken or
+    * drifting sketch flips the flag and fails the hash gate. The sketch
+    * build is one distributed pass (counter arrays merge additively, so
+    * the result is partition-order independent); only the fixed-size
+    * sketch and the 10-row top-k ever reach the driver.
+    */
+  private val heavyHitters = Q(
+    "q_heavy_hitters",
+    (spark, dir) => {
+      import spark.implicits._
+      val eps = 0.0005
+      val li = Tables(spark, dir, "lineitem").select(col("l_partkey"))
+      val cms = li.stat.countMinSketch("l_partkey", eps, 0.99, 42)
+      val slack = math.ceil(eps * cms.totalCount()).toLong
+      val top = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_partkey")).limit(10)
+        .collect() // bounded: exactly the 10-row result head
+        .map { r =>
+          val k = r.getLong(0); val c = r.getLong(1)
+          val est = cms.estimateCount(java.lang.Long.valueOf(k))
+          (k, c, if (est >= c && est <= c + slack) 1 else 0)
+        }.toSeq
+      top.toDF("l_partkey", "cnt", "cms_bound_ok").orderBy(col("l_partkey"))
+    },
+    Some("""WITH top AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM lineitem GROUP BY l_partkey
+              ORDER BY cnt DESC, l_partkey LIMIT 10)
+            SELECT l_partkey, cnt, CAST(1 AS INT) AS cms_bound_ok
+            FROM top ORDER BY l_partkey"""))
+
   val all: Seq[Q] = Seq(regexFuncs, condFuncs, approxDistinct, statsAgg,
     percentile, percentileApprox, stringFuncs2, dateFuncs2, mapFuncs,
     structFuncs, bitFuncs, arrayFuncs2, stringFuncs3, dateFuncs3, hofFuncs,
-    boolAgg, mathFuncs2, modeAgg, skewMoments)
+    boolAgg, mathFuncs2, modeAgg, skewMoments, heavyHitters)
 }

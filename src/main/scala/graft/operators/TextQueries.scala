@@ -424,7 +424,130 @@ object TextQueries {
                 / SUM(CAST(dcnt AS DOUBLE))) * 10000 + 0.5) / 10000 AS avg_nll
             FROM dbg JOIN p USING (w1, w2) GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Character-level Shannon entropy per document — the entropy leg of a
+    * quality-filter stack (gibberish and binary-junk documents sit at the
+    * extremes of the distribution). Computed as log2(n) − Σ c·log2(c) / n
+    * over per-(doc, char) counts: the float terms are functions of
+    * integers only, so both engines sum identical values and pround(4)
+    * absorbs ordering ulp. One explode + two hash aggregates, all
+    * partial+final; alphabet size bounds the per-doc group count.
+    */
+  private val charEntropy = Q(
+    "q_char_entropy",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("bigint").as("n_chars_tot"),
+          pround(
+            log2(sum(col("c")).cast("double")) -
+              sum(col("c").cast("double") * log2(col("c").cast("double"))) /
+                sum(col("c")).cast("double"), 4).as("entropy"))
+        .orderBy(col("doc_id")),
+    Some("""WITH cc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (SELECT doc_id, UNNEST(regexp_extract_all(text, '(?s).')) AS ch
+                    FROM documents)
+              WHERE ch <> '' GROUP BY doc_id, ch)
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars_tot,
+              FLOOR((log2(CAST(SUM(c) AS DOUBLE))
+                - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                  / CAST(SUM(c) AS DOUBLE)) * 10000 + 0.5) / 10000 AS entropy
+            FROM cc GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Cross-document n-gram contamination coverage: for each document, the
+    * share of its distinct word 5-grams that occur in at least one other
+    * document (the membership side of MassiveText/RefinedWeb-style
+    * fuzzy-overlap filters, complementing q_dedup_ngram's pairwise
+    * Jaccard). Map-side-distinct shingles keyed on the gram, document
+    * frequency by one hash aggregate, then an equi-join back — every
+    * stage shuffles on content-derived keys, no pairwise blowup.
+    * Documents under 5 words have no gram and are not emitted.
+    */
+  private val ngramCoverage = Q(
+    "q_ngram_coverage",
+    (spark, dir) => {
+      val dg = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.distinctWordNGrams(col("text"), 5)).as("g"))
+      val freq = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      dg.join(freq, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count_if(col("df") >= 2).as("shared_grams"),
+          pround(count_if(col("df") >= 2).cast("double") /
+            count(lit(1)).cast("double"), 4).as("shared_share"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                          FROM documents),
+            dg AS (SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' '
+                       || ws[i + 3] || ' ' || ws[i + 4] AS g
+                   FROM toks, UNNEST(generate_series(1, len(ws) - 4)) AS u(i)
+                   WHERE len(ws) >= 5),
+            freq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM dg GROUP BY g)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+              CAST(COUNT(*) FILTER (WHERE df >= 2) AS BIGINT) AS shared_grams,
+              FLOOR((CAST(COUNT(*) FILTER (WHERE df >= 2) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.5) / 10000 AS shared_share
+            FROM dg JOIN freq USING (g) GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** PII redaction: email- and number-shaped spans replaced with typed
+    * placeholder tokens, with per-document match counts — the scrubbing
+    * pass of a training-data pipeline. The synthetic corpus carries no
+    * organic PII, so each document is deterministically enriched with an
+    * email + numeric tail derived from its own keys before redaction
+    * (the redactor sees real pattern instances; the enrichment is pure
+    * projection). Pure per-row map — embarrassingly parallel, no shuffle
+    * before the output sort; both engines replace globally (Spark
+    * default, DuckDB 'g' flag).
+    */
+  private val piiRedact = Q(
+    "q_pii_redact",
+    (spark, dir) => {
+      val emailRe = "[a-z0-9]+@[a-z0-9.]+"
+      val numRe = "[0-9]+"
+      val enriched = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com ref "), col("n_chars").cast("string"),
+            lit(" tel "), (col("doc_id") % 1000).cast("string"),
+            lit("-"), (col("doc_id") % 97).cast("string")).as("t"))
+      enriched
+        .select(col("doc_id"),
+          regexp_replace(col("t"), emailRe, "<EMAIL>").as("t1"),
+          regexp_count(col("t"), lit(emailRe)).cast("bigint").as("n_email"))
+        .select(col("doc_id"), col("n_email"),
+          regexp_count(col("t1"), lit(numRe)).cast("bigint").as("n_num"),
+          regexp_replace(col("t1"), numRe, "<NUM>").as("red"))
+        .select(col("doc_id"), col("n_email"), col("n_num"),
+          length(col("red")).cast("bigint").as("red_len"),
+          substring(md5(col("red")), 1, 16).as("red_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH enriched AS (SELECT doc_id,
+              text || ' contact u' || doc_id || '@example.com ref ' || n_chars
+                || ' tel ' || (doc_id % 1000) || '-' || (doc_id % 97) AS t
+              FROM documents),
+            s1 AS (SELECT doc_id,
+              regexp_replace(t, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g') AS t1,
+              CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+')) AS BIGINT) AS n_email
+              FROM enriched),
+            s2 AS (SELECT doc_id, n_email,
+              CAST(len(regexp_extract_all(t1, '[0-9]+')) AS BIGINT) AS n_num,
+              regexp_replace(t1, '[0-9]+', '<NUM>', 'g') AS red
+              FROM s1)
+            SELECT doc_id, n_email, n_num,
+              CAST(len(red) AS BIGINT) AS red_len,
+              substr(md5(red), 1, 16) AS red_fp
+            FROM s2 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
     tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm,
-    repetitionFilter, zipfStats, lmPerplexity)
+    repetitionFilter, zipfStats, lmPerplexity, charEntropy, ngramCoverage,
+    piiRedact)
 }
