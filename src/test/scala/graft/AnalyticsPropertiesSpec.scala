@@ -82,4 +82,40 @@ class AnalyticsPropertiesSpec extends AnyFunSuite {
       .exceptAll(viaWindow).count()
     assert(diff === 0L, s"$diff row numbers differ from the window reference")
   }
+
+  test("pagerank conserves probability mass and stays positive") {
+    val pr = Registry.byName("q_pagerank").build(spark, dir).collect()
+    val ranks = pr.map(_.getAs[Double]("pr"))
+    // symmetrized graph has no dangling nodes, so each damped iteration
+    // preserves total mass exactly: Σ pr = 1 (up to the pround(8) grain)
+    assert(math.abs(ranks.sum - 1.0) < 1e-4, s"mass = ${ranks.sum}")
+    assert(ranks.forall(_ > 0.0))
+  }
+
+  test("graph degree histogram accounts for every trade-graph node") {
+    val hist = Registry.byName("q_graph_degree").build(spark, dir).collect()
+    val nodes = hist.map(_.getAs[Long]("n_nodes")).sum
+    val prNodes = Registry.byName("q_pagerank").build(spark, dir).count()
+    assert(nodes === prNodes, s"degree histogram covers $nodes nodes, pagerank $prNodes")
+  }
+
+  test("char entropy is bounded by log2 of the per-doc alphabet") {
+    val rows = Registry.byName("q_char_entropy").build(spark, dir).collect()
+    val alphabet = Registry.byName("q_char_count").build(spark, dir).count()
+    val bound = math.log(alphabet.toDouble) / math.log(2.0) + 1e-9
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      assert(h >= 0.0 && h <= bound, s"doc ${r.get(0)}: entropy $h outside [0, $bound]")
+    }
+  }
+
+  test("ngram coverage shares are valid ratios") {
+    val rows = Registry.byName("q_ngram_coverage").build(spark, dir).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_grams"); val s = r.getAs[Long]("shared_grams")
+      assert(s >= 0 && s <= n)
+      val share = r.getAs[Double]("shared_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
 }

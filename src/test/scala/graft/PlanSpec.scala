@@ -129,4 +129,17 @@ class PlanSpec extends AnyFunSuite {
     val plan = executedPlan("q_bloom_join")
     assert(plan.contains("LeftSemi"), s"exact semi-join must remain:\n$plan")
   }
+
+  test("q_lateral_join decorrelates the per-row LIMIT into a ranked window join") {
+    val plan = executedPlan("q_lateral_join")
+    assert(plan.contains("Window"), s"expected decorrelated window plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"lateral must not fall back to a nested-loop re-execution:\n$plan")
+  }
+
+  test("q_string_agg aggregates partially despite the collect_list payload") {
+    val plan = executedPlan("q_string_agg")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"listagg should use object/sort aggregation:\n$plan")
+  }
 }
