@@ -179,7 +179,10 @@ object GraphQueries {
     */
   private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val l = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    // pre-reduce the fact side: distinct (order, supplier) before the join
+    // shrinks both the join input and the post-join distinct
+    val l = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
     o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("a"),
         concat(lit("s"), col("l_suppkey")).as("b"))
@@ -231,13 +234,18 @@ object GraphQueries {
       val pairs = tradeEdges(spark, dir)
       val e = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .persist()
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+      // Fold the degree into the edge list once and pin its partitioning
+      // on the join key: every iteration then reuses the cached layout and
+      // shuffles only the (node, rank) vector into it — the edge relation
+      // (the 100 TB side) never moves again.
+      val contrib = e.join(deg, "src")
+        .select(col("src"), col("dst"), col("deg"))
+        .repartition(col("src")).persist()
       val n = deg.count() // bounded driver scalar (node count), like the k-means model state
       var r: DataFrame = deg.select(col("src").as("node"), lit(1.0 / n).as("r"))
       for (_ <- 1 to 3) {
-        r = e.join(r, e("src") === r("node"))
-          .join(deg, "src")
+        r = contrib.join(r, contrib("src") === r("node"))
           .groupBy(col("dst"))
           .agg(sum(col("r") / col("deg")).as("mass"))
           .select(col("dst").as("node"),

@@ -85,4 +85,19 @@ object Streams {
         col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("e_ts") <= col("p_ts"))
   }
+
+  /** Stream-static enrichment join: the event stream against the customer
+    * dimension (the standard fact-stream × dim-table shape). The static
+    * side is broadcast per micro-batch — stateless, no watermark needed,
+    * and the dimension is re-resolved each batch, so slowly-changing dims
+    * pick up updates between batches. At 100 TB-of-stream the state cost
+    * stays zero; only the dim must fit broadcast (or the join falls back
+    * to a per-batch shuffle join automatically).
+    */
+  def enrichedBySegment(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("cnt"))
 }

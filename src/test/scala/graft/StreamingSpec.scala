@@ -114,4 +114,18 @@ class StreamingSpec extends AnyFunSuite {
     // bounded input: sessions whose close precedes the final watermark seal.
     assert(spark.table("sess").count() > 0)
   }
+
+  test("stream-static dimension join == identical batch enrichment") {
+    val cust = Tables(spark, dir, "customer")
+    val stream = Streams.enrichedBySegment(Streams.eventsStream(spark, dir), cust)
+    val q = stream.writeStream.format("memory").queryName("enrich")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enrich").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Streams.enrichedBySegment(Tables.events(spark, dir), cust).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got.values.sum === Tables.events(spark, dir).count())
+  }
 }
