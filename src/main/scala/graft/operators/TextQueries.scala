@@ -546,8 +546,90 @@ object TextQueries {
               substr(md5(red), 1, 16) AS red_fp
             FROM s2 ORDER BY doc_id"""))
 
+  /** Vocabulary coverage / OOV rate: per-document share of tokens outside
+    * the corpus's top-100 vocabulary — the tokenizer-coverage probe run
+    * before committing to a vocab. The vocabulary head is a TakeOrdered
+    * top-k (no global sort) with a total (count DESC, word ASC) tiebreak,
+    * and is broadcast into the token join, so the big side never
+    * shuffles for the membership test; the per-doc aggregate is
+    * partial+final.
+    */
+  private val vocabCoverage = Q(
+    "q_vocab_coverage",
+    (spark, dir) => {
+      val toks = Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.wordsNative(lower(col("text")))).as("w"))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(100)
+        .select(col("w"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count_if(col("in_vocab").isNull).as("oov"),
+          pround(count_if(col("in_vocab").isNull).cast("double") /
+            count(lit(1)).cast("double"), 4).as("oov_rate"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, UNNEST(list_filter(string_split(lower(text), ' '),
+                            w -> w <> '')) AS w
+                          FROM documents),
+            wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+            vocab AS (SELECT w, 1 AS in_vocab FROM wc ORDER BY c DESC, w LIMIT 100)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(COUNT(*) FILTER (WHERE v.in_vocab IS NULL) AS BIGINT) AS oov,
+              FLOOR((CAST(COUNT(*) FILTER (WHERE v.in_vocab IS NULL) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.5) / 10000 AS oov_rate
+            FROM toks t LEFT JOIN vocab v ON t.w = v.w
+            GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Collocation mining: top-20 bigrams by pointwise mutual information,
+    * PMI = log2(cnt·N / (cnt_left·cnt_right)) over positional marginals —
+    * all counts are integers, so both engines feed log2 the identical
+    * double and pround(4) absorbs libm ulp (the q_lm_perplexity
+    * discipline). Marginals come from re-aggregating the bigram counts
+    * (no second corpus pass); the scalar total is a broadcast single-row
+    * join (zipf idiom); min-support 5 prunes noise. Ranking is total:
+    * (rounded PMI DESC, w1, w2) then TakeOrdered.
+    */
+  private val pmiCollocations = Q(
+    "q_pmi_collocations",
+    (spark, dir) => {
+      val bg = Tables(spark, dir, "documents")
+        .select(explode(TextOps.wordNGramsAll(col("text"), 2)).as("bg"))
+        .select(substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+        .persist()
+      val left = bg.groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
+      val right = bg.groupBy(col("w2")).agg(sum(col("cnt")).as("c2"))
+      val total = bg.agg(sum(col("cnt")).as("nb"))
+      bg.filter(col("cnt") >= 5)
+        .join(left, "w1").join(right, "w2")
+        .crossJoin(broadcast(total))
+        .select(col("w1"), col("w2"), col("cnt"),
+          pround(log2(col("cnt").cast("double") * col("nb").cast("double") /
+            (col("c1").cast("double") * col("c2").cast("double"))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some("""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                          FROM documents),
+            bgr AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+                    FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
+                    WHERE len(ws) >= 2),
+            bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bgr GROUP BY w1, w2),
+            l AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+            r AS (SELECT w2, CAST(SUM(cnt) AS BIGINT) AS c2 FROM bg GROUP BY w2),
+            t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nb FROM bg)
+            SELECT w1, w2, cnt,
+              FLOOR((log2(CAST(cnt AS DOUBLE) * CAST(nb AS DOUBLE)
+                / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))) * 10000 + 0.5) / 10000 AS pmi
+            FROM bg JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+            WHERE cnt >= 5
+            ORDER BY pmi DESC, w1, w2 LIMIT 20"""))
+
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
     tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm,
     repetitionFilter, zipfStats, lmPerplexity, charEntropy, ngramCoverage,
-    piiRedact)
+    piiRedact, vocabCoverage, pmiCollocations)
 }

@@ -38,4 +38,24 @@ class SkewAndSinksSpec extends AnyFunSuite {
     assert(c.collect().map(_.toSeq).toSet === want)
     assert(j.collect().map(_.toSeq).toSet === want)
   }
+
+  test("hive-partitioned parquet layout prunes partitions at the scan") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-part").toString
+    Tables(spark, dir, "orders")
+      .withColumn("status", col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("status").parquet(tmp)
+    val df = spark.read.parquet(tmp).filter(col("status") === "F")
+      .select(col("o_orderkey"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the partition predicate must land in PartitionFilters (directory
+    // pruning — at 100 TB this is the difference between reading one
+    // partition and the whole table), not in the post-scan Filter
+    assert(plan.contains("PartitionFilters:") && plan.contains("(status"),
+      s"partition filter not pushed to the scan:\n$plan")
+    val want = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F").count()
+    assert(df.count() === want)
+  }
 }
