@@ -330,7 +330,85 @@ object EventQueries {
                 AS retained_7d
             FROM u GROUP BY cohort_day ORDER BY cohort_day"""))
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * consecutive (prev → next) event-type pairs with row-normalized
+    * probabilities — the behavioral-model estimation step of an event
+    * pipeline. The lag window partitions by user_id (high cardinality →
+    * unbounded parallelism; a user's history is the natural per-task
+    * unit, same posture as sessionization); the transition matrix itself
+    * is |types|² rows, so the normalizing window is over a tiny relation.
+    * (ts, event_id) is a total order, so ties don't reorder across
+    * engines.
+    */
+  private val markovTransitions = Q(
+    "q_markov_transitions",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val m = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+      m.withColumn("prob",
+          pround(col("cnt").cast("double") /
+            sum(col("cnt")).over(Window.partitionBy(col("prev_type"))).cast("double"), 4))
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+    Some("""WITH seq AS (SELECT user_id, event_type,
+              lag(event_type, 1) OVER (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+              FROM events),
+            m AS (SELECT prev_type, event_type AS next_type,
+                    CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM seq WHERE prev_type IS NOT NULL
+                  GROUP BY prev_type, next_type)
+            SELECT prev_type, next_type, cnt,
+              FLOOR((CAST(cnt AS DOUBLE)
+                / CAST(SUM(cnt) OVER (PARTITION BY prev_type) AS DOUBLE))
+                * 10000 + 0.5) / 10000 AS prob
+            FROM m ORDER BY prev_type, next_type"""))
+
+  /** Sequence-pattern detection (the MATCH_RECOGNIZE shape): per user,
+    * whether the time-ordered event-type sequence contains a signup later
+    * followed by a purchase with no intervening error. Each user's
+    * history collapses to a compact initial-letter string (one grouped
+    * aggregate, state bounded by per-user activity — the sessionization
+    * posture), then a single regex evaluates the pattern per row.
+    * Output aggregates to (matched → user count), so the result is tiny
+    * at any scale.
+    */
+  private val eventPattern = Q(
+    "q_event_pattern",
+    (spark, dir) => {
+      val seq = Tables.events(spark, dir)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("init")).as("s"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          concat_ws("", transform(array_sort(collect_list(col("s"))),
+            _.getField("init"))).as("seq"))
+      seq.select(col("user_id"), col("n_events"),
+          col("seq").rlike("s[^e]*p").cast("int").as("matched"))
+        .groupBy(col("matched"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_events")).cast("bigint").as("n_events_total"))
+        .orderBy(col("matched"))
+    },
+    Some("""WITH seq AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+              string_agg(substr(event_type, 1, 1), ''
+                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+              FROM events GROUP BY user_id),
+            f AS (SELECT user_id, n_events,
+                    CAST(regexp_matches(seq, 's[^e]*p') AS INT) AS matched
+                  FROM seq)
+            SELECT matched, CAST(COUNT(*) AS BIGINT) AS n_users,
+              CAST(SUM(n_events) AS BIGINT) AS n_events_total
+            FROM f GROUP BY matched ORDER BY matched"""))
+
   val all: Seq[Q] = Seq(jsonFuncs, timeWindow, sessionize, histogram,
     eventWindowJoin, windowRangeTime, decileStats, decileApprox, funnel,
-    retention)
+    retention, markovTransitions, eventPattern)
 }

@@ -472,6 +472,7 @@ object TextQueries {
       val dg = Tables(spark, dir, "documents")
         .select(col("doc_id"),
           explode(TextOps.distinctWordNGrams(col("text"), 5)).as("g"))
+        .persist() // consumed twice: document-frequency agg + membership join
       val freq = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
       dg.join(freq, "g")
         .groupBy(col("doc_id"))
