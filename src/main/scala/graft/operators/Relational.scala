@@ -589,9 +589,80 @@ object Relational {
               FLOOR(MAX(CASE WHEN rmin = 1 THEN c_acctbal END) * 10000 + 0.5) / 10000 AS bot_bal
             FROM rk GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** 2-D Pareto skyline (dominance query): orders not dominated on
+    * (earlier date, higher price) — o' dominates o iff date' ≤ date and
+    * price' ≥ price with one strict. Computed scale-safely: per-date
+    * maxima by hash aggregate (distributed), a strict-prefix running max
+    * over the *bounded date domain* (a ~2.4k-row window, the histogram
+    * idiom — never a global sort of the table), then a broadcast join
+    * back for a map-side dominance filter: o survives iff its price
+    * beats every strictly-earlier date's max and matches its own date's
+    * max. Equal (date, price) duplicates dominate neither and both
+    * survive, which the oracle replays with the same prefix-max CTE.
+    */
+  private val skyline = Q(
+    "q_skyline",
+    (spark, dir) => {
+      val o = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val perDate = o.groupBy(col("o_orderdate").as("d"))
+        .agg(max(col("o_totalprice")).as("dmax"))
+      val wPrefix = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = perDate.withColumn("prevmax",
+        coalesce(max(col("dmax")).over(wPrefix), lit(Double.MinValue)))
+      o.join(broadcast(prefix), col("o_orderdate") === col("d"))
+        .filter(col("o_totalprice") > col("prevmax") &&
+          col("o_totalprice") === col("dmax"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          pround(col("o_totalprice"), 4).as("price"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+    },
+    Some("""WITH pd AS (SELECT o_orderdate AS d, MAX(o_totalprice) AS dmax
+                        FROM orders GROUP BY o_orderdate),
+            pf AS (SELECT d, dmax,
+                     COALESCE(MAX(dmax) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       -1.7976931348623157e308) AS prevmax
+                   FROM pd)
+            SELECT o_orderkey, o_orderdate,
+              FLOOR(o_totalprice * 10000 + 0.5) / 10000 AS price
+            FROM orders JOIN pf ON o_orderdate = pf.d
+            WHERE o_totalprice > prevmax AND o_totalprice = dmax
+            ORDER BY o_orderdate, o_orderkey"""))
+
+  /** Lag-1 autocorrelation of the daily revenue series — the time-series
+    * screening statistic. Daily totals are one distributed hash
+    * aggregate; the lagged pairing is a self-join of the ~2.4k-row daily
+    * series on date+1 (broadcast both sides at any scale); corr runs over
+    * that bounded relation. Spark and DuckDB both implement sample
+    * correlation (q_stats_agg precedent), and the normalization keeps
+    * summation-order ulp inside pround(4).
+    */
+  private val autocorr = Q(
+    "q_autocorr",
+    (spark, dir) => {
+      val daily = Tables(spark, dir, "orders")
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val lagged = daily.select((col("d") - expr("INTERVAL 1 DAY")).as("d"),
+        col("rev").as("rev_next"))
+      daily.join(lagged, "d")
+        .agg(count(lit(1)).as("n_pairs"),
+          pround(corr(col("rev"), col("rev_next")), 4).as("autocorr_lag1"))
+    },
+    Some("""WITH daily AS (SELECT o_orderdate AS d, SUM(o_totalprice) AS rev
+                           FROM orders GROUP BY o_orderdate),
+            pairs AS (SELECT a.rev, b.rev AS rev_next
+                      FROM daily a JOIN daily b ON b.d = a.d + INTERVAL 1 DAY)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              FLOOR((corr(rev, rev_next)) * 10000 + 0.5) / 10000 AS autocorr_lag1
+            FROM pairs"""))
+
   val all: Seq[Q] = Seq(
     filterProject, aggPricing, distinctQ, joinEqui, joinBroadcast, joinSemi,
     joinAnti, topk, setOps, rollupQ, cubeQ, groupingSets, windowRank, windowRunning,
     windowAnalytics, pivotQ, stringFuncs, dateFuncs, mathFuncs, topkPerGroup,
-    windowFrames, joinOuter, setOpsAll, unpivotQ, crossJoin, stringAgg, argMinMax)
+    windowFrames, joinOuter, setOpsAll, unpivotQ, crossJoin, stringAgg, argMinMax,
+    skyline, autocorr)
 }
