@@ -211,7 +211,11 @@ object TextQueries {
       val wd = docs.select(col("doc_id"), explode(TextOps.wordsNative(col("text"))).as("word"))
       val tf = wd.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
       val dt = wd.groupBy(col("doc_id")).agg(count(lit(1)).as("dt"))
-      val df = wd.select(col("doc_id"), col("word")).distinct()
+      // document frequency via the map-side-distinct shingle pass (the
+      // q_inverted_index discipline): the shuffle carries each (doc, word)
+      // posting once — no corpus-wide distinct over raw occurrences
+      val df = docs
+        .select(explode(TextOps.distinctWordNGrams(col("text"), 1)).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("df"))
       val n = docs.select(countDistinct(col("doc_id")).as("n"))
       val scored = tf.join(dt, "doc_id").join(broadcast(df), "word").crossJoin(broadcast(n))
