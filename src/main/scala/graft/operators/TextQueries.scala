@@ -633,8 +633,66 @@ object TextQueries {
             WHERE cnt >= 5
             ORDER BY pmi DESC, w1, w2 LIMIT 20"""))
 
+  /** BM25 relevance scoring: top-20 documents for a fixed 3-term query
+    * (k1 = 1.2, b = 0.75) — the retrieval-side scorer that pairs with the
+    * inverted index. Every statistic funnels through exact integers
+    * (term frequencies, document frequencies, document lengths; avgdl is
+    * a ratio of exact sums), so the only float work is the final per-term
+    * formula — both engines compute identical inputs. Corpus stats are
+    * single-row / 3-row broadcasts; the per-doc score is a ≤3-term sum;
+    * ranking is TakeOrdered on (rounded score, doc_id).
+    */
+  private val bm25 = Q(
+    "q_bm25",
+    (spark, dir) => {
+      val terms = Seq("spark", "window", "hash")
+      val docs = Tables(spark, dir, "documents")
+      val words = docs.select(col("doc_id"),
+        explode(TextOps.wordsNative(col("text"))).as("w"))
+      val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+      val tf = words.filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = docs.select(explode(TextOps.distinctWordNGrams(col("text"), 1)).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val k1 = 1.2; val b = 0.75
+      tf.join(broadcast(df), "w").join(dl, "doc_id").crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (log((col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf").cast("double") * (k1 + 1)) /
+            (col("tf").cast("double") +
+              (col("dl").cast("double") / col("avgdl") * b + (1 - b)) * k1)).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(pround(sum(col("s")), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH words AS (SELECT doc_id, UNNEST(list_filter(string_split(text, ' '),
+                             w -> w <> '')) AS w
+                           FROM documents),
+            dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM words GROUP BY doc_id),
+            stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+                      FROM dl),
+            tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM words
+                   WHERE w IN ('spark', 'window', 'hash') GROUP BY doc_id, w),
+            df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM words
+                   WHERE w IN ('spark', 'window', 'hash') GROUP BY w),
+            scored AS (SELECT tf.doc_id,
+                         ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                           * (CAST(tf AS DOUBLE) * 2.2)
+                           / (CAST(tf AS DOUBLE)
+                              + (CAST(dl.dl AS DOUBLE) / avgdl * 0.75 + 0.25) * 1.2) AS s
+                       FROM tf JOIN df USING (w) JOIN dl ON tf.doc_id = dl.doc_id
+                       CROSS JOIN stats)
+            SELECT doc_id, FLOOR((SUM(s)) * 10000 + 0.5) / 10000 AS bm25
+            FROM scored GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
     tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm,
     repetitionFilter, zipfStats, lmPerplexity, charEntropy, ngramCoverage,
-    piiRedact, vocabCoverage, pmiCollocations)
+    piiRedact, vocabCoverage, pmiCollocations, bm25)
 }

@@ -165,5 +165,58 @@ object VectorQueries {
             FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
             WHERE i <= 8 GROUP BY label, i ORDER BY label, dim"""))
 
-  val all: Seq[Q] = Seq(arrayFuncs, knnBrute, knnLsh, dedupEmbed, embedCentroid)
+  /** KNN similarity *join*: every vector gets its top-3 cosine neighbors
+    * from within its LSH bucket — the all-points variant of q_knn_lsh
+    * (a probe query answers one lookup; a similarity join materializes
+    * the neighbor graph, the input to embedding dedup and clustering).
+    * The bucket equi-join bounds candidate generation to ~1/2⁴ of the
+    * cross product; ranking windows partition by vec_a (high cardinality,
+    * unbounded parallelism). At 100 TB you add more planes / band
+    * families to keep buckets task-sized — same plan shape.
+    */
+  private val knnJoin = Q(
+    "q_knn_join",
+    (spark, dir) => {
+      val signs = planeSigns(4, 64)
+      val bucket = concat(
+        signs.map(s => when(signedDot(col("embedding"), s) > 0, lit("1")).otherwise(lit("0"))): _*)
+      val e = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), bucket.as("bk"))
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("bk"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("bk"))
+      val cand = a.join(b, "bk").filter(col("vec_a") =!= col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          pround(VectorOps.cosine(col("ea"), col("eb")), 4).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_a")).orderBy(col("cos").desc, col("vec_b"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3 && col("vec_a") < 50)
+        .select(col("vec_a"), col("rn").cast("int").as("rn"), col("vec_b"), col("cos"))
+        .orderBy(col("vec_a"), col("rn"))
+    },
+    Some("""WITH planes AS (
+              SELECT p, d,
+                CASE WHEN substr(md5('p' || CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1)
+                     IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS sgn
+              FROM UNNEST(generate_series(0, 3)) AS a(p), UNNEST(generate_series(1, 64)) AS b(d)),
+            dots AS (SELECT e.vec_id, pl.p,
+                       SUM(pl.sgn * CAST(e.embedding[pl.d] AS DOUBLE)) AS dp
+                     FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p),
+            buckets AS (SELECT vec_id,
+                          string_agg(CASE WHEN dp > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bk
+                        FROM dots GROUP BY vec_id),
+            cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       FLOOR((list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                                     CAST(eb.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS cos
+                     FROM buckets a JOIN buckets b ON a.bk = b.bk AND a.vec_id <> b.vec_id
+                     JOIN embeddings ea ON ea.vec_id = a.vec_id
+                     JOIN embeddings eb ON eb.vec_id = b.vec_id),
+            ranked AS (SELECT vec_a, vec_b, cos,
+                         row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rn
+                       FROM cand)
+            SELECT vec_a, CAST(rn AS INT) AS rn, vec_b, cos
+            FROM ranked WHERE rn <= 3 AND vec_a < 50 ORDER BY vec_a, rn"""))
+
+  val all: Seq[Q] = Seq(arrayFuncs, knnBrute, knnLsh, dedupEmbed, embedCentroid,
+    knnJoin)
 }
