@@ -567,8 +567,14 @@ object ScalarQueries {
     * (eps = 5e-4, confidence 0.99, fixed seed). Like q_approx_distinct,
     * the sketch value itself isn't cross-engine comparable, so the output
     * carries the oracle-checkable exact counts plus a flag asserting the
-    * CMS guarantee (exact ≤ estimate ≤ exact + eps·N) — a broken or
-    * drifting sketch flips the flag and fails the hash gate. The sketch
+    * CMS guarantees: exact ≤ estimate (certain — CMS never undercounts)
+    * and estimate ≤ exact + 4·eps·N (the per-hash-row overshoot exceeds
+    * k·eps·N with probability ≤ 1/(2k) by Markov, so the min over the 5
+    * rows exceeds the 4× slack with probability ≲ (1/8)⁵ ≈ 3e-5 — wide
+    * enough that the flag only flips for a genuinely broken sketch, not
+    * an unlucky dataset, while still asserting 0.2%-of-N accuracy). A
+    * broken or drifting sketch flips the flag and fails the hash gate.
+    * The sketch
     * build is one distributed pass (counter arrays merge additively, so
     * the result is partition-order independent); only the fixed-size
     * sketch and the 10-row top-k ever reach the driver.
@@ -580,7 +586,7 @@ object ScalarQueries {
       val eps = 0.0005
       val li = Tables(spark, dir, "lineitem").select(col("l_partkey"))
       val cms = li.stat.countMinSketch("l_partkey", eps, 0.99, 42)
-      val slack = math.ceil(eps * cms.totalCount()).toLong
+      val slack = 4L * math.ceil(eps * cms.totalCount()).toLong
       val top = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("l_partkey")).limit(10)
         .collect() // bounded: exactly the 10-row result head

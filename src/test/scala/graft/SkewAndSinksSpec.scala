@@ -49,10 +49,11 @@ class SkewAndSinksSpec extends AnyFunSuite {
       .select(col("o_orderkey"))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    // the partition predicate must land in PartitionFilters (directory
-    // pruning — at 100 TB this is the difference between reading one
-    // partition and the whole table), not in the post-scan Filter
-    assert(plan.contains("PartitionFilters:") && plan.contains("(status"),
+    // the partition predicate must land INSIDE the PartitionFilters
+    // bracket (directory pruning — at 100 TB this is the difference
+    // between reading one partition and the whole table); an empty
+    // "PartitionFilters: []" with a post-scan Filter must fail here
+    assert("PartitionFilters: \\[[^\\]]*status".r.findFirstIn(plan).isDefined,
       s"partition filter not pushed to the scan:\n$plan")
     val want = Tables(spark, dir, "orders")
       .filter(col("o_orderstatus") === "F").count()
