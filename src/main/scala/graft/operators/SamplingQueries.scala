@@ -70,5 +70,117 @@ object SamplingQueries {
               CAST(CASE WHEN abs(z) >= 2.0 THEN 1 ELSE 0 END AS INT) AS is_outlier
             FROM z ORDER BY c_custkey"""))
 
-  val all: Seq[Q] = Seq(stratifiedSample, zscore)
+  /** Two-sample Welch's t statistic: purchase vs view event values — the
+    * A/B-test screening statistic. Per-group moments (mean, sample
+    * variance, count) come from one partial+final aggregate each; the
+    * t formula runs on the 1-row joined result. Spark and DuckDB both
+    * matched var_samp at pround(4) already (q_stats_agg), and the final
+    * scalar funnels through pround, so cross-engine drift stays inside
+    * the grain. Output includes the Welch degrees of freedom.
+    */
+  private val abTest = Q(
+    "q_ab_test",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      def grp(t: String, pfx: String) = ev.filter(col("event_type") === t)
+        .agg(count(lit(1)).as(s"${pfx}_n"),
+          avg(col("value")).as(s"${pfx}_mean"),
+          var_samp(col("value")).as(s"${pfx}_var"))
+      grp("purchase", "a").crossJoin(grp("view", "b"))
+        .select(
+          col("a_n"), col("b_n"),
+          pround(col("a_mean"), 4).as("a_mean"),
+          pround(col("b_mean"), 4).as("b_mean"),
+          pround((col("a_mean") - col("b_mean")) /
+            sqrt(col("a_var") / col("a_n") + col("b_var") / col("b_n")), 4)
+            .as("t_stat"),
+          pround(
+            pow(col("a_var") / col("a_n") + col("b_var") / col("b_n"), 2) /
+              (pow(col("a_var") / col("a_n"), 2) / (col("a_n") - 1) +
+                pow(col("b_var") / col("b_n"), 2) / (col("b_n") - 1)), 2)
+            .as("welch_df"))
+    },
+    Some("""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS a_n, AVG(value) AS a_mean,
+                         var_samp(value) AS a_var
+                       FROM events WHERE event_type = 'purchase'),
+            b AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_n, AVG(value) AS b_mean,
+                    var_samp(value) AS b_var
+                  FROM events WHERE event_type = 'view')
+            SELECT a_n, b_n,
+              FLOOR(a_mean * 10000 + 0.5) / 10000 AS a_mean,
+              FLOOR(b_mean * 10000 + 0.5) / 10000 AS b_mean,
+              FLOOR(((a_mean - b_mean) / sqrt(a_var / a_n + b_var / b_n)) * 10000 + 0.5) / 10000 AS t_stat,
+              FLOOR((pow(a_var / a_n + b_var / b_n, 2)
+                / (pow(a_var / a_n, 2) / (a_n - 1) + pow(b_var / b_n, 2) / (b_n - 1)))
+                * 100 + 0.5) / 100 AS welch_df
+            FROM a CROSS JOIN b"""))
+
+  /** Simple linear regression per group via the SQL regr_* family:
+    * extendedprice on quantity per return flag. One partial+final
+    * aggregate (the regr_* functions reduce to sums/moments); both
+    * engines implement the same textbook estimators and the outputs
+    * funnel through pround.
+    */
+  private val linReg = Q(
+    "q_linreg",
+    (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"),
+          pround(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          pround(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+          pround(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+              CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+              FLOOR((regr_slope(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS slope,
+              FLOOR((regr_intercept(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS intercept,
+              FLOOR((regr_r2(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS r2
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Gini coefficient of the order-value distribution, computed
+    * scale-safely from a value-binned histogram (the percentile-twin
+    * idiom): bin counts and bin value mass by hash aggregate, cumulative
+    * shares over the tiny histogram, then the trapezoid Lorenz sum
+    * Gini = 1 − Σ shareᵢ·(cumᵢ₋₁ + cumᵢ). Bin width 10k keeps the
+    * histogram ~60 rows at any scale; all cumulative math runs over that
+    * bounded relation, never the table.
+    */
+  private val gini = Q(
+    "q_gini",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables(spark, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 10000).cast("bigint").as("bin"))
+        .agg(count(lit(1)).as("c"), sum(col("o_totalprice")).as("mass"))
+      val w = Window.orderBy(col("bin").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum_mass", sum(col("mass")).over(w))
+        .withColumn("tot_mass", sum(col("mass")).over(Window.partitionBy()))
+        .withColumn("tot_n", sum(col("c")).over(Window.partitionBy()))
+      cum.select(
+          (col("c").cast("double") / col("tot_n")).as("share"),
+          (col("cum_mass") / col("tot_mass")).as("cum_hi"),
+          ((col("cum_mass") - col("mass")) / col("tot_mass")).as("cum_lo"))
+        .agg(pround(lit(1.0) - sum(col("share") * (col("cum_lo") + col("cum_hi"))), 4)
+          .as("gini"), count(lit(1)).as("n_bins"))
+    },
+    Some("""WITH h AS (SELECT CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS bin,
+                         CAST(COUNT(*) AS BIGINT) AS c, SUM(o_totalprice) AS mass
+                       FROM orders GROUP BY 1),
+            cum AS (SELECT bin, c, mass,
+                      SUM(mass) OVER (ORDER BY bin NULLS FIRST
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_mass,
+                      SUM(mass) OVER () AS tot_mass,
+                      CAST(SUM(c) OVER () AS BIGINT) AS tot_n
+                    FROM h)
+            SELECT FLOOR((1.0 - SUM((CAST(c AS DOUBLE) / tot_n)
+                * ((cum_mass - mass) / tot_mass + cum_mass / tot_mass)))
+                * 10000 + 0.5) / 10000 AS gini,
+              CAST(COUNT(*) AS BIGINT) AS n_bins
+            FROM cum"""))
+
+  val all: Seq[Q] = Seq(stratifiedSample, zscore, abTest, linReg, gini)
 }
