@@ -24,19 +24,22 @@ class SkewAndSinksSpec extends AnyFunSuite {
       .exceptAll(plain).count() === 0)
   }
 
-  test("sink round-trip: parquet, csv, json preserve q_agg_pricing") {
+  test("sink round-trip: parquet, csv, json, orc preserve q_agg_pricing") {
     val res = Registry.byName("q_agg_pricing").build(spark, dir)
     val tmp = Files.createTempDirectory("graft-sinks").toString
     res.write.mode("overwrite").parquet(s"$tmp/p")
     res.write.mode("overwrite").option("header", "true").csv(s"$tmp/c")
     res.write.mode("overwrite").json(s"$tmp/j")
+    res.write.mode("overwrite").orc(s"$tmp/o")
     val p = spark.read.parquet(s"$tmp/p")
     val c = spark.read.schema(res.schema).option("header", "true").csv(s"$tmp/c")
     val j = spark.read.schema(res.schema).json(s"$tmp/j")
+    val o = spark.read.orc(s"$tmp/o")
     val want = res.collect().map(_.toSeq).toSet
     assert(p.collect().map(_.toSeq).toSet === want)
     assert(c.collect().map(_.toSeq).toSet === want)
     assert(j.collect().map(_.toSeq).toSet === want)
+    assert(o.collect().map(_.toSeq).toSet === want)
   }
 
   test("hive-partitioned parquet layout prunes partitions at the scan") {
