@@ -182,5 +182,59 @@ object SamplingQueries {
               CAST(COUNT(*) AS BIGINT) AS n_bins
             FROM cum"""))
 
-  val all: Seq[Q] = Seq(stratifiedSample, zscore, abTest, linReg, gini)
+  /** RFM customer segmentation (recency / frequency / monetary): per
+    * customer, days since last order relative to the corpus horizon,
+    * order count, and total spend, bucketed by fixed thresholds into a
+    * 3-letter segment code, then aggregated to segment profiles. One
+    * partial+final aggregate per customer plus a broadcast scalar
+    * (corpus max date); the segment CASE is a map-side projection — the
+    * standard feature-engineering shape at any scale. Fixed thresholds
+    * (not quantiles) keep the bucketing deterministic and replayable.
+    */
+  private val rfm = Q(
+    "q_rfm",
+    (spark, dir) => {
+      val o = Tables(spark, dir, "orders")
+      val horizon = o.agg(max(col("o_orderdate")).as("mx"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_o"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice")).as("spend"))
+        .crossJoin(broadcast(horizon))
+        .select(col("o_custkey"),
+          datediff(col("mx"), col("last_o")).cast("bigint").as("recency_days"),
+          col("freq"), col("spend"))
+      per.select(
+          concat(
+            when(col("recency_days") <= 365, "R").otherwise("r"),
+            when(col("freq") >= 10, "F").otherwise("f"),
+            when(col("spend") >= 1000000.0, "M").otherwise("m")).as("segment"),
+          col("recency_days"), col("freq"), col("spend"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          pround(avg(col("recency_days")), 2).as("avg_recency"),
+          pround(avg(col("freq").cast("double")), 2).as("avg_freq"),
+          pround(sum(col("spend")), 2).as("total_spend"))
+        .orderBy(col("segment"))
+    },
+    Some("""WITH mx AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+            per AS (SELECT o_custkey,
+                      CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                                     CAST(MIN(mx.mx) AS DATE)) AS BIGINT) AS recency_days,
+                      CAST(COUNT(*) AS BIGINT) AS freq,
+                      SUM(o_totalprice) AS spend
+                    FROM orders CROSS JOIN mx GROUP BY o_custkey),
+            seg AS (SELECT
+                      (CASE WHEN recency_days <= 365 THEN 'R' ELSE 'r' END)
+                        || (CASE WHEN freq >= 10 THEN 'F' ELSE 'f' END)
+                        || (CASE WHEN spend >= 1000000.0 THEN 'M' ELSE 'm' END) AS segment,
+                      recency_days, freq, spend
+                    FROM per)
+            SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+              FLOOR((AVG(recency_days)) * 100 + 0.5) / 100 AS avg_recency,
+              FLOOR((AVG(CAST(freq AS DOUBLE))) * 100 + 0.5) / 100 AS avg_freq,
+              FLOOR((SUM(spend)) * 100 + 0.5) / 100 AS total_spend
+            FROM seg GROUP BY segment ORDER BY segment"""))
+
+  val all: Seq[Q] = Seq(stratifiedSample, zscore, abTest, linReg, gini, rfm)
 }
