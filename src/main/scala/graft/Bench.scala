@@ -7,8 +7,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is executed once untimed (JIT + janino codegen + parquet
   * footer caches warm up — measured ~4s of one-time cost on the first
-  * execution of a cold JVM) and then timed, so the reported numbers are
-  * steady-state engine throughput rather than JVM warm-up.
+  * execution of a cold JVM) and then timed three times with the median
+  * reported, so the numbers are steady-state engine throughput rather
+  * than JVM warm-up or scheduling noise (round 4's single-timed-run
+  * protocol produced 1.0↔3.5 s phantom swings on sub-second queries).
+  * After every execution the query's registered intermediate caches are
+  * released (Caches.releaseAll — the reference's closeJobHandle
+  * discipline), so no query's leftovers tax a later query's timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,13 +42,24 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm-up
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        Caches.releaseAll() // outside the timed span: harness cost, not query cost
+        t
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm-up
+      Caches.releaseAll()
+      val med = try {
+        val ts = Seq(once(), once(), once()).sorted
+        ts(1)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        Caches.releaseAll()
+        -1.0
+      }
+      name -> med
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -28,15 +28,20 @@ object Ranks {
   def withGlobalRowNumber(df: DataFrame, order: Seq[Column], rnCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
-    val sorted = df.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*)
-      .persist()
+    // cached: consumed by the counting pass here and the enumeration pass
+    // in the caller's action; released by the harness's post-query
+    // Caches.releaseAll()
+    val sorted = graft.Caches.persisted(
+      df.repartitionByRange(parts, order: _*)
+        .sortWithinPartitions(order: _*))
     val counts = sorted.rdd
       .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = rows before partition i
     val total = offsets.last
     val bc = spark.sparkContext.broadcast(offsets)
+    // offsets are per-query state; destroy with the query's other caches
+    graft.Caches.defer(() => bc.destroy())
     val schema = sorted.schema.add(rnCol, LongType, nullable = false)
     val rdd = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
       var rn = bc.value(i)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{Caches, Q, Tables}
 import graft.functions.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -102,7 +102,7 @@ object GraphQueries {
               stepped("old"))
         } else stepped
       val jumped =
-        if (jumping) composed.localCheckpoint(false) else composed.persist()
+        if (jumping) Caches.checkpointed(composed) else composed.persist()
       changed = jumped.filter(col("lbl") < col("old")).count()
       if (toRelease != null) toRelease.unpersist()
       toRelease = if (jumping) null else jumped
@@ -115,12 +115,13 @@ object GraphQueries {
     if (changed > 0) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxRounds rounds " +
         s"($changed labels still improving) — raise maxRounds for this graph")
-    // The final round's cache/checkpoint blocks stay registered: the
-    // returned DataFrame reads them directly (no recompute), and Spark's
-    // ContextCleaner reclaims them once the DataFrame is
-    // garbage-collected, so retention is bounded by the caller's
-    // reference lifetime (an eager unpersist here measured ~2x slower
-    // on q_cc_dedup in round 2).
+    // The final round's cache/checkpoint blocks stay live until the
+    // harness's post-consumption Caches.releaseAll(): the returned
+    // DataFrame reads them directly (an eager unpersist here measured
+    // ~2x slower on q_cc_dedup in round 2). Jumping rounds registered
+    // their checkpoints above; a non-jumping final round registers its
+    // cache here.
+    if (toRelease != null) Caches.register(toRelease)
     labels.select(col("node"), col("lbl").as("component"))
   }
 
@@ -204,7 +205,9 @@ object GraphQueries {
   private val graphDegree = Q(
     "q_graph_degree",
     (spark, dir) => {
-      val e = tradeEdges(spark, dir)
+      // cached: the self-union below scans the join+distinct twice
+      // otherwise; released by the harness after the query's action
+      val e = Caches.persisted(tradeEdges(spark, dir))
       e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
@@ -231,17 +234,19 @@ object GraphQueries {
     "q_pagerank",
     (spark, dir) => {
       import graft.functions.Portable.pround
-      val pairs = tradeEdges(spark, dir)
+      // cached: consumed by both unionAll branches; released post-query
+      val pairs = Caches.persisted(tradeEdges(spark, dir))
       val e = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+      val deg = Caches.persisted(
+        e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
       // Fold the degree into the edge list once and pin its partitioning
       // on the join key: every iteration then reuses the cached layout and
       // shuffles only the (node, rank) vector into it — the edge relation
       // (the 100 TB side) never moves again.
-      val contrib = e.join(deg, "src")
+      val contrib = Caches.persisted(e.join(deg, "src")
         .select(col("src"), col("dst"), col("deg"))
-        .repartition(col("src")).persist()
+        .repartition(col("src")))
       val n = deg.count() // bounded driver scalar (node count), like the k-means model state
       var r: DataFrame = deg.select(col("src").as("node"), lit(1.0 / n).as("r"))
       for (_ <- 1 to 3) {

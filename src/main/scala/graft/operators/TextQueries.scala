@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{Caches, Q, Tables}
 import graft.functions.Portable.pround
 import graft.functions.TextOps
 import org.apache.spark.sql.functions._
@@ -393,13 +393,14 @@ object TextQueries {
   private val lmPerplexity = Q(
     "q_lm_perplexity",
     (spark, dir) => {
-      val docBg = Tables(spark, dir, "documents")
+      // cached: feeds both the LM re-aggregation and the scoring join;
+      // released by the harness's post-query Caches.releaseAll()
+      val docBg = Caches.persisted(Tables(spark, dir, "documents")
         .select(col("doc_id"), explode(TextOps.wordNGramsAll(col("text"), 2)).as("bg"))
         .groupBy(col("doc_id"),
           substring_index(col("bg"), " ", 1).as("w1"),
           substring_index(col("bg"), " ", -1).as("w2"))
-        .agg(count(lit(1)).as("dcnt"))
-        .persist()
+        .agg(count(lit(1)).as("dcnt")))
       val lm = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("dcnt")).as("cnt"))
       val tot = lm.groupBy(col("w1")).agg(sum(col("cnt")).as("tot"))
       val probs = lm.join(tot, "w1")
@@ -473,10 +474,11 @@ object TextQueries {
   private val ngramCoverage = Q(
     "q_ngram_coverage",
     (spark, dir) => {
-      val dg = Tables(spark, dir, "documents")
+      // consumed twice (document-frequency agg + membership join);
+      // released by the harness's post-query Caches.releaseAll()
+      val dg = Caches.persisted(Tables(spark, dir, "documents")
         .select(col("doc_id"),
-          explode(TextOps.distinctWordNGrams(col("text"), 5)).as("g"))
-        .persist() // consumed twice: document-frequency agg + membership join
+          explode(TextOps.distinctWordNGrams(col("text"), 5)).as("g")))
       val freq = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
       dg.join(freq, "g")
         .groupBy(col("doc_id"))
@@ -599,12 +601,13 @@ object TextQueries {
   private val pmiCollocations = Q(
     "q_pmi_collocations",
     (spark, dir) => {
-      val bg = Tables(spark, dir, "documents")
+      // cached: feeds both marginal aggs, the total, and the scored join;
+      // released by the harness's post-query Caches.releaseAll()
+      val bg = Caches.persisted(Tables(spark, dir, "documents")
         .select(explode(TextOps.wordNGramsAll(col("text"), 2)).as("bg"))
         .select(substring_index(col("bg"), " ", 1).as("w1"),
           substring_index(col("bg"), " ", -1).as("w2"))
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
-        .persist()
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt")))
       val left = bg.groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
       val right = bg.groupBy(col("w2")).agg(sum(col("cnt")).as("c2"))
       val total = bg.agg(sum(col("cnt")).as("nb"))

@@ -40,6 +40,12 @@ class QueriesSpec extends AnyFunSuite {
       if (q.name != "q_join_anti") assert(n > 0, s"${q.name} returned no rows")
       // column names must be distinct (driver sorts by name before hashing)
       assert(df.columns.distinct.length === df.columns.length)
+      // closeJobHandle discipline: after consumption + release, the query
+      // left no persistent RDDs behind (session cache hygiene gate)
+      Caches.releaseAll()
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"${q.name} leaked persistent RDDs: " +
+          spark.sparkContext.getPersistentRDDs.keys.mkString(","))
     }
   }
 
