@@ -372,26 +372,37 @@ object EventQueries {
 
   /** Sequence-pattern detection (the MATCH_RECOGNIZE shape): per user,
     * whether the time-ordered event-type sequence contains a signup later
-    * followed by a purchase with no intervening error. Each user's
-    * history collapses to a compact initial-letter string (one grouped
-    * aggregate, state bounded by per-user activity — the sessionization
-    * posture), then a single regex evaluates the pattern per row.
-    * Output aggregates to (matched → user count), so the result is tiny
-    * at any scale.
+    * followed by a purchase with no intervening error — the regex
+    * `s[^e]*p` over the initial-letter sequence. That pattern holds iff
+    * some 'p' event's most recent preceding {s,e}-event is an 's'
+    * (choose the last 's' before the matching 'p': nothing in between
+    * may be an 'e'; conversely a non-'e' gap means the latest marker is
+    * an 's'), so it reduces to a running struct-max over marker events —
+    * one lag-style window partitioned by user, O(1) running state, never
+    * a whole-history buffer (a bot user with 10⁸ events streams through
+    * like anyone else; the round-4 collect_list→string→regex shape
+    * materialized that history in one aggregation buffer). Output
+    * aggregates to (matched → user count), tiny at any scale.
     */
   private val eventPattern = Q(
     "q_event_pattern",
     (spark, dir) => {
-      val seq = Tables.events(spark, dir)
-        .select(col("user_id"),
-          struct(col("ts"), col("event_id"),
-            substring(col("event_type"), 1, 1).as("init")).as("s"))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          concat_ws("", transform(array_sort(collect_list(col("s"))),
-            _.getField("init"))).as("seq"))
-      seq.select(col("user_id"), col("n_events"),
-          col("seq").rlike("s[^e]*p").cast("int").as("matched"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val hits = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("init"))
+        // latest strictly-preceding marker event ('s' or 'e'), carried as
+        // a struct so max() orders by (ts, event_id) — a total order
+        .withColumn("marker",
+          max(when(col("init").isin("s", "e"),
+            struct(col("ts"), col("event_id"), col("init")))).over(w))
+        .withColumn("hit",
+          when(col("init") === "p" && col("marker").getField("init") === "s", 1)
+            .otherwise(0))
+      hits.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("hit")).as("matched"))
         .groupBy(col("matched"))
         .agg(count(lit(1)).as("n_users"),
           sum(col("n_events")).cast("bigint").as("n_events_total"))

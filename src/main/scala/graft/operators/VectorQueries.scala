@@ -34,6 +34,21 @@ object VectorQueries {
   private def signedDot(emb: Column, signs: Seq[Double]): Column =
     VectorOps.signedDot(emb, signs.toArray)
 
+  /** Scale-adaptive LSH depth: the smallest plane count k ≥ 4 such that
+    * the expected bucket population n / 2^k stays ≤ `target` rows — so
+    * the within-bucket self-join stays task-sized as the corpus grows
+    * (n candidates per row, not n²/2^k total pairs with k pinned at
+    * compile time). Pure integer arithmetic (smallest k with
+    * target·2^k ≥ n) so the DuckDB oracle reproduces the choice exactly
+    * — no float log2 knife edges. Capped at 20 planes (1M buckets);
+    * beyond that, band families are the next knob.
+    */
+  private[graft] def planesFor(n: Long, target: Long = 32L): Int = {
+    var k = 4
+    while ((target << k) < n && k < 20) k += 1
+    k
+  }
+
   /** Array scalar functions: size, element access, element sum. */
   private val arrayFuncs = Q(
     "q_array_funcs",
@@ -169,15 +184,22 @@ object VectorQueries {
     * from within its LSH bucket — the all-points variant of q_knn_lsh
     * (a probe query answers one lookup; a similarity join materializes
     * the neighbor graph, the input to embedding dedup and clustering).
-    * The bucket equi-join bounds candidate generation to ~1/2⁴ of the
-    * cross product; ranking windows partition by vec_a (high cardinality,
-    * unbounded parallelism). At 100 TB you add more planes / band
-    * families to keep buckets task-sized — same plan shape.
+    * The plane count is data-driven ([[planesFor]]: one cheap count, then
+    * the smallest k ≥ 4 keeping expected bucket population ≤ 32), so the
+    * bucket equi-join's candidate generation stays linear-per-row as the
+    * corpus grows — at sf0.01 (500 vectors) 4 planes, at sf0.1 (2000)
+    * 6 planes, at 100 TB the same formula keeps buckets task-sized.
+    * Ranking windows partition by vec_a (high cardinality, unbounded
+    * parallelism); the DuckDB oracle derives the identical plane count
+    * from its own COUNT(*), so both engines bucket identically.
     */
   private val knnJoin = Q(
     "q_knn_join",
     (spark, dir) => {
-      val signs = planeSigns(4, 64)
+      // bounded driver scalar (like the k-means model state): row count
+      // drives the LSH depth; the scan is metadata-cheap on parquet
+      val n = Tables(spark, dir, "embeddings").count()
+      val signs = planeSigns(planesFor(n), 64)
       val bucket = concat(
         signs.map(s => when(signedDot(col("embedding"), s) > 0, lit("1")).otherwise(lit("0"))): _*)
       val e = Tables(spark, dir, "embeddings")
@@ -194,11 +216,16 @@ object VectorQueries {
         .select(col("vec_a"), col("rn").cast("int").as("rn"), col("vec_b"), col("cos"))
         .orderBy(col("vec_a"), col("rn"))
     },
-    Some("""WITH planes AS (
+    Some("""WITH np AS (
+              SELECT MIN(k) AS np
+              FROM UNNEST(generate_series(4, 20)) AS t(k),
+                   (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings) c
+              WHERE (CAST(32 AS BIGINT) << k) >= c.n OR k = 20),
+            planes AS (
               SELECT p, d,
                 CASE WHEN substr(md5('p' || CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1)
                      IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS sgn
-              FROM UNNEST(generate_series(0, 3)) AS a(p), UNNEST(generate_series(1, 64)) AS b(d)),
+              FROM np, UNNEST(generate_series(0, np.np - 1)) AS a(p), UNNEST(generate_series(1, 64)) AS b(d)),
             dots AS (SELECT e.vec_id, pl.p,
                        SUM(pl.sgn * CAST(e.embedding[pl.d] AS DOUBLE)) AS dp
                      FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p),

@@ -142,4 +142,11 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
       s"listagg should use object/sort aggregation:\n$plan")
   }
+
+  test("q_event_pattern matches via a running window, not a whole-history buffer") {
+    val plan = executedPlan("q_event_pattern")
+    assert(!plan.contains("collect_list"),
+      s"pattern match must not buffer a user's whole history:\n$plan")
+    assert(plan.contains("Window"), s"expected a running marker window:\n$plan")
+  }
 }

@@ -55,6 +55,23 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(math.abs(r.head.getDouble(1) - 1.0) < 1e-12) // self-similarity
   }
 
+  test("LSH depth grows with corpus size: expected bucket load stays bounded") {
+    import graft.operators.VectorQueries.planesFor
+    // the formula's contract: smallest k >= 4 with expected load n/2^k <= 32
+    for (n <- Seq(1L, 100L, 500L, 512L, 513L, 5000L, 50000L, 500000L, 5000000L)) {
+      val k = planesFor(n)
+      assert(k >= 4 && k <= 20)
+      if (k < 20) assert(n <= (32L << k), s"n=$n k=$k load ${n / (1L << k)}")
+      if (k > 4) assert(n > (32L << (k - 1)), s"n=$n k=$k not minimal")
+      // 10x the corpus: depth adapts so the expected load stays <= 32
+      val k10 = planesFor(10 * n)
+      if (k10 < 20) assert(10 * n <= (32L << k10), s"10x n=$n k=$k10")
+    }
+    // the two driver scale factors land on different depths (the round-4
+    // defect was exactly that these were equal by construction)
+    assert(planesFor(500) === 4 && planesFor(5000) === 8)
+  }
+
   test("cosine_sim survives whole-stage codegen (plan contains it)") {
     val e = Tables(spark, dir, "embeddings")
     val probe = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("p")))
