@@ -578,6 +578,12 @@ object ScalarQueries {
     * build is one distributed pass (counter arrays merge additively, so
     * the result is partition-order independent); only the fixed-size
     * sketch and the 10-row top-k ever reach the driver.
+    *
+    * EAGER BUILDER: unlike every other query, constructing this
+    * DataFrame runs two lineitem scans immediately (`countMinSketch` and
+    * the top-10 collect are driver-side sketch probes, not plan nodes).
+    * Keep it out of plan-inspection paths — ExplainAll skips it for this
+    * reason — and treat build-time as query-time in any harness.
     */
   private val heavyHitters = Q(
     "q_heavy_hitters",

@@ -436,12 +436,17 @@ object TextQueries {
     * integers only, so both engines sum identical values and pround(4)
     * absorbs ordering ulp. One explode + two hash aggregates, all
     * partial+final; alphabet size bounds the per-doc group count.
+    * Tokenization is by codepoint on BOTH sides (Java regex `.` matches
+    * a code point, like DuckDB's RE2) — `split(text, "")` would yield
+    * UTF-16 code units and silently diverge on the first non-BMP
+    * character in a fixture.
     */
   private val charEntropy = Q(
     "q_char_entropy",
     (spark, dir) =>
       Tables(spark, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("(?s)."), lit(0))).as("ch"))
         .filter(col("ch") =!= "")
         .groupBy(col("doc_id"), col("ch"))
         .agg(count(lit(1)).as("c"))

@@ -87,8 +87,12 @@ class AnalyticsPropertiesSpec extends AnyFunSuite {
     val pr = Registry.byName("q_pagerank").build(spark, dir).collect()
     val ranks = pr.map(_.getAs[Double]("pr"))
     // symmetrized graph has no dangling nodes, so each damped iteration
-    // preserves total mass exactly: Σ pr = 1 (up to the pround(8) grain)
-    assert(math.abs(ranks.sum - 1.0) < 1e-4, s"mass = ${ranks.sum}")
+    // preserves total mass exactly: Σ pr = 1 up to the pround(8) grain —
+    // each node contributes at most 5e-9 of rounding drift, so the
+    // tolerance scales with the node count (a fixed 1e-4 would go flaky
+    // past ~20k nodes)
+    assert(math.abs(ranks.sum - 1.0) < ranks.length * 5e-9 + 1e-6,
+      s"mass = ${ranks.sum} over ${ranks.length} nodes")
     assert(ranks.forall(_ > 0.0))
   }
 
