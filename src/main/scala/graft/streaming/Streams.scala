@@ -100,4 +100,24 @@ object Streams {
         col("user_id") === col("c_custkey"), "left")
       .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** foreachBatch parquet snapshot sink for an aggregation stream in
+    * complete mode: every micro-batch atomically overwrites the output
+    * with the aggregate-so-far, so the parquet directory is always a
+    * consistent, batch-equivalent snapshot (and a replayed batch after a
+    * restart just rewrites the same snapshot — idempotent, the
+    * exactly-once story for an overwrite sink). This is the escape hatch
+    * for sinks the built-in writers can't express (upserts, multi-table
+    * fan-out, JDBC); the parquet overwrite here is its simplest honest
+    * instance, checked against the batch twin in StreamingSpec.
+    */
+  def snapshotToParquet(agg: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(path)
+      }
+      .start()
 }

@@ -86,6 +86,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows > 0 && rows <= sealedBatch)
   }
 
+  test("foreachBatch parquet snapshot == batch twin exactly") {
+    val out = java.nio.file.Files.createTempDirectory("graft-fb").toString
+    val stream = Streams.tumblingCounts(Streams.eventsStream(spark, dir))
+    val q = Streams.snapshotToParquet(stream, s"$out/data", s"$out/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    // complete-mode snapshot: the sink holds the FULL aggregate, so the
+    // parquet contents must equal the identical batch aggregation exactly
+    // (the append-mode test above can only bound sealed windows)
+    val got = spark.read.parquet(s"$out/data").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour_start"),
+        r.getAs[String]("event_type")) -> r.getAs[Long]("cnt")).toMap
+    val want = Streams.tumblingCounts(Tables.events(spark, dir)).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour_start"),
+        r.getAs[String]("event_type")) -> r.getAs[Long]("cnt")).toMap
+    assert(got === want)
+    assert(got.values.sum === Tables.events(spark, dir).count())
+  }
+
   test("stateful sessionizer (batch mode) == declarative q_sessionize") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
