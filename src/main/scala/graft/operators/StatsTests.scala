@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.{Caches, Q, Tables}
+import graft.functions.Portable.pround
+import graft.functions.Prefix
+import org.apache.spark.sql.functions._
+
+/** Distribution-comparison tests — the nonparametric/statistical leg of a
+  * data-quality stack (did a pipeline change shift the value
+  * distribution? are two categorical dims independent?). The reference
+  * engine has no statistics surface (SURVEY.md §2.2); these extend the
+  * round-4 battery (Welch's t, OLS, Gini) with the rank-based tests,
+  * whose scale problem — global ranking — is solved by the distributed
+  * prefix-sum primitive ([[graft.functions.Prefix]]) instead of an
+  * unpartitioned running window.
+  *
+  * Determinism posture: every statistic funnels through exact integer
+  * counts (per-value group counts, prefix sums, tie cubes); the float
+  * formulas at the end compute from identical integers in identical
+  * operation order on both engines, then pass through pround.
+  */
+object StatsTests {
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) comparing `value` between
+    * purchase and click events. Per-value counts by one hash aggregate;
+    * average ranks from the distributed prefix sum over distinct values
+    * (avg rank of value v = C(<v) + (n_v+1)/2); U and the tie-corrected
+    * normal approximation z from exact integer sums only — 2·R₁ =
+    * Σ n1·(2·C(<v) + n_v + 1) stays integral, so both engines agree
+    * bit-for-bit before the final division. Distinct-value cardinality
+    * bounds every relation after the first aggregate.
+    */
+  private val mannWhitney = Q(
+    "q_mann_whitney",
+    (spark, dir) => {
+      val base = Tables.events(spark, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("value").as("v"), (col("event_type") === "purchase").as("a"))
+      val perv = base.groupBy(col("v"))
+        .agg(count_if(col("a")).as("n1"), count_if(!col("a")).as("n2"),
+          count(lit(1)).as("n"))
+      val c = Prefix.withRunningTotals(perv, Seq(col("v")), Seq("n"))
+      val s = c.agg(
+        sum(col("n1")).cast("bigint").as("n1t"),
+        sum(col("n2")).cast("bigint").as("n2t"),
+        sum(col("n")).cast("bigint").as("nt"),
+        // 2·(sum of group-1 average ranks): exact integer
+        sum(col("n1") * (lit(2) * (col("n_cum") - col("n")) + col("n") + 1))
+          .cast("bigint").as("r1x2"),
+        sum(col("n") * col("n") * col("n") - col("n")).cast("bigint").as("ties"))
+      s.select(
+          col("n1t").as("n1"), col("n2t").as("n2"),
+          ((col("r1x2").cast("double") - (col("n1t") * (col("n1t") + 1)).cast("double")) / 2.0).as("u1"),
+          col("n1t"), col("n2t"), col("nt"), col("ties"))
+        .select(col("n1"), col("n2"), col("u1"),
+          ((col("n1t") * col("n2t")).cast("double") - col("u1")).as("u2"),
+          pround(
+            (col("u1") - (col("n1t") * col("n2t")).cast("double") / 2.0) /
+              sqrt((col("n1t") * col("n2t")).cast("double") / 12.0 *
+                ((col("nt") + 1).cast("double") -
+                  col("ties").cast("double") /
+                    (col("nt").cast("double") * (col("nt") - 1).cast("double")))), 4)
+            .as("z"))
+    },
+    Some("""WITH base AS (SELECT value AS v, event_type = 'purchase' AS a
+                          FROM events WHERE event_type IN ('purchase', 'click')),
+            perv AS (SELECT v, CAST(COUNT(*) FILTER (WHERE a) AS BIGINT) AS n1,
+                       CAST(COUNT(*) FILTER (WHERE NOT a) AS BIGINT) AS n2,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                     FROM base GROUP BY v),
+            c AS (SELECT v, n1, n2, n,
+                    CAST(SUM(n) OVER (ORDER BY v) AS BIGINT) AS n_cum
+                  FROM perv),
+            s AS (SELECT CAST(SUM(n1) AS BIGINT) AS n1t, CAST(SUM(n2) AS BIGINT) AS n2t,
+                    CAST(SUM(n) AS BIGINT) AS nt,
+                    CAST(SUM(n1 * (2 * (n_cum - n) + n + 1)) AS BIGINT) AS r1x2,
+                    CAST(SUM(n * n * n - n) AS BIGINT) AS ties
+                  FROM c),
+            u AS (SELECT n1t, n2t, nt, ties,
+                    (CAST(r1x2 AS DOUBLE) - CAST(n1t * (n1t + 1) AS DOUBLE)) / 2.0 AS u1
+                  FROM s)
+            SELECT n1t AS n1, n2t AS n2, u1,
+              CAST(n1t * n2t AS DOUBLE) - u1 AS u2,
+              FLOOR(((u1 - CAST(n1t * n2t AS DOUBLE) / 2.0)
+                / sqrt(CAST(n1t * n2t AS DOUBLE) / 12.0
+                  * (CAST(nt + 1 AS DOUBLE)
+                     - CAST(ties AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST(nt - 1 AS DOUBLE)))))
+                * 10000 + 0.5) / 10000 AS z
+            FROM u"""))
+
+  /** Two-sample Kolmogorov-Smirnov D statistic over the same two groups:
+    * D = max over distinct values of |F₁(v) − F₂(v)|, with both empirical
+    * CDFs coming from one two-weight distributed prefix sum. The max
+    * ranges over floats computed from identical integers, so both
+    * engines pick the same supremum.
+    */
+  private val ksTest = Q(
+    "q_ks_test",
+    (spark, dir) => {
+      val base = Tables.events(spark, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("value").as("v"), (col("event_type") === "purchase").as("a"))
+      val perv = base.groupBy(col("v"))
+        .agg(count_if(col("a")).as("n1"), count_if(!col("a")).as("n2"))
+      val c = Prefix.withRunningTotals(perv, Seq(col("v")), Seq("n1", "n2"))
+      val t = broadcast(perv.agg(
+        sum(col("n1")).cast("bigint").as("n1t"),
+        sum(col("n2")).cast("bigint").as("n2t")))
+      c.crossJoin(t)
+        .groupBy(col("n1t"), col("n2t"))
+        .agg(pround(max(abs(
+          col("n1_cum").cast("double") / col("n1t").cast("double") -
+            col("n2_cum").cast("double") / col("n2t").cast("double"))), 4).as("ks_d"))
+        .select(col("n1t").as("n1"), col("n2t").as("n2"), col("ks_d"))
+    },
+    Some("""WITH base AS (SELECT value AS v, event_type = 'purchase' AS a
+                          FROM events WHERE event_type IN ('purchase', 'click')),
+            perv AS (SELECT v, CAST(COUNT(*) FILTER (WHERE a) AS BIGINT) AS n1,
+                       CAST(COUNT(*) FILTER (WHERE NOT a) AS BIGINT) AS n2
+                     FROM base GROUP BY v),
+            c AS (SELECT v, CAST(SUM(n1) OVER (ORDER BY v) AS BIGINT) AS n1_cum,
+                    CAST(SUM(n2) OVER (ORDER BY v) AS BIGINT) AS n2_cum
+                  FROM perv),
+            t AS (SELECT CAST(SUM(n1) AS BIGINT) AS n1t, CAST(SUM(n2) AS BIGINT) AS n2t
+                  FROM perv)
+            SELECT n1t AS n1, n2t AS n2,
+              FLOOR(MAX(ABS(CAST(n1_cum AS DOUBLE) / CAST(n1t AS DOUBLE)
+                - CAST(n2_cum AS DOUBLE) / CAST(n2t AS DOUBLE))) * 10000 + 0.5) / 10000 AS ks_d
+            FROM c CROSS JOIN t GROUP BY n1t, n2t"""))
+
+  /** Chi-square test of independence for the orders contingency table
+    * (order status × priority). Observed counts by one hash aggregate;
+    * the full grid — including zero-observed cells, which a naive
+    * join-on-observed silently drops — comes from crossing the two
+    * bounded marginal relations. Everything after the first aggregate is
+    * dimension-bounded (≤ |status|·|priority| rows), so the test costs
+    * one scan at any scale.
+    */
+  private val chi2 = Q(
+    "q_chi2",
+    (spark, dir) => {
+      // cached: marginals, total and the grid join all re-read the tiny
+      // observed relation; released by the harness post-query
+      val obs = Caches.persisted(Tables(spark, dir, "orders")
+        .groupBy(col("o_orderstatus").as("s"), col("o_orderpriority").as("p"))
+        .agg(count(lit(1)).as("o")))
+      val rt = obs.groupBy(col("s")).agg(sum(col("o")).cast("bigint").as("r"))
+      val ct = obs.groupBy(col("p")).agg(sum(col("o")).cast("bigint").as("c"))
+      val tot = broadcast(obs.agg(sum(col("o")).cast("bigint").as("t")))
+      rt.crossJoin(ct).crossJoin(tot)
+        .join(obs, Seq("s", "p"), "left")
+        .select(col("s"), col("p"), coalesce(col("o"), lit(0L)).as("o"),
+          ((col("r") * col("c")).cast("double") / col("t").cast("double")).as("e"),
+          col("t"))
+        .agg(
+          max(col("t")).as("n"),
+          ((countDistinct(col("s")) - 1) * (countDistinct(col("p")) - 1))
+            .cast("int").as("dof"),
+          pround(sum((col("o").cast("double") - col("e")) *
+            (col("o").cast("double") - col("e")) / col("e")), 4).as("chi2"))
+    },
+    Some("""WITH obs AS (SELECT o_orderstatus AS s, o_orderpriority AS p,
+                     CAST(COUNT(*) AS BIGINT) AS o
+                   FROM orders GROUP BY 1, 2),
+            rt AS (SELECT s, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY s),
+            ct AS (SELECT p, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY p),
+            tot AS (SELECT CAST(SUM(o) AS BIGINT) AS t FROM obs),
+            grid AS (SELECT rt.s, ct.p, COALESCE(obs.o, 0) AS o,
+                       CAST(rt.r * ct.c AS DOUBLE) / CAST(tot.t AS DOUBLE) AS e,
+                       tot.t AS t
+                     FROM rt CROSS JOIN ct CROSS JOIN tot
+                     LEFT JOIN obs ON obs.s = rt.s AND obs.p = ct.p)
+            SELECT MAX(t) AS n,
+              CAST((COUNT(DISTINCT s) - 1) * (COUNT(DISTINCT p) - 1) AS INT) AS dof,
+              FLOOR(SUM((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e)
+                * 10000 + 0.5) / 10000 AS chi2
+            FROM grid"""))
+
+  val all: Seq[Q] = Seq(mannWhitney, ksTest, chi2)
+}

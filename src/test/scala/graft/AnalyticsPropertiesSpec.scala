@@ -83,6 +83,23 @@ class AnalyticsPropertiesSpec extends AnyFunSuite {
     assert(diff === 0L, s"$diff row numbers differ from the window reference")
   }
 
+  test("distributed prefix sums == unpartitioned running-window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val perv = Tables.events(spark, dir)
+      .groupBy(col("value").as("v"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("event_type") === "purchase").as("n1"))
+    val got = graft.functions.Prefix
+      .withRunningTotals(perv, Seq(col("v")), Seq("n", "n1"))
+      .select(col("v"), col("n_cum"), col("n1_cum"))
+    val want = perv.select(col("v"),
+      sum(col("n")).over(Window.orderBy(col("v"))).as("n_cum"),
+      sum(col("n1")).over(Window.orderBy(col("v"))).as("n1_cum"))
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    graft.Caches.releaseAll()
+  }
+
   test("pagerank conserves probability mass and stays positive") {
     val pr = Registry.byName("q_pagerank").build(spark, dir).collect()
     val ranks = pr.map(_.getAs[Double]("pr"))
