@@ -289,5 +289,56 @@ object Multimodal {
               FLOOR((CAST(SUM(a) AS DOUBLE) / n) * 10000 + 0.5) / 10000 AS mean_abs
             FROM s GROUP BY doc_id, n ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(multimodalDecode, multimodalPipeline, imageDecode, audioDecode)
+  /** REAL resize on the real codec: decode the PNG, nearest-neighbor
+    * resample to a fixed 4×4 thumbnail (sx = tx·w/4, sy = ty·h/4 —
+    * integer floor, the standard NN grid), report the thumbnail's mean
+    * brightness. The oracle replays the sampling grid against the
+    * pattern formula arithmetically — a resampler that picked wrong
+    * source pixels (or a decoder that mangled them) fails the hash gate.
+    * The 16-pixel mean is an integer sum divided by 16: exact on both
+    * engines. Same partition-parallel mapPartitions seam as decode; at
+    * scale this is the thumbnail leg of an image-pipeline pass, linear
+    * in image count.
+    */
+  private val imageResize = Q(
+    "q_image_resize",
+    (spark, dir) => {
+      import spark.implicits._
+      val recs = Tables(spark, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaRecord(id, "image", makePng(id))))(
+          Encoders.product[MediaRecord])
+      recs.mapPartitions(_.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0L
+        var ty = 0
+        while (ty < 4) {
+          var tx = 0
+          while (tx < 4) {
+            sum += img.getRGB(tx * w / 4, ty * h / 4) & 0xff
+            tx += 1
+          }
+          ty += 1
+        }
+        (r.doc_id, 4, 4, sum / 16.0)
+      })(Encoders.product[(Long, Int, Int, Double)])
+        .toDF("doc_id", "rw", "rh", "thumb_mean")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dims AS (SELECT doc_id,
+                  CAST(doc_id % 13 + 4 AS INT) AS w,
+                  CAST(doc_id % 11 + 4 AS INT) AS h
+                FROM documents),
+            px AS (SELECT doc_id,
+                  (doc_id * 31 + ((tx.i * w) // 4) * 7 + ((ty.i * h) // 4) * 13) % 256 AS v
+                FROM dims,
+                     UNNEST(generate_series(0, 3)) AS tx(i),
+                     UNNEST(generate_series(0, 3)) AS ty(i))
+            SELECT doc_id, CAST(4 AS INT) AS rw, CAST(4 AS INT) AS rh,
+              CAST(SUM(v) AS DOUBLE) / 16.0 AS thumb_mean
+            FROM px GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(multimodalDecode, multimodalPipeline, imageDecode,
+    audioDecode, imageResize)
 }

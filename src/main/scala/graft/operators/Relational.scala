@@ -659,10 +659,41 @@ object Relational {
               FLOOR((corr(rev, rev_next)) * 10000 + 0.5) / 10000 AS autocorr_lag1
             FROM pairs"""))
 
+  /** 7-day trailing moving average of daily revenue. Revenue funnels
+    * through exact integer cents (per-order FLOOR(price·100+0.5)), so the
+    * windowed sums are bit-identical on both engines and only the final
+    * division is float. The unpartitioned window runs over the bounded
+    * daily series (date-domain histogram idiom — ~2.4k rows regardless of
+    * table size; the per-day aggregate underneath is partial+final and
+    * fully distributed).
+    */
+  private val rollingAvg = Q(
+    "q_rolling_avg",
+    (spark, dir) => {
+      val daily = Tables(spark, dir, "orders")
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .cast("bigint").as("cents"))
+      val w = Window.orderBy(col("d")).rowsBetween(-6, 0)
+      daily.select(col("d"), col("cents"),
+          pround(sum(col("cents")).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double"), 2).as("ma7_cents"))
+        .orderBy(col("d"))
+    },
+    Some("""WITH daily AS (SELECT o_orderdate AS d,
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY 1)
+            SELECT d, cents,
+              FLOOR((CAST(SUM(cents) OVER w AS DOUBLE)
+                / CAST(COUNT(*) OVER w AS DOUBLE)) * 100 + 0.5) / 100 AS ma7_cents
+            FROM daily
+            WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY d"""))
+
   val all: Seq[Q] = Seq(
     filterProject, aggPricing, distinctQ, joinEqui, joinBroadcast, joinSemi,
     joinAnti, topk, setOps, rollupQ, cubeQ, groupingSets, windowRank, windowRunning,
     windowAnalytics, pivotQ, stringFuncs, dateFuncs, mathFuncs, topkPerGroup,
     windowFrames, joinOuter, setOpsAll, unpivotQ, crossJoin, stringAgg, argMinMax,
-    skyline, autocorr)
+    skyline, autocorr, rollingAvg)
 }

@@ -236,5 +236,48 @@ object SamplingQueries {
               FLOOR((SUM(spend)) * 100 + 0.5) / 100 AS total_spend
             FROM seg GROUP BY segment ORDER BY segment"""))
 
-  val all: Seq[Q] = Seq(stratifiedSample, zscore, abTest, linReg, gini, rfm)
+  /** Robust outlier screening via median absolute deviation — the
+    * companion to q_zscore_outlier that a heavy-tailed distribution
+    * needs (the z-score's mean/stddev are themselves dragged by the
+    * outliers; the median/MAD are not). Two passes of the distributed
+    * exact-percentile primitive (per-group median of x, then of
+    * |x − med|): every stage is the range-sort + offsets shape — no
+    * per-group buffering, any group size. The 1.4826·3 normal-consistency
+    * threshold is one fused constant so both engines compare identical
+    * products.
+    */
+  private val madOutlier = Q(
+    "q_mad_outlier",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      val med = graft.functions.Ranks.exactPercentiles(li, "g", "x", Seq(0.5))
+        .select(col("g"), col("v").as("med"))
+      val dev = li.join(broadcast(med), "g")
+        .select(col("g"), abs(col("x") - col("med")).as("dev"), col("med"))
+      val mad = graft.functions.Ranks
+        .exactPercentiles(dev.select(col("g"), col("dev")), "g", "dev", Seq(0.5))
+        .select(col("g"), col("v").as("mad"))
+      dev.join(broadcast(mad), "g")
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          pround(min(col("med")), 2).as("med"),
+          pround(min(col("mad")), 2).as("mad"),
+          count_if(col("dev") > col("mad") * 4.4478).as("n_outliers"))
+        .orderBy(col("g"))
+    },
+    Some("""WITH li AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
+            med AS (SELECT g, quantile_cont(x, 0.5) AS med FROM li GROUP BY g),
+            dev AS (SELECT li.g, ABS(x - med) AS dev, med
+                    FROM li JOIN med ON li.g = med.g),
+            mad AS (SELECT g, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY g)
+            SELECT dev.g AS g, CAST(COUNT(*) AS BIGINT) AS n,
+              FLOOR((MIN(dev.med)) * 100 + 0.5) / 100 AS med,
+              FLOOR((MIN(mad.mad)) * 100 + 0.5) / 100 AS mad,
+              CAST(COUNT(*) FILTER (WHERE dev > mad.mad * 4.4478) AS BIGINT) AS n_outliers
+            FROM dev JOIN mad ON dev.g = mad.g
+            GROUP BY dev.g ORDER BY g"""))
+
+  val all: Seq[Q] = Seq(stratifiedSample, zscore, abTest, linReg, gini, rfm,
+    madOutlier)
 }

@@ -176,5 +176,58 @@ object StatsTests {
                 * 10000 + 0.5) / 10000 AS chi2
             FROM grid"""))
 
-  val all: Seq[Q] = Seq(mannWhitney, ksTest, chi2)
+  /** Revenue-concentration (Pareto) audit: the smallest share of
+    * customers covering 50/80/90% of total revenue. The descending
+    * cumulative revenue comes from the distributed prefix sum over the
+    * per-customer aggregate — the audit works at any customer
+    * cardinality, where `SUM() OVER (ORDER BY rev DESC)` would
+    * single-task. Revenue funnels through exact integer cents, and the
+    * threshold test is the integer comparison cum·100 ≥ pct·total (safe
+    * to ~$10¹⁴ total revenue in 64 bits), so both engines pick identical
+    * crossing points.
+    */
+  private val paretoShare = Q(
+    "q_pareto_share",
+    (spark, dir) => {
+      val rev = Tables(spark, dir, "orders")
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("cents")).as("cents"))
+        .withColumn("one", lit(1L))
+      val c = Prefix.withRunningTotals(rev,
+        Seq(col("cents").desc, col("o_custkey")), Seq("cents", "one"))
+      val tot = broadcast(rev.agg(
+        sum(col("cents")).cast("bigint").as("tot"),
+        count(lit(1)).as("ncust")))
+      c.crossJoin(tot)
+        .select(explode(array(lit(50), lit(80), lit(90))).as("pct"),
+          col("cents_cum"), col("one_cum"), col("tot"), col("ncust"))
+        .filter(col("cents_cum") * 100 >= col("pct") * col("tot"))
+        .groupBy(col("pct"), col("ncust"))
+        .agg(min(col("one_cum")).as("n_customers"))
+        .select(col("pct"), col("n_customers"),
+          pround(col("n_customers").cast("double") / col("ncust").cast("double"), 4)
+            .as("cust_share"))
+        .orderBy(col("pct"))
+    },
+    Some("""WITH rev AS (SELECT o_custkey,
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY o_custkey),
+            c AS (SELECT cents,
+                    CAST(SUM(cents) OVER w AS BIGINT) AS cents_cum,
+                    CAST(ROW_NUMBER() OVER w AS BIGINT) AS one_cum
+                  FROM rev
+                  WINDOW w AS (ORDER BY cents DESC, o_custkey)),
+            t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot,
+                    CAST(COUNT(*) AS BIGINT) AS ncust FROM rev),
+            th AS (SELECT UNNEST([50, 80, 90]) AS pct)
+            SELECT pct, MIN(one_cum) AS n_customers,
+              FLOOR((CAST(MIN(one_cum) AS DOUBLE) / CAST(ncust AS DOUBLE))
+                * 10000 + 0.5) / 10000 AS cust_share
+            FROM c CROSS JOIN t CROSS JOIN th
+            WHERE cents_cum * 100 >= pct * tot
+            GROUP BY pct, ncust ORDER BY pct"""))
+
+  val all: Seq[Q] = Seq(mannWhitney, ksTest, chi2, paretoShare)
 }
