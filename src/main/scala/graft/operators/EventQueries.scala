@@ -419,7 +419,26 @@ object EventQueries {
               CAST(SUM(n_events) AS BIGINT) AS n_events_total
             FROM f GROUP BY matched ORDER BY matched"""))
 
+  /** 2-D histogram (heatmap): hour-of-day × value bucket — the joint
+    * distribution view dashboards build on. One partial+final aggregate;
+    * output bounded by 24 × value-range/50 cells at any scale. UTC hour
+    * on both engines (session timezone pinned; oracle casts through the
+    * shared ns→µs truncation).
+    */
+  private val histogram2d = Q(
+    "q_histogram_2d",
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(hour(col("ts")).as("hod"),
+          floor(col("value") / 50.0).cast("int").as("vbucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("hod"), col("vbucket")),
+    Some("""SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+              CAST(FLOOR(value / 50.0) AS INT) AS vbucket,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY hod, vbucket ORDER BY hod, vbucket"""))
+
   val all: Seq[Q] = Seq(jsonFuncs, timeWindow, sessionize, histogram,
     eventWindowJoin, windowRangeTime, decileStats, decileApprox, funnel,
-    retention, markovTransitions, eventPattern)
+    retention, markovTransitions, eventPattern, histogram2d)
 }

@@ -229,5 +229,41 @@ object StatsTests {
             WHERE cents_cum * 100 >= pct * tot
             GROUP BY pct, ncust ORDER BY pct"""))
 
-  val all: Seq[Q] = Seq(mannWhitney, ksTest, chi2, paretoShare)
+  /** Global revenue percentile per customer (first 20 custkeys reported):
+    * position share pos/n under the total order (cents, custkey) — the
+    * feature-engineering "rank transform", computed with the distributed
+    * row-numbering primitive instead of a single-task global window. The
+    * tiebreak makes the order total, so this is row-position share
+    * (equal-revenue customers get adjacent, not equal, positions —
+    * deterministic on both engines by construction).
+    */
+  private val percentileRank = Q(
+    "q_percentile_rank",
+    (spark, dir) => {
+      val rev = Tables(spark, dir, "orders")
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("cents")).cast("bigint").as("cents"))
+      val (numbered, n) = graft.functions.Ranks.withGlobalRowNumber(
+        rev, Seq(col("cents"), col("o_custkey")), "rn")
+      numbered.filter(col("o_custkey") <= 20)
+        .select(col("o_custkey"), col("cents"),
+          pround((col("rn") - 1).cast("double") / lit(n - 1).cast("double"), 4)
+            .as("pos_share"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""WITH rev AS (SELECT o_custkey,
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY o_custkey),
+            r AS (SELECT o_custkey, cents,
+                    CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rn,
+                    CAST(COUNT(*) OVER () AS BIGINT) AS n
+                  FROM rev)
+            SELECT o_custkey, cents,
+              FLOOR((CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                * 10000 + 0.5) / 10000 AS pos_share
+            FROM r WHERE o_custkey <= 20 ORDER BY o_custkey"""))
+
+  val all: Seq[Q] = Seq(mannWhitney, ksTest, chi2, paretoShare, percentileRank)
 }

@@ -699,8 +699,97 @@ object TextQueries {
             FROM scored GROUP BY doc_id
             ORDER BY bm25 DESC, doc_id LIMIT 20"""))
 
+  /** All-pairs document cosine similarity over TF-IDF vectors (the
+    * content-similarity leg that complements MinHash's set-overlap view):
+    * top-20 most similar pairs. The pair space is bounded by DISCO-style
+    * document-frequency pruning — only terms with 2 ≤ df ≤ 50 join pairs
+    * (df=1 terms can't link documents; high-df terms contribute near-zero
+    * idf weight while exploding the join fan-out), so the posting-list
+    * self-join is linear in posting mass, never |docs|². Same tf-idf
+    * formula as q_tfidf; norms are over the same pruned vector space so
+    * the statistic is a true cosine there. Float sums are of identical
+    * per-term values on both engines (functions of exact integers);
+    * pround(4) absorbs ordering ulp, and the ranking orders by the
+    * rounded value (house rule).
+    */
+  private val cosinePairs = Q(
+    "q_cosine_pairs",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val wd = docs.select(col("doc_id"), explode(TextOps.wordsNative(col("text"))).as("word"))
+      val tf = wd.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val dt = wd.groupBy(col("doc_id")).agg(count(lit(1)).as("dt"))
+      val df = docs
+        .select(explode(TextOps.distinctWordNGrams(col("text"), 1)).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 50)
+      val n = docs.select(countDistinct(col("doc_id")).as("n"))
+      // cached: consumed by the norm aggregate and both join sides;
+      // released by the harness post-query
+      val v = Caches.persisted(
+        tf.join(dt, "doc_id").join(broadcast(df), "word").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("word"),
+            ((col("tf").cast("double") / col("dt")) *
+              log(col("n").cast("double") / col("df"))).as("x")))
+      val norms = v.groupBy(col("doc_id")).agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+      val a = v.select(col("doc_id").as("doc_a"), col("word"), col("x").as("xa"))
+      val b = v.select(col("doc_id").as("doc_b"), col("word"), col("x").as("xb"))
+      a.join(b, "word").filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("xa") * col("xb")).as("dot"))
+        .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+        .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          pround(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    },
+    Some("""WITH wd AS (SELECT doc_id, word FROM
+                          (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+                        WHERE word <> ''),
+            tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM wd GROUP BY doc_id, word),
+            dt AS (SELECT doc_id, COUNT(*) AS dt FROM wd GROUP BY doc_id),
+            df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM wd GROUP BY word
+                   HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+            v AS (SELECT tf.doc_id, tf.word,
+                    (CAST(tf.tf AS DOUBLE) / dt.dt) * ln(CAST(n.n AS DOUBLE) / df.df) AS x
+                  FROM tf JOIN dt ON tf.doc_id = dt.doc_id
+                  JOIN df ON tf.word = df.word CROSS JOIN n),
+            norms AS (SELECT doc_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY doc_id),
+            dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.x * b.x) AS dot
+                     FROM v a JOIN v b ON a.word = b.word AND a.doc_id < b.doc_id
+                     GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b,
+              FLOOR((dot / (na.nrm * nb.nrm)) * 10000 + 0.5) / 10000 AS cos
+            FROM dots JOIN norms na ON dots.doc_a = na.doc_id
+            JOIN norms nb ON dots.doc_b = nb.doc_id
+            ORDER BY cos DESC, doc_a, doc_b LIMIT 20"""))
+
+  /** Exact-substring contamination probe: how many documents contain each
+    * of a fixed probe set (the decontamination check a training corpus
+    * runs against benchmark strings). The probes are inlined literals
+    * fanned per row — a pure map-side scan with a probe-bounded
+    * aggregate; at scale this is one linear pass however many probes
+    * ride along (complements the fuzzy q_contamination / q_ngram_coverage
+    * legs with the exact-match one).
+    */
+  private val probeScan = Q(
+    "q_probe_scan",
+    (spark, dir) => {
+      val probes = Seq("spark shuffle", "hash join", "window frame")
+      Tables(spark, dir, "documents")
+        .select(col("text"), explode(array(probes.map(lit): _*)).as("probe"))
+        .groupBy(col("probe"))
+        .agg(count_if(contains(col("text"), col("probe"))).as("n_docs"))
+        .orderBy(col("probe"))
+    },
+    Some("""SELECT probe, CAST(COUNT(*) FILTER (WHERE contains(text, probe)) AS BIGINT) AS n_docs
+            FROM documents,
+                 (SELECT UNNEST(['spark shuffle', 'hash join', 'window frame']) AS probe)
+            GROUP BY probe ORDER BY probe"""))
+
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
     tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm,
     repetitionFilter, zipfStats, lmPerplexity, charEntropy, ngramCoverage,
-    piiRedact, vocabCoverage, pmiCollocations, bm25)
+    piiRedact, vocabCoverage, pmiCollocations, bm25, cosinePairs, probeScan)
 }
