@@ -11,7 +11,8 @@ object Registry {
       EventQueries.all ++ VectorQueries.all ++ IvfQueries.all ++
       DedupQueries.all ++ GraphQueries.all ++ Multimodal.all ++ KMeans.all ++
       PipelineQueries.all ++ MapReduceQueries.all ++ SqlQueries.all ++
-      SamplingQueries.all ++ TopK.all ++ StatsTests.all ++ TrainPrepQueries.all
+      SamplingQueries.all ++ TopK.all ++ StatsTests.all ++ TrainPrepQueries.all ++
+      TpchQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

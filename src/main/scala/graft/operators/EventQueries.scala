@@ -438,7 +438,53 @@ object EventQueries {
               CAST(COUNT(*) AS BIGINT) AS cnt
             FROM events GROUP BY hod, vbucket ORDER BY hod, vbucket"""))
 
+  /** Weekly cohort-retention matrix — the grid generalization of
+    * q_retention's single pair: users bucketed by first-active week
+    * (cohort), counted in every later week they return, reported as
+    * (cohort week, week offset, users, share of cohort). Two hash
+    * aggregates ((user, week) distinct → per-user min → grid count) —
+    * all partial+final, keyed on user then on the bounded grid. The week
+    * epoch is the fixture's stream start (2024-01-01); a deployment
+    * would substitute its own anchor — the arithmetic `days div 7` is
+    * anchor-independent. Output bounded by (#weeks)².
+    */
+  private val cohortMatrix = Q(
+    "q_cohort_matrix",
+    (spark, dir) => {
+      val uw = Tables.events(spark, dir)
+        .select(col("user_id"),
+          (datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) / 7)
+            .cast("int").as("week"))
+        .distinct()
+      val c0 = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      val sizes = c0.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_n"))
+      uw.join(c0, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("offset"))
+        .agg(count(lit(1)).cast("bigint").as("n_users"))
+        .join(broadcast(sizes), "cohort_week")
+        .select(col("cohort_week"), col("offset").cast("int").as("offset"),
+          col("n_users"),
+          pround(col("n_users").cast("double") / col("cohort_n").cast("double"), 4)
+            .as("retention"))
+        .orderBy(col("cohort_week"), col("offset"))
+    },
+    Some("""WITH uw AS (SELECT DISTINCT user_id,
+                  CAST(datediff('day', DATE '2024-01-01', CAST(ts AS TIMESTAMP)) // 7 AS INT) AS week
+                FROM events),
+            c0 AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id),
+            sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_n
+                      FROM c0 GROUP BY cohort_week),
+            grid AS (SELECT c0.cohort_week, uw.week - c0.cohort_week AS offset,
+                       CAST(COUNT(*) AS BIGINT) AS n_users
+                     FROM uw JOIN c0 USING (user_id)
+                     GROUP BY c0.cohort_week, offset)
+            SELECT g.cohort_week, CAST(g.offset AS INT) AS offset, g.n_users,
+              FLOOR((CAST(g.n_users AS DOUBLE) / CAST(s.cohort_n AS DOUBLE))
+                * 10000 + 0.5) / 10000 AS retention
+            FROM grid g JOIN sizes s USING (cohort_week)
+            ORDER BY cohort_week, offset"""))
+
   val all: Seq[Q] = Seq(jsonFuncs, timeWindow, sessionize, histogram,
     eventWindowJoin, windowRangeTime, decileStats, decileApprox, funnel,
-    retention, markovTransitions, eventPattern, histogram2d)
+    retention, markovTransitions, eventPattern, histogram2d, cohortMatrix)
 }

@@ -287,5 +287,83 @@ object GraphQueries {
                FLOOR(r * 100000000 + 0.5) / 100000000 AS pr
              FROM r3 ORDER BY node"""))
 
-  val all: Seq[Q] = Seq(ccDedup, graphDegree, pageRank)
+  /** Triangle census of the part co-purchase graph (parts that ever
+    * share an order; the trade graph above is bipartite and therefore
+    * triangle-free by construction). The per-order pair fan-out is
+    * bounded by the order's line count (≤ C(13,2) in the fixture — order
+    * size is a business constant, not a scale variable), and triangle
+    * enumeration uses the textbook degree-ordered orientation: every
+    * edge points from its lower-(degree, id) endpoint to the higher, so
+    * out-degrees are O(√m) even on power-law graphs and the wedge join
+    * — the quadratic danger — stays bounded per node. Two hash joins on
+    * node keys close the wedges; output is one bounded census row
+    * (nodes, edges, triangles, global clustering coefficient from the
+    * exact integer wedge count).
+    */
+  private val triangleCount = Q(
+    "q_triangle_count",
+    (spark, dir) => {
+      import graft.functions.Portable.pround
+      val op = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pairs = op.join(op.withColumnRenamed("p", "q"), "o")
+        .filter(col("p") < col("q"))
+        .select(col("p").as("u"), col("q").as("v")).distinct()
+      // cached: degrees, orientation and the census all rescan the edge
+      // list; released by the harness post-query
+      val e = Caches.persisted(pairs)
+      val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      // orient each edge from lower (deg, id) to higher: join degrees in,
+      // then swap endpoints where the order disagrees
+      val withDeg = Caches.persisted(e
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("a"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("b")))
+      val tri = withDeg.as("e1")
+        .join(withDeg.as("e2"), col("e1.b") === col("e2.a"))
+        .join(withDeg.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .agg(count(lit(1)).cast("bigint").as("n_triangles"))
+      val census = deg.agg(
+        count(lit(1)).cast("bigint").as("n_nodes"),
+        (sum(col("deg")) / 2).cast("bigint").as("n_edges"),
+        (sum(col("deg") * (col("deg") - 1)) / 2).cast("bigint").as("n_wedges"))
+      census.crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          pround(lit(3.0) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double"), 4).as("clustering_coeff"))
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                      SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                    GROUP BY node),
+            o AS (SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+                           THEN u ELSE v END AS a,
+                    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+                      THEN v ELSE u END AS b
+                  FROM e
+                  JOIN deg d1 ON d1.node = e.u
+                  JOIN deg d2 ON d2.node = e.v),
+            tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+                    FROM o e1 JOIN o e2 ON e1.b = e2.a
+                    JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+            census AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                         CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,
+                         CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+                       FROM deg)
+            SELECT n_nodes, n_edges, n_triangles,
+              FLOOR((3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE))
+                * 10000 + 0.5) / 10000 AS clustering_coeff
+            FROM census CROSS JOIN tri"""))
+
+  val all: Seq[Q] = Seq(ccDedup, graphDegree, pageRank, triangleCount)
 }

@@ -278,6 +278,71 @@ object SamplingQueries {
             FROM dev JOIN mad ON dev.g = mad.g
             GROUP BY dev.g ORDER BY g"""))
 
+  /** Fixed-size uniform sample (the reservoir-sampling contract) made
+    * deterministic and distributed: rank every row by the md5 hash of
+    * its primary key and keep the 100 smallest. Hash order is uniform
+    * and engine-independent, and "100 smallest by hash" is a
+    * TakeOrdered — a per-partition heap merge, never a global sort —
+    * so the sample costs one scan at any scale, exactly the property
+    * that makes reservoir sampling attractive sequentially.
+    */
+  private val reservoirSample = Q(
+    "q_reservoir_sample",
+    (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          substring(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))), 1, 16)
+            .as("h"))
+        .orderBy(col("h"))
+        .limit(100),
+    Some("""SELECT l_orderkey, l_linenumber,
+              substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 16) AS h
+            FROM lineitem ORDER BY h LIMIT 100"""))
+
+  /** Winsorized mean — the robust-mean companion to q_mad_outlier: per
+    * return flag, clamp extended price into its group's exact
+    * [p05, p95] band, then average. The percentile bounds come from the
+    * distributed exact-percentile primitive (range sort + offsets, no
+    * per-group buffer) and broadcast back over the fact table; the mean
+    * funnels through FLOOR(clamped·10⁴+0.5) integer sums, so both
+    * engines divide identical integers. One sorted pass + one scan.
+    */
+  private val winsorize = Q(
+    "q_winsorize",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+      val bounds = graft.functions.Ranks
+        .exactPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.05, 0.95))
+        .groupBy(col("l_returnflag"))
+        .agg(min(when(col("p") === 0.05, col("v"))).as("lo"),
+          min(when(col("p") === 0.95, col("v"))).as("hi"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .select(col("l_returnflag"), col("lo"), col("hi"),
+          floor(least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
+            * 10000 + 0.5).cast("long").as("wx"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          pround(min(col("lo")), 2).as("p05"),
+          pround(min(col("hi")), 2).as("p95"),
+          pround(sum(col("wx")).cast("double") / count(lit(1)).cast("double")
+            / 10000.0, 2).as("winsorized_mean"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH bounds AS (SELECT l_returnflag,
+                  quantile_cont(l_extendedprice, 0.05) AS lo,
+                  quantile_cont(l_extendedprice, 0.95) AS hi
+                FROM lineitem GROUP BY l_returnflag),
+            wx AS (SELECT li.l_returnflag, b.lo, b.hi,
+                     CAST(FLOOR(LEAST(GREATEST(li.l_extendedprice, b.lo), b.hi)
+                       * 10000 + 0.5) AS BIGINT) AS wx
+                   FROM lineitem li JOIN bounds b USING (l_returnflag))
+            SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+              FLOOR((MIN(lo)) * 100 + 0.5) / 100 AS p05,
+              FLOOR((MIN(hi)) * 100 + 0.5) / 100 AS p95,
+              FLOOR((CAST(SUM(wx) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 10000.0)
+                * 100 + 0.5) / 100 AS winsorized_mean
+            FROM wx GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(stratifiedSample, zscore, abTest, linReg, gini, rfm,
-    madOutlier)
+    madOutlier, reservoirSample, winsorize)
 }

@@ -788,8 +788,74 @@ object TextQueries {
                  (SELECT UNNEST(['spark shuffle', 'hash join', 'window frame']) AS probe)
             GROUP BY probe ORDER BY probe"""))
 
+  /** CCNet-style quality bucketing: score every document with the
+    * corpus-trained bigram LM (the q_lm_perplexity pipeline), then split
+    * the corpus into head/middle/tail terciles of average NLL — the
+    * standard construction for perplexity-filtered training mixes. The
+    * tercile boundary is a global rank, computed with the distributed
+    * row-numbering primitive (no single-task window); the bucket index
+    * is the exact integer formula ((rn−1)·3) div n + 1, so both engines
+    * cut at identical rows — no float quantile boundary to disagree on.
+    * Ordering ties on the pround(4)'d score break on doc_id, making the
+    * rank total. Output is the bounded 3-row mix audit.
+    */
+  private val ccnetBucket = Q(
+    "q_ccnet_bucket",
+    (spark, dir) => {
+      val docBg = Caches.persisted(Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.wordNGramsAll(col("text"), 2)).as("bg"))
+        .groupBy(col("doc_id"),
+          substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+        .agg(count(lit(1)).as("dcnt")))
+      val lm = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("dcnt")).as("cnt"))
+      val tot = lm.groupBy(col("w1")).agg(sum(col("cnt")).as("tot"))
+      val probs = lm.join(tot, "w1")
+        .select(col("w1"), col("w2"),
+          (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
+      val scored = docBg.join(probs, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(pround(sum(col("dcnt").cast("double") * -log2(col("p"))) /
+          sum(col("dcnt").cast("double")), 4).as("avg_nll"))
+      val (ranked, n) = graft.functions.Ranks.withGlobalRowNumber(
+        scored, Seq(col("avg_nll"), col("doc_id")), "rn")
+      ranked
+        .select(col("avg_nll"),
+          expr(s"CAST((rn - 1) * 3 div ${n}L AS INT) + 1").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          pround(avg(col("avg_nll")), 4).as("mean_nll"),
+          min(col("avg_nll")).as("min_nll"),
+          max(col("avg_nll")).as("max_nll"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                          FROM documents),
+            bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+                   FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
+                   WHERE len(ws) >= 2),
+            dbg AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS dcnt
+                    FROM bg GROUP BY doc_id, w1, w2),
+            lm AS (SELECT w1, w2, CAST(SUM(dcnt) AS BIGINT) AS cnt FROM dbg GROUP BY w1, w2),
+            tot AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS tot FROM lm GROUP BY w1),
+            p AS (SELECT w1, w2, CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+                  FROM lm JOIN tot USING (w1)),
+            scored AS (SELECT doc_id,
+                         FLOOR((SUM(CAST(dcnt AS DOUBLE) * -log2(p))
+                           / SUM(CAST(dcnt AS DOUBLE))) * 10000 + 0.5) / 10000 AS avg_nll
+                       FROM dbg JOIN p USING (w1, w2) GROUP BY doc_id),
+            ranked AS (SELECT avg_nll,
+                         CAST((ROW_NUMBER() OVER (ORDER BY avg_nll, doc_id) - 1) * 3
+                           // COUNT(*) OVER () AS INT) + 1 AS bucket
+                       FROM scored)
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              FLOOR((AVG(avg_nll)) * 10000 + 0.5) / 10000 AS mean_nll,
+              MIN(avg_nll) AS min_nll, MAX(avg_nll) AS max_nll
+            FROM ranked GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
     tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm,
     repetitionFilter, zipfStats, lmPerplexity, charEntropy, ngramCoverage,
-    piiRedact, vocabCoverage, pmiCollocations, bm25, cosinePairs, probeScan)
+    piiRedact, vocabCoverage, pmiCollocations, bm25, cosinePairs, probeScan,
+    ccnetBucket)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{Caches, Q, Tables}
 import graft.functions.Portable.pround
 import graft.functions.VectorOps
 import org.apache.spark.sql.Column
@@ -244,6 +244,133 @@ object VectorQueries {
             SELECT vec_a, CAST(rn AS INT) AS rn, vec_b, cos
             FROM ranked WHERE rn <= 3 AND vec_a < 50 ORDER BY vec_a, rn"""))
 
+  /** Recall@10 audit of the LSH index against the exact brute-force
+    * baseline, for probe vec_id = 0 — the quality gate every approximate
+    * similarity index ships with (is the bucketing recalling enough of
+    * the true neighbors to be usable?). Both top-10 sets are bounded
+    * (TakeOrdered heads), so the intersection join and the census row
+    * are driver-scale regardless of corpus size; the expensive parts are
+    * exactly the two production query plans being audited.
+    */
+  private val annRecall = Q(
+    "q_ann_recall",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "embeddings")
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p")))
+      val brute = e.filter(col("vec_id") =!= 0)
+        .crossJoin(probe)
+        .select(col("vec_id"),
+          pround(VectorOps.cosine(col("embedding"), col("p")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+      val signs = planeSigns(4, 64)
+      val bucket = concat(
+        signs.map(s => when(signedDot(col("embedding"), s) > 0, lit("1")).otherwise(lit("0"))): _*)
+      val eb = e.withColumn("bk", bucket)
+      val probeB = broadcast(eb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p"), col("bk").as("pbk")))
+      val lsh = eb.filter(col("vec_id") =!= 0)
+        .join(probeB, col("bk") === col("pbk"))
+        .select(col("vec_id"),
+          pround(VectorOps.cosine(col("embedding"), col("p")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+      brute.select(col("vec_id"))
+        .join(lsh.select(col("vec_id").as("lv")), col("vec_id") === col("lv"), "left")
+        .agg(count(lit(1)).cast("int").as("k"),
+          count(col("lv")).cast("int").as("hits"))
+        .select(col("k"), col("hits"),
+          pround(col("hits").cast("double") / col("k").cast("double"), 4)
+            .as("recall"))
+    },
+    Some("""WITH probe0 AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0),
+            brute AS (SELECT vec_id,
+                        FLOOR((list_cosine_similarity(CAST(embedding AS DOUBLE[]), p)) * 10000 + 0.5) / 10000 AS cos
+                      FROM embeddings, probe0 WHERE vec_id <> 0
+                      ORDER BY cos DESC, vec_id LIMIT 10),
+            planes AS (
+              SELECT p, d,
+                CASE WHEN substr(md5('p' || CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1)
+                     IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS sgn
+              FROM UNNEST(generate_series(0, 3)) AS a(p), UNNEST(generate_series(1, 64)) AS b(d)),
+            dots AS (SELECT e.vec_id, pl.p,
+                       SUM(pl.sgn * CAST(e.embedding[pl.d] AS DOUBLE)) AS dp
+                     FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p),
+            buckets AS (SELECT vec_id,
+                          string_agg(CASE WHEN dp > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bk
+                        FROM dots GROUP BY vec_id),
+            pb AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS p, b.bk AS pbk
+                   FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+                   WHERE e.vec_id = 0),
+            lsh AS (SELECT e.vec_id,
+                      FLOOR((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), pb.p)) * 10000 + 0.5) / 10000 AS cos
+                    FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id, pb
+                    WHERE b.bk = pb.pbk AND e.vec_id <> 0
+                    ORDER BY cos DESC, e.vec_id LIMIT 10)
+            SELECT CAST(COUNT(*) AS INT) AS k,
+              CAST(COUNT(lsh.vec_id) AS INT) AS hits,
+              FLOOR((CAST(COUNT(lsh.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                * 10000 + 0.5) / 10000 AS recall
+            FROM brute LEFT JOIN lsh ON brute.vec_id = lsh.vec_id"""))
+
+  /** Semantic (SemDeDup-style) embedding dedup: partition the corpus by
+    * nearest seed centroid, then flag within-cluster pairs above a
+    * cosine threshold and drop the higher id of each pair. The cluster
+    * assignment bounds the candidate self-join to cluster-sized blocks —
+    * the same all-pairs-avoidance as the LSH buckets, but semantic: near
+    * duplicates land in the same cluster because they are close to the
+    * same centroid, not because they hash together. At 100 TB the
+    * centroid count is the knob (SemDeDup runs k ≈ n/target so clusters
+    * stay task-sized; the centroid matrix is driver model state like the
+    * k-means trainer's). Reported per cluster: members, flagged
+    * duplicates, survivors.
+    */
+  private val dedupSemantic = Q(
+    "q_dedup_semantic",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = e.filter(col("vec_id") < 8)
+        .collect() // 8×64 floats: driver model state, like the k-means init
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .toSeq.sortBy(_._1)
+      val assigned = Caches.persisted(KMeans.assign(e, cents))
+      val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"))
+      val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"))
+      val dups = a.join(b, Seq("cluster"))
+        .filter(col("vec_a") < col("vec_b") &&
+          VectorOps.cosine(col("ea"), col("eb")) >= 0.40)
+        .groupBy(col("cluster"))
+        .agg(countDistinct(col("vec_b")).cast("bigint").as("n_dupes"))
+      assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).cast("bigint").as("n_members"))
+        .join(dups, Seq("cluster"), "left")
+        .select(col("cluster"), col("n_members"),
+          coalesce(col("n_dupes"), lit(0L)).as("n_dupes"),
+          (col("n_members") - coalesce(col("n_dupes"), lit(0L))).as("n_kept"))
+        .orderBy(col("cluster"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+            assigned AS (SELECT vec_id, cid AS cluster, v FROM (
+                           SELECT e.vec_id, c0.cid, e.v,
+                             row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.v, c0.c) DESC, c0.cid) AS rn
+                           FROM e CROSS JOIN c0) WHERE rn = 1),
+            dups AS (SELECT a.cluster, CAST(COUNT(DISTINCT b.vec_id) AS BIGINT) AS n_dupes
+                     FROM assigned a JOIN assigned b
+                       ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                      AND list_cosine_similarity(a.v, b.v) >= 0.40
+                     GROUP BY a.cluster)
+            SELECT a.cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+              COALESCE(MIN(d.n_dupes), 0) AS n_dupes,
+              CAST(COUNT(*) AS BIGINT) - COALESCE(MIN(d.n_dupes), 0) AS n_kept
+            FROM assigned a LEFT JOIN dups d ON d.cluster = a.cluster
+            GROUP BY a.cluster ORDER BY a.cluster"""))
+
   val all: Seq[Q] = Seq(arrayFuncs, knnBrute, knnLsh, dedupEmbed, embedCentroid,
-    knnJoin)
+    knnJoin, annRecall, dedupSemantic)
 }
