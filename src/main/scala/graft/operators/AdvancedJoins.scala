@@ -155,5 +155,38 @@ object AdvancedJoins {
                                  WHERE o_totalprice > 250000.0)
             GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  val all: Seq[Q] = Seq(asofJoin, rangeJoin, saltedJoin, bloomJoin)
+  /** Blocked fuzzy self-join (entity resolution): part names within edit
+    * distance 4 of each other, candidate-generated by a blocking key (the
+    * name's last token) so the quadratic comparison never runs corpus-wide
+    * — the standard record-linkage shape (block → compare → match). The
+    * distinct-name relation is vocabulary-bounded, blocks bound the
+    * pair fan-out, and levenshtein is integer-exact on both engines.
+    * At 100 TB the blocking key is the knob (more selective key → smaller
+    * blocks), same as every production linkage pipeline.
+    */
+  private val fuzzyJoin = Q(
+    "q_fuzzy_join",
+    (spark, dir) => {
+      val names = Tables(spark, dir, "part")
+        .select(col("p_name").as("name"),
+          substring_index(col("p_name"), " ", -1).as("blk"))
+        .distinct()
+      names.select(col("name").as("name_a"), col("blk"))
+        .join(names.select(col("name").as("name_b"), col("blk")), "blk")
+        .filter(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("int").as("dist"))
+        .filter(col("dist") <= 4)
+        .orderBy(col("dist"), col("name_a"), col("name_b"))
+    },
+    Some("""WITH names AS (SELECT DISTINCT p_name AS name,
+                  regexp_extract(p_name, '([^ ]+)$', 1) AS blk
+                FROM part)
+            SELECT a.name AS name_a, b.name AS name_b,
+              CAST(levenshtein(a.name, b.name) AS INT) AS dist
+            FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 4
+            ORDER BY dist, name_a, name_b"""))
+
+  val all: Seq[Q] = Seq(asofJoin, rangeJoin, saltedJoin, bloomJoin, fuzzyJoin)
 }

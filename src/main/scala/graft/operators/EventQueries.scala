@@ -459,14 +459,14 @@ object EventQueries {
       val c0 = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
       val sizes = c0.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_n"))
       uw.join(c0, "user_id")
-        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("offset"))
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
         .agg(count(lit(1)).cast("bigint").as("n_users"))
         .join(broadcast(sizes), "cohort_week")
-        .select(col("cohort_week"), col("offset").cast("int").as("offset"),
+        .select(col("cohort_week"), col("week_offset").cast("int").as("week_offset"),
           col("n_users"),
           pround(col("n_users").cast("double") / col("cohort_n").cast("double"), 4)
             .as("retention"))
-        .orderBy(col("cohort_week"), col("offset"))
+        .orderBy(col("cohort_week"), col("week_offset"))
     },
     Some("""WITH uw AS (SELECT DISTINCT user_id,
                   CAST(datediff('day', DATE '2024-01-01', CAST(ts AS TIMESTAMP)) // 7 AS INT) AS week
@@ -474,15 +474,15 @@ object EventQueries {
             c0 AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id),
             sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_n
                       FROM c0 GROUP BY cohort_week),
-            grid AS (SELECT c0.cohort_week, uw.week - c0.cohort_week AS offset,
+            grid AS (SELECT c0.cohort_week, uw.week - c0.cohort_week AS week_offset,
                        CAST(COUNT(*) AS BIGINT) AS n_users
                      FROM uw JOIN c0 USING (user_id)
-                     GROUP BY c0.cohort_week, offset)
-            SELECT g.cohort_week, CAST(g.offset AS INT) AS offset, g.n_users,
+                     GROUP BY c0.cohort_week, week_offset)
+            SELECT g.cohort_week, CAST(g.week_offset AS INT) AS week_offset, g.n_users,
               FLOOR((CAST(g.n_users AS DOUBLE) / CAST(s.cohort_n AS DOUBLE))
                 * 10000 + 0.5) / 10000 AS retention
             FROM grid g JOIN sizes s USING (cohort_week)
-            ORDER BY cohort_week, offset"""))
+            ORDER BY cohort_week, week_offset"""))
 
   val all: Seq[Q] = Seq(jsonFuncs, timeWindow, sessionize, histogram,
     eventWindowJoin, windowRangeTime, decileStats, decileApprox, funnel,

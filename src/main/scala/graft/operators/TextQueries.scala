@@ -853,9 +853,34 @@ object TextQueries {
               MIN(avg_nll) AS min_nll, MAX(avg_nll) AS max_nll
             FROM ranked GROUP BY bucket ORDER BY bucket"""))
 
+  /** First BPE merge round: the 20 most frequent adjacent character
+    * pairs inside words (no cross-space pairs) — the statistic a
+    * byte-pair-encoding tokenizer trainer computes before its first
+    * merge. Positions fan out per character (same cost class as
+    * q_char_count's explode), counts are one partial+final hash
+    * aggregate, and the head is a TakeOrdered. BMP-only fixture
+    * assumption documented at q_char_count applies (substring indexes
+    * UTF-16 units on both engines' synthetic corpus).
+    */
+  private val bpePairs = Q(
+    "q_bpe_pairs",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("pair"))
+        .filter(!col("pair").contains(" "))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20),
+    Some("""SELECT substr(text, i, 2) AS pair, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM documents, UNNEST(generate_series(1, len(text) - 1)) AS u(i)
+            WHERE NOT contains(substr(text, i, 2), ' ')
+            GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""))
+
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
     tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm,
     repetitionFilter, zipfStats, lmPerplexity, charEntropy, ngramCoverage,
     piiRedact, vocabCoverage, pmiCollocations, bm25, cosinePairs, probeScan,
-    ccnetBucket)
+    ccnetBucket, bpePairs)
 }
