@@ -1,0 +1,397 @@
+package graft.operators
+
+import graft.{Caches, Q, Tables}
+import graft.functions.Portable.{hash60, pround}
+import graft.functions.{Prefix, Ranks}
+import org.apache.spark.sql.functions._
+
+/** Data-quality and distribution audits — the round-5 third wave. Each is
+  * a shape a production corpus/warehouse audit actually runs (rank
+  * correlation, robust outlier fences, first-digit fraud screens, drift
+  * detection, engagement stickiness, split-leakage checks, association
+  * strength, market concentration), built on the round-5 distributed
+  * prefix-sum / exact-percentile primitives so every plan survives
+  * unbounded cardinality. The reference engine has no statistics surface
+  * (SURVEY.md §2.2); these extend the §2.7 battery.
+  *
+  * Determinism posture (house rules): every statistic funnels through
+  * exact integers (counts, cents, doubled average ranks); the float
+  * formula at the end computes from identical integers in identical IEEE
+  * operation order on both engines, then passes through pround.
+  */
+object AuditQueries {
+
+  /** Spearman rank correlation between l_quantity and l_extendedprice.
+    * Average ranks with ties come from per-value counts + the distributed
+    * prefix sum — kept integral as 2·rank = 2·C(<v) + n_v + 1 — joined
+    * back to rows by value (hash join keyed on the value, any
+    * cardinality). Pearson's formula over the doubled ranks needs only
+    * the five product sums, accumulated as decimal(38,0) so nothing
+    * overflows at any corpus size (DuckDB mirrors with HUGEINT).
+    */
+  private val spearman = Q(
+    "q_spearman",
+    (spark, dir) => {
+      val base = Tables(spark, dir, "lineitem")
+        .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      def ranks2(v: String) = {
+        val perv = base.groupBy(col(v)).agg(count(lit(1)).as("n"))
+        Prefix.withRunningTotals(perv, Seq(col(v)), Seq("n"))
+          .select(col(v), (lit(2) * col("n_cum") - col("n") + 1).as(s"r$v"))
+      }
+      val r = base.join(ranks2("x"), "x").join(ranks2("y"), "y")
+        .select(col("rx"), col("ry"))
+      val dec = "decimal(38,0)"
+      r.agg(
+          count(lit(1)).cast("bigint").as("n"),
+          sum(col("rx").cast(dec)).as("sx"), sum(col("ry").cast(dec)).as("sy"),
+          sum((col("rx") * col("rx")).cast(dec)).as("sxx"),
+          sum((col("ry") * col("ry")).cast(dec)).as("syy"),
+          sum((col("rx") * col("ry")).cast(dec)).as("sxy"))
+        .select(col("n"),
+          pround(
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                sqrt(col("n").cast("double") * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double"))), 4)
+            .as("rho"))
+    },
+    Some("""WITH base AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+            px AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY x),
+            cx AS (SELECT x, 2 * CAST(SUM(n) OVER (ORDER BY x) AS BIGINT) - n + 1 AS rx
+                   FROM px),
+            py AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY y),
+            cy AS (SELECT y, 2 * CAST(SUM(n) OVER (ORDER BY y) AS BIGINT) - n + 1 AS ry
+                   FROM py),
+            r AS (SELECT rx, ry FROM base JOIN cx USING (x) JOIN cy USING (y)),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+                    SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+                    SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+                    SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+                  FROM r)
+            SELECT n,
+              FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                * 10000 + 0.5) / 10000 AS rho
+            FROM s"""))
+
+  /** Tukey-fence (IQR) outlier screen per return flag: exact Q1/Q3 from
+    * the distributed percentile primitive, fences at 1.5·IQR, outlier
+    * count + share. The heavy-tail companion to q_zscore_outlier /
+    * q_mad_outlier; the fence arithmetic is the same IEEE expression on
+    * both engines over identical interpolated quantiles.
+    */
+  private val iqrOutlier = Q(
+    "q_iqr_outlier",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+      val bounds = Ranks
+        .exactPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.25, 0.75))
+        .groupBy(col("l_returnflag"))
+        .agg(min(when(col("p") === 0.25, col("v"))).as("q1"),
+          min(when(col("p") === 0.75, col("v"))).as("q3"))
+        .select(col("l_returnflag"),
+          (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+          (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          pround(min(col("lo")), 2).as("fence_lo"),
+          pround(min(col("hi")), 2).as("fence_hi"),
+          count_if(col("l_extendedprice") < col("lo") ||
+            col("l_extendedprice") > col("hi")).cast("bigint").as("n_outliers"))
+        .withColumn("outlier_share",
+          pround(col("n_outliers").cast("double") / col("n").cast("double"), 4))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH q AS (SELECT l_returnflag,
+                  quantile_cont(l_extendedprice, 0.25) AS q1,
+                  quantile_cont(l_extendedprice, 0.75) AS q3
+                FROM lineitem GROUP BY l_returnflag),
+            b AS (SELECT l_returnflag, q1 - 1.5 * (q3 - q1) AS lo,
+                    q3 + 1.5 * (q3 - q1) AS hi
+                  FROM q)
+            SELECT li.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+              FLOOR(MIN(lo) * 100 + 0.5) / 100 AS fence_lo,
+              FLOOR(MIN(hi) * 100 + 0.5) / 100 AS fence_hi,
+              CAST(COUNT(*) FILTER (WHERE l_extendedprice < lo
+                OR l_extendedprice > hi) AS BIGINT) AS n_outliers,
+              FLOOR((CAST(COUNT(*) FILTER (WHERE l_extendedprice < lo
+                  OR l_extendedprice > hi) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                * 10000 + 0.5) / 10000 AS outlier_share
+            FROM lineitem li JOIN b USING (l_returnflag)
+            GROUP BY li.l_returnflag ORDER BY li.l_returnflag"""))
+
+  /** Benford first-digit audit of order totals — the classic fabricated-
+    * data screen. The first significant digit comes from the decimal
+    * rendering of exact integer cents (substring of an integer string is
+    * portable; FLOOR(log10(x)) on a float is not), so the whole query is
+    * one hash aggregate into a 9-row grid crossed with the expected
+    * log10(1+1/d) shares.
+    */
+  private val benford = Q(
+    "q_benford",
+    (spark, dir) => {
+      val g = Tables(spark, dir, "orders")
+        .select(substring(floor(col("o_totalprice") * 100 + 0.5)
+          .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).cast("bigint").as("n"))
+      val tot = broadcast(g.agg(sum(col("n")).cast("bigint").as("tot")))
+      g.crossJoin(tot)
+        .select(col("digit"), col("n"),
+          pround(col("n").cast("double") / col("tot").cast("double"), 4).as("share"),
+          pround(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 4)
+            .as("expected"),
+          pround(col("n").cast("double") / col("tot").cast("double") -
+            log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 4).as("dev"))
+        .orderBy(col("digit"))
+    },
+    Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                     AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+                   FROM orders),
+            g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g)
+            SELECT digit, n,
+              FLOOR((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 10000 + 0.5) / 10000 AS share,
+              FLOOR(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 10000 + 0.5) / 10000 AS expected,
+              FLOOR((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+                  - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) * 10000 + 0.5) / 10000 AS dev
+            FROM g CROSS JOIN t ORDER BY digit"""))
+
+  /** CUSUM drift detection over the daily revenue series: the top-5 days
+    * by |cumulative deviation from the long-run daily mean|. The
+    * deviation is kept integral by scaling — dev_i = cents_i·D − total —
+    * and the running sum comes from the distributed prefix-sum primitive,
+    * so the detector works at any date-domain size without an
+    * unpartitioned window. Reported drift is scaled back to dollars only
+    * at the end.
+    */
+  private val cusum = Q(
+    "q_cusum",
+    (spark, dir) => {
+      val daily = Tables(spark, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .cast("bigint").as("cents"))
+      val tot = broadcast(daily.agg(
+        sum(col("cents")).cast("bigint").as("tot"),
+        count(lit(1)).cast("bigint").as("d")))
+      val dev = daily.crossJoin(tot)
+        .select(col("day"), col("d"),
+          (col("cents") * col("d") - col("tot")).cast("long").as("dev"))
+      Prefix.withRunningTotals(dev, Seq(col("day")), Seq("dev"))
+        .select(col("day").cast("string").as("day"),
+          pround(col("dev_cum").cast("double") / col("d").cast("double") / 100.0, 2)
+            .as("drift_usd"))
+        .orderBy(abs(col("drift_usd")).desc, col("day"))
+        .limit(5)
+    },
+    Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+            t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot,
+                    CAST(COUNT(*) AS BIGINT) AS d FROM daily),
+            dv AS (SELECT day, d, CAST(cents * d - tot AS BIGINT) AS dev
+                   FROM daily CROSS JOIN t),
+            c AS (SELECT day, d, CAST(SUM(dev) OVER (ORDER BY day) AS BIGINT) AS dev_cum
+                  FROM dv)
+            SELECT CAST(day AS VARCHAR) AS day,
+              FLOOR((CAST(dev_cum AS DOUBLE) / CAST(d AS DOUBLE) / 100.0)
+                * 100 + 0.5) / 100 AS drift_usd
+            FROM c ORDER BY ABS(FLOOR((CAST(dev_cum AS DOUBLE) / CAST(d AS DOUBLE)
+              / 100.0) * 100 + 0.5) / 100) DESC, day LIMIT 5"""))
+
+  /** Engagement stickiness per ISO week: distinct weekly actives, summed
+    * daily actives, and the DAU/WAU ratio. Two distinct-count hash
+    * aggregates keyed on (period, user) — unbounded parallelism — into a
+    * week-bounded grid.
+    */
+  private val dauStickiness = Q(
+    "q_dau_stickiness",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).cast("bigint").as("dau"))
+      val weekly = ev.groupBy(to_date(date_trunc("week", col("day"))).as("week"))
+        .agg(countDistinct(col("user_id")).cast("bigint").as("wau"))
+      daily.groupBy(to_date(date_trunc("week", col("day"))).as("week"))
+        .agg(count(lit(1)).cast("bigint").as("n_days"),
+          sum(col("dau")).cast("bigint").as("sum_dau"))
+        .join(weekly, "week")
+        .select(col("week").cast("string").as("week"),
+          col("n_days"), col("sum_dau"), col("wau"),
+          pround(col("sum_dau").cast("double") /
+            (col("n_days").cast("double") * col("wau").cast("double")), 4)
+            .as("stickiness"))
+        .orderBy(col("week"))
+    },
+    Some("""WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+            daily AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+                      FROM ev GROUP BY day),
+            weekly AS (SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+                         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+                       FROM ev GROUP BY 1),
+            dw AS (SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+                     CAST(COUNT(*) AS BIGINT) AS n_days,
+                     CAST(SUM(dau) AS BIGINT) AS sum_dau
+                   FROM daily GROUP BY 1)
+            SELECT CAST(week AS VARCHAR) AS week, n_days, sum_dau, wau,
+              FLOOR((CAST(sum_dau AS DOUBLE)
+                  / (CAST(n_days AS DOUBLE) * CAST(wau AS DOUBLE)))
+                * 10000 + 0.5) / 10000 AS stickiness
+            FROM dw JOIN weekly USING (week) ORDER BY week"""))
+
+  /** Train/test split-leakage audit: after the q_train_test_split hash
+    * split (md5-threshold, 90/10), how many test documents share a
+    * canonicalized content key (the q_dedup_canonical chain) with any
+    * train document — the dedup-before-split check every corpus pipeline
+    * ships. One semi-join keyed on the content hash; scales as exact
+    * dedup does.
+    */
+  private val splitLeakage = Q(
+    "q_split_leakage",
+    (spark, dir) => {
+      // cached: the keyed relation feeds the counts aggregate and both
+      // sides of the semi-join; released by the harness post-query
+      val d = Caches.persisted(Tables(spark, dir, "documents")
+        .select(
+          md5(trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+            .as("k"),
+          (pmod(hash60(concat(lit("split"), col("doc_id").cast("string"))),
+            lit(100L)) < 90).as("train")))
+      val leaked = d.filter(!col("train"))
+        .join(d.filter(col("train")).select(col("k")).distinct(), Seq("k"), "left_semi")
+        .agg(count(lit(1)).cast("bigint").as("n_leaked"))
+      d.agg(count_if(col("train")).cast("bigint").as("n_train"),
+          count_if(!col("train")).cast("bigint").as("n_test"))
+        .crossJoin(broadcast(leaked))
+        .select(col("n_train"), col("n_test"), col("n_leaked"),
+          pround(col("n_leaked").cast("double") / col("n_test").cast("double"), 4)
+            .as("leak_rate"))
+    },
+    Some("""WITH d AS (SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS k,
+                     CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 100 < 90 AS train
+                   FROM documents),
+            tr AS (SELECT DISTINCT k FROM d WHERE train),
+            lk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_leaked
+                   FROM d WHERE NOT train AND k IN (SELECT k FROM tr)),
+            c AS (SELECT CAST(COUNT(*) FILTER (WHERE train) AS BIGINT) AS n_train,
+                    CAST(COUNT(*) FILTER (WHERE NOT train) AS BIGINT) AS n_test
+                  FROM d)
+            SELECT n_train, n_test, n_leaked,
+              FLOOR((CAST(n_leaked AS DOUBLE) / CAST(n_test AS DOUBLE))
+                * 10000 + 0.5) / 10000 AS leak_rate
+            FROM c CROSS JOIN lk"""))
+
+  /** Cramér's V association strength between event type and 6-hour
+    * time-of-day bucket — "is engagement seasonal by action?" as one
+    * effect-size number. Same full-grid (zero cells included) chi-square
+    * shape as q_chi2 over bounded marginal relations, then
+    * V = sqrt(χ² / (n·min(r−1, c−1))).
+    */
+  private val cramersV = Q(
+    "q_cramers_v",
+    (spark, dir) => {
+      // cached: marginals, total and the grid join all re-read the tiny
+      // observed relation; released by the harness post-query
+      val obs = Caches.persisted(Tables.events(spark, dir)
+        .groupBy(col("event_type").as("s"), expr("hour(ts) div 6").as("p"))
+        .agg(count(lit(1)).as("o")))
+      val rt = obs.groupBy(col("s")).agg(sum(col("o")).cast("bigint").as("r"))
+      val ct = obs.groupBy(col("p")).agg(sum(col("o")).cast("bigint").as("c"))
+      val tot = broadcast(obs.agg(sum(col("o")).cast("bigint").as("t")))
+      rt.crossJoin(ct).crossJoin(tot)
+        .join(obs, Seq("s", "p"), "left")
+        .select(col("s"), col("p"), coalesce(col("o"), lit(0L)).as("o"),
+          ((col("r") * col("c")).cast("double") / col("t").cast("double")).as("e"),
+          col("t"))
+        .agg(
+          max(col("t")).as("n"),
+          countDistinct(col("s")).cast("bigint").as("rdim"),
+          countDistinct(col("p")).cast("bigint").as("cdim"),
+          sum((col("o").cast("double") - col("e")) *
+            (col("o").cast("double") - col("e")) / col("e")).as("x2"))
+        .select(col("n"), col("rdim").cast("int").as("r"), col("cdim").cast("int").as("c"),
+          pround(col("x2"), 4).as("chi2"),
+          pround(sqrt(col("x2") / (col("n").cast("double") *
+            least(col("rdim") - 1, col("cdim") - 1).cast("double"))), 4).as("v"))
+    },
+    Some("""WITH obs AS (SELECT event_type AS s, hour(ts) // 6 AS p,
+                     CAST(COUNT(*) AS BIGINT) AS o
+                   FROM events GROUP BY 1, 2),
+            rt AS (SELECT s, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY s),
+            ct AS (SELECT p, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY p),
+            tot AS (SELECT CAST(SUM(o) AS BIGINT) AS t FROM obs),
+            grid AS (SELECT rt.s, ct.p, COALESCE(obs.o, 0) AS o,
+                       CAST(rt.r * ct.c AS DOUBLE) / CAST(tot.t AS DOUBLE) AS e,
+                       tot.t AS t
+                     FROM rt CROSS JOIN ct CROSS JOIN tot
+                     LEFT JOIN obs ON obs.s = rt.s AND obs.p = ct.p),
+            s AS (SELECT MAX(t) AS n,
+                    CAST(COUNT(DISTINCT s) AS BIGINT) AS rdim,
+                    CAST(COUNT(DISTINCT p) AS BIGINT) AS cdim,
+                    SUM((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e) AS x2
+                  FROM grid)
+            SELECT n, CAST(rdim AS INT) AS r, CAST(cdim AS INT) AS c,
+              FLOOR(x2 * 10000 + 0.5) / 10000 AS chi2,
+              FLOOR(sqrt(x2 / (CAST(n AS DOUBLE)
+                  * CAST(LEAST(rdim - 1, cdim - 1) AS DOUBLE)))
+                * 10000 + 0.5) / 10000 AS v
+            FROM s"""))
+
+  /** Herfindahl-Hirschman market-concentration index over supplier
+    * revenue shares (0–10000 scale), plus the top single share — the
+    * concentration companion to q_gini / q_pareto_share. Revenue funnels
+    * through exact integer cents; the share-square sum accumulates as
+    * decimal(38,0) (HUGEINT in the oracle) so the statistic never
+    * overflows regardless of supplier count or revenue magnitude.
+    */
+  private val hhi = Q(
+    "q_hhi",
+    (spark, dir) => {
+      val s = Tables(spark, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .cast("bigint").as("cents"))
+      s.agg(
+          count(lit(1)).cast("bigint").as("n_suppliers"),
+          sum(col("cents")).cast("bigint").as("tot"),
+          sum((col("cents").cast("decimal(38,0)") * col("cents"))).as("ssq"),
+          max(col("cents")).cast("bigint").as("top_cents"))
+        .select(col("n_suppliers"),
+          pround(col("ssq").cast("double") /
+            (col("tot").cast("double") * col("tot").cast("double")) * 10000.0, 4)
+            .as("hhi"),
+          pround(col("top_cents").cast("double") / col("tot").cast("double"), 4)
+            .as("top_share"))
+    },
+    Some("""WITH s AS (SELECT l_suppkey,
+                  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                FROM lineitem GROUP BY l_suppkey),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                    CAST(SUM(cents) AS BIGINT) AS tot,
+                    SUM(CAST(cents AS HUGEINT) * cents) AS ssq,
+                    CAST(MAX(cents) AS BIGINT) AS top_cents
+                  FROM s)
+            SELECT n_suppliers,
+              FLOOR((CAST(ssq AS DOUBLE)
+                  / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) * 10000.0)
+                * 10000 + 0.5) / 10000 AS hhi,
+              FLOOR((CAST(top_cents AS DOUBLE) / CAST(tot AS DOUBLE))
+                * 10000 + 0.5) / 10000 AS top_share
+            FROM t"""))
+
+  val all: Seq[Q] = Seq(spearman, iqrOutlier, benford, cusum, dauStickiness,
+    splitLeakage, cramersV, hhi)
+}
