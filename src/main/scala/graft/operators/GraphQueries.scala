@@ -294,11 +294,14 @@ object GraphQueries {
     * size is a business constant, not a scale variable), and triangle
     * enumeration uses the textbook degree-ordered orientation: every
     * edge points from its lower-(degree, id) endpoint to the higher, so
-    * out-degrees are O(√m) even on power-law graphs and the wedge join
-    * — the quadratic danger — stays bounded per node. Two hash joins on
-    * node keys close the wedges; output is one bounded census row
-    * (nodes, edges, triangles, global clustering coefficient from the
-    * exact integer wedge count).
+    * out-degrees are O(√m) even on power-law graphs and the wedge work
+    * — the quadratic danger — stays bounded per node. Wedges close by
+    * sorted-adjacency intersection (per edge (a,b), |out(a) ∩ out(b)|):
+    * two node-keyed hash joins of the edge list against the
+    * √m-array-bounded adjacency relation, never a materialized wedge
+    * relation (49M rows at sf0.1 in the naive three-way self-join).
+    * Output is one bounded census row (nodes, edges, triangles, global
+    * clustering coefficient from the exact integer wedge count).
     */
   private val triangleCount = Q(
     "q_triangle_count",
@@ -326,11 +329,20 @@ object GraphQueries {
           when(col("du") < col("dv") ||
             (col("du") === col("dv") && col("u") < col("v")), col("v"))
             .otherwise(col("u")).as("b")))
-      val tri = withDeg.as("e1")
-        .join(withDeg.as("e2"), col("e1.b") === col("e2.a"))
-        .join(withDeg.as("e3"),
-          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-        .agg(count(lit(1)).cast("bigint").as("n_triangles"))
+      // count per edge (a,b) the common out-neighbors of a and b via
+      // sorted-adjacency intersection instead of materializing the wedge
+      // relation (49M rows at sf0.1, shuffled twice by the naive
+      // e1⋈e2⋈e3 form — the measured 40 s bench outlier). Arrays are
+      // bounded by the orientation's O(√m) out-degree cap, so no
+      // aggregation buffer outgrows a node's capped neighbor list.
+      val adj = withDeg.groupBy(col("a"))
+        .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+      val tri = withDeg
+        .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
+        .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"), "left")
+        .select(size(array_intersect(col("na"),
+          coalesce(col("nb"), array().cast("array<bigint>")))).as("t"))
+        .agg(sum(col("t")).cast("bigint").as("n_triangles"))
       val census = deg.agg(
         count(lit(1)).cast("bigint").as("n_nodes"),
         (sum(col("deg")) / 2).cast("bigint").as("n_edges"),

@@ -19,11 +19,19 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CACHE_TABLES=1 reproduces Bench's cached-table session
+    // (plan shapes can differ: InMemoryRelation stats vs file stats)
+    if (sys.env.get("SPARK_GRAFT_CACHE_TABLES").contains("1"))
+      graft.Tables.names.foreach { n =>
+        try graft.Tables(spark, dir, n).cache().count()
+        catch { case _: Throwable => () }
+      }
     val q = graft.Registry.byName(name)
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
       val n = q.build(spark, dir).count()
       println(f"RUN$i%d: ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+      graft.Caches.releaseAll()
     }
     if (args.length > 3 && args(3) == "explain")
       q.build(spark, dir).explain("formatted")

@@ -149,4 +149,25 @@ class PlanSpec extends AnyFunSuite {
       s"pattern match must not buffer a user's whole history:\n$plan")
     assert(plan.contains("Window"), s"expected a running marker window:\n$plan")
   }
+
+  test("q_spearman ranks via the prefix primitive — no unpartitioned window") {
+    val plan = executedPlan("q_spearman")
+    Caches.releaseAll()
+    assert(!plan.contains("Window"),
+      s"global rank windows would single-task the table at scale:\n$plan")
+  }
+
+  test("q_iqr_outlier broadcasts the percentile fences back over the facts") {
+    val plan = executedPlan("q_iqr_outlier")
+    Caches.releaseAll()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast fence join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_cusum reports the drift head via TakeOrdered (no global sort)") {
+    val plan = executedPlan("q_cusum")
+    Caches.releaseAll()
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
 }
