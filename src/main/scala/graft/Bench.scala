@@ -11,6 +11,10 @@ import org.apache.spark.sql.SparkSession
   * reported, so the numbers are steady-state engine throughput rather
   * than JVM warm-up or scheduling noise (round 4's single-timed-run
   * protocol produced 1.0↔3.5 s phantom swings on sub-second queries).
+  * The timed passes sweep the whole suite round-robin so the per-query
+  * samples are minutes apart — a shared-host contention burst then
+  * lands in at most one of a query's three samples and the median
+  * discards it.
   * After every execution the query's registered intermediate caches are
   * released (Caches.releaseAll — the reference's closeJobHandle
   * discipline), so no query's leftovers tax a later query's timing.
@@ -41,26 +45,43 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        val t = (System.nanoTime() - t0) / 1e9
-        Caches.releaseAll() // outside the timed span: harness cost, not query cost
-        t
-      }
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm-up
-      Caches.releaseAll()
-      val med = try {
-        val ts = Seq(once(), once(), once()).sorted
-        ts(1)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        Caches.releaseAll()
-        -1.0
-      }
-      name -> med
+      .toSeq
+    // The three timed passes are interleaved ACROSS the suite (pass 1 of
+    // every query, then pass 2, then pass 3) rather than back-to-back per
+    // query: on a shared host, a minute-long contention burst then taxes
+    // one sample of many queries — which the per-query median discards —
+    // instead of all three samples of whichever query it lands on (the
+    // r5 pathology: q_pagerank's median read 43 s while the identical
+    // plan ran 4 s in a quieter window).
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      Caches.releaseAll() // outside the timed span: harness cost, not query cost
+      t
     }
+    val failed = scala.collection.mutable.Set[String]()
+    selected.foreach { case (name, fn) => // warm-up pass (JIT, codegen, footers)
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed += name
+      }
+      Caches.releaseAll()
+    }
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    for (_ <- 1 to 3) selected.foreach { case (name, fn) =>
+      if (!failed(name))
+        try samples(name) ::= once(fn)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name; Caches.releaseAll()
+        }
+    }
+    val results = selected.map { case (name, _) =>
+      val ts = samples(name).sorted
+      name -> (if (failed(name) || ts.isEmpty) -1.0 else ts(ts.size / 2))
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
