@@ -392,6 +392,100 @@ object AuditQueries {
                 * 10000 + 0.5) / 10000 AS top_share
             FROM t"""))
 
+  /** Jensen-Shannon divergence of each source's token distribution from
+    * the corpus distribution — the training-mix drift audit ("which
+    * source reads least like the corpus"). Distributions are restricted
+    * to the top-500 global tokens plus an OTHER bucket, so they are
+    * complete (probabilities sum to 1) and every per-source summation is
+    * 501-bounded. Each JSD term is floored to integer picounats
+    * (⌊term·10¹²⌋) before summing: float sums are order-dependent across
+    * engines, integer sums are not — the one float step per term
+    * computes from exact integer counts in identical IEEE order. The
+    * vocabulary head is TakeOrdered-bounded and broadcast; token
+    * counting is one hash aggregate per keying.
+    */
+  private val jsDivergence = Q(
+    "q_js_divergence",
+    (spark, dir) => {
+      val tok = Tables(spark, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "")
+      // cached: global totals, the vocab head and the OTHER remainder all
+      // reuse the per-token aggregate; released by the harness post-query
+      val global = Caches.persisted(
+        tok.groupBy(col("t")).agg(count(lit(1)).as("g")))
+      val bigN = broadcast(global.agg(sum(col("g")).cast("bigint").as("n")))
+      val vocab = global.orderBy(col("g").desc, col("t")).limit(500)
+      // OTHER bucket global mass = N − Σ vocab g
+      val vocabG = broadcast(vocab.agg(sum(col("g")).cast("bigint").as("vg")))
+      val srcCounts = tok.join(broadcast(vocab.select(col("t"))), Seq("t"), "left_semi")
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      val srcTotals = tok.groupBy(col("source"))
+        .agg(count(lit(1)).cast("bigint").as("ns"))
+      val srcVocabMass = srcCounts.groupBy(col("source"))
+        .agg(sum(col("c")).cast("bigint").as("vs"))
+      // full (source × vocab∪OTHER) grid with zero cells
+      val grid = srcTotals.crossJoin(broadcast(vocab))
+        .join(srcCounts, Seq("source", "t"), "left")
+        .select(col("source"), col("ns"),
+          coalesce(col("c"), lit(0L)).as("c"), col("g"))
+        .unionAll(srcTotals
+          .join(srcVocabMass, Seq("source"), "left")
+          .crossJoin(vocabG).crossJoin(bigN)
+          .select(col("source"), col("ns"),
+            (col("ns") - coalesce(col("vs"), lit(0L))).as("c"),
+            (col("n") - col("vg")).as("g")))
+      grid.crossJoin(bigN)
+        .select(col("source"), col("ns"),
+          (col("c").cast("double") / col("ns").cast("double")).as("p"),
+          (col("g").cast("double") / col("n").cast("double")).as("q"))
+        .select(col("source"), col("ns"), col("p"), col("q"),
+          ((col("p") + col("q")) / 2.0).as("m"))
+        .select(col("source"), col("ns"),
+          floor((when(col("p") > 0.0, col("p") * log2(col("p") / col("m")))
+            .otherwise(lit(0.0)) * 0.5 +
+            when(col("q") > 0.0, col("q") * log2(col("q") / col("m")))
+              .otherwise(lit(0.0)) * 0.5) * 1e12).cast("long").as("i"))
+        .groupBy(col("source"))
+        .agg(max(col("ns")).as("n_tokens"),
+          pround(sum(col("i")).cast("double") / 1e12, 4).as("jsd"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tok AS (SELECT source, t
+                   FROM (SELECT source, UNNEST(string_split(text, ' ')) AS t
+                         FROM documents)
+                   WHERE t <> ''),
+            global AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS g FROM tok GROUP BY t),
+            bign AS (SELECT CAST(SUM(g) AS BIGINT) AS n FROM global),
+            vocab AS (SELECT t, g FROM global ORDER BY g DESC, t LIMIT 500),
+            vocabg AS (SELECT CAST(SUM(g) AS BIGINT) AS vg FROM vocab),
+            sc AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM tok WHERE t IN (SELECT t FROM vocab)
+                   GROUP BY source, t),
+            st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM tok GROUP BY source),
+            sv AS (SELECT source, CAST(SUM(c) AS BIGINT) AS vs FROM sc GROUP BY source),
+            grid AS (SELECT st.source, st.ns, COALESCE(sc.c, 0) AS c, v.g
+                     FROM st CROSS JOIN vocab v
+                     LEFT JOIN sc ON sc.source = st.source AND sc.t = v.t
+                     UNION ALL
+                     SELECT st.source, st.ns, st.ns - COALESCE(sv.vs, 0) AS c,
+                       bign.n - vocabg.vg AS g
+                     FROM st LEFT JOIN sv ON sv.source = st.source
+                     CROSS JOIN vocabg CROSS JOIN bign),
+            pq AS (SELECT source, ns,
+                     CAST(c AS DOUBLE) / CAST(ns AS DOUBLE) AS p,
+                     CAST(g AS DOUBLE) / CAST(n AS DOUBLE) AS q
+                   FROM grid CROSS JOIN bign),
+            terms AS (SELECT source, ns,
+                        CAST(FLOOR((CASE WHEN p > 0.0 THEN p * log2(p / ((p + q) / 2.0))
+                               ELSE 0.0 END * 0.5
+                             + CASE WHEN q > 0.0 THEN q * log2(q / ((p + q) / 2.0))
+                               ELSE 0.0 END * 0.5) * 1e12) AS BIGINT) AS i
+                      FROM pq)
+            SELECT source, MAX(ns) AS n_tokens,
+              FLOOR((CAST(SUM(i) AS DOUBLE) / 1e12) * 10000 + 0.5) / 10000 AS jsd
+            FROM terms GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(spearman, iqrOutlier, benford, cusum, dauStickiness,
-    splitLeakage, cramersV, hhi)
+    splitLeakage, cramersV, hhi, jsDivergence)
 }

@@ -116,6 +116,19 @@ class AuditPropertiesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n") === Tables.events(spark, dir).count())
   }
 
+  test("js divergence: bounded by [0, 1] bit and covers every source") {
+    val rows = run("q_js_divergence")
+    assert(rows.length ===
+      Tables(spark, dir, "documents").select(col("source")).distinct().count())
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jsd")
+      // JSD with log2 is bounded by 1; the integer-floor funnel can
+      // undershoot 0 by at most 501 picounats
+      assert(j >= -1e-9 && j <= 1.0, s"jsd=$j")
+      assert(r.getAs[Long]("n_tokens") > 0L)
+    }
+  }
+
   test("hhi: between the uniform floor 10000/n and the monopoly cap 10000") {
     val r = run("q_hhi")(0)
     val n = r.getAs[Long]("n_suppliers")
