@@ -26,8 +26,11 @@ object AuditQueries {
     * prefix sum — kept integral as 2·rank = 2·C(<v) + n_v + 1 — joined
     * back to rows by value (hash join keyed on the value, any
     * cardinality). Pearson's formula over the doubled ranks needs only
-    * the five product sums, accumulated as decimal(38,0) so nothing
-    * overflows at any corpus size (DuckDB mirrors with HUGEINT).
+    * the five product sums; each product is formed in decimal(38,0) —
+    * the cast happens BEFORE the multiply, exactly as the oracle's
+    * CAST(rx AS HUGEINT) * rx — so nothing wraps at any corpus size
+    * (doubled ranks reach 2n; a LongType product would silently wrap
+    * past n ≈ 1.5e9 rows with ANSI off).
     */
   private val spearman = Q(
     "q_spearman",
@@ -45,9 +48,9 @@ object AuditQueries {
       r.agg(
           count(lit(1)).cast("bigint").as("n"),
           sum(col("rx").cast(dec)).as("sx"), sum(col("ry").cast(dec)).as("sy"),
-          sum((col("rx") * col("rx")).cast(dec)).as("sxx"),
-          sum((col("ry") * col("ry")).cast(dec)).as("syy"),
-          sum((col("rx") * col("ry")).cast(dec)).as("sxy"))
+          sum(col("rx").cast(dec) * col("rx")).as("sxx"),
+          sum(col("ry").cast(dec) * col("ry")).as("syy"),
+          sum(col("rx").cast(dec) * col("ry")).as("sxy"))
         .select(col("n"),
           pround(
             (col("n").cast("double") * col("sxy").cast("double") -
@@ -298,7 +301,12 @@ object AuditQueries {
     * time-of-day bucket — "is engagement seasonal by action?" as one
     * effect-size number. Same full-grid (zero cells included) chi-square
     * shape as q_chi2 over bounded marginal relations, then
-    * V = sqrt(χ² / (n·min(r−1, c−1))).
+    * V = sqrt(χ² / (n·min(r−1, c−1))). Each chi-square cell term is
+    * floored to integer picounits (⌊term·10¹²⌋) before summing — double
+    * sums are partial-aggregation-order-dependent in Spark and scan-order
+    * -dependent in DuckDB, integer sums are not — and the bounded grid
+    * makes the ≤1e-12-per-cell precision cost negligible (the q_js_divergence
+    * funnel).
     */
   private val cramersV = Q(
     "q_cramers_v",
@@ -320,8 +328,9 @@ object AuditQueries {
           max(col("t")).as("n"),
           countDistinct(col("s")).cast("bigint").as("rdim"),
           countDistinct(col("p")).cast("bigint").as("cdim"),
-          sum((col("o").cast("double") - col("e")) *
-            (col("o").cast("double") - col("e")) / col("e")).as("x2"))
+          (sum(floor((col("o").cast("double") - col("e")) *
+            (col("o").cast("double") - col("e")) / col("e") * 1e12)
+            .cast("long").cast("decimal(38,0)")).cast("double") / 1e12).as("x2"))
         .select(col("n"), col("rdim").cast("int").as("r"), col("cdim").cast("int").as("c"),
           pround(col("x2"), 4).as("chi2"),
           pround(sqrt(col("x2") / (col("n").cast("double") *
@@ -341,7 +350,9 @@ object AuditQueries {
             s AS (SELECT MAX(t) AS n,
                     CAST(COUNT(DISTINCT s) AS BIGINT) AS rdim,
                     CAST(COUNT(DISTINCT p) AS BIGINT) AS cdim,
-                    SUM((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e) AS x2
+                    CAST(SUM(CAST(FLOOR((CAST(o AS DOUBLE) - e)
+                        * (CAST(o AS DOUBLE) - e) / e * 1e12) AS HUGEINT))
+                      AS DOUBLE) / 1e12 AS x2
                   FROM grid)
             SELECT n, CAST(rdim AS INT) AS r, CAST(cdim AS INT) AS c,
               FLOOR(x2 * 10000 + 0.5) / 10000 AS chi2,
@@ -399,8 +410,13 @@ object AuditQueries {
     * complete (probabilities sum to 1) and every per-source summation is
     * 501-bounded. Each JSD term is floored to integer picounats
     * (⌊term·10¹²⌋) before summing: float sums are order-dependent across
-    * engines, integer sums are not — the one float step per term
-    * computes from exact integer counts in identical IEEE order. The
+    * engines, integer sums are not. The per-term float math computes
+    * from exact integer counts in the same operation order, but log2 is
+    * not a correctly-rounded IEEE operation (JVM Math.log vs DuckDB
+    * libm may differ by ulps), so a term sitting exactly on a picounat
+    * boundary can floor differently across engines — the funnel bounds
+    * that disagreement to ≤501·10⁻¹² total, which pround(·, 4) absorbs
+    * with ~8 orders of magnitude to spare. The
     * vocabulary head is TakeOrdered-bounded and broadcast; token
     * counting is one hash aggregate per keying.
     */

@@ -17,15 +17,17 @@ object TextQueries {
 
   /** Flagship [ref]: per-character frequency count — the reference's sample
     * query (`SampleClient.cpp:34-65`) lifted onto documents.text.
-    * Spark `split(text, '')` and DuckDB `regexp_extract_all(text, '(?s).')`
-    * were verified to produce identical char sequences (spaces included,
-    * no empty artifacts).
+    * Tokenized by Unicode code point (`regexp_extract_all(text, '(?s).')`
+    * — Java regex `.` matches a code point, like DuckDB's RE2), the same
+    * idiom as q_char_entropy, so the flagship stays correct on the first
+    * non-BMP character in a fixture where `split(text, '')`'s UTF-16
+    * code units would silently diverge.
     */
   val charCount = Q(
     "q_char_count",
     (spark, dir) =>
       Tables(spark, dir, "documents")
-        .select(explode(split(col("text"), "")).as("ch"))
+        .select(explode(regexp_extract_all(col("text"), lit("(?s)."), lit(0))).as("ch"))
         .filter(col("ch") =!= "")
         .groupBy(col("ch"))
         .agg(count(lit(1)).as("cnt"))

@@ -49,6 +49,17 @@ object VectorQueries {
     k
   }
 
+  /** Scale-adaptive semantic-dedup centroid count: k = max(8, ceil(n /
+    * target)) so the expected cluster population stays ≤ `target` rows
+    * and the within-cluster pair self-join stays task-sized as the
+    * corpus grows (SemDeDup's k ≈ n/target knob, turned from data the
+    * same way [[planesFor]] turns the LSH depth). Pure integer
+    * arithmetic — (n + target - 1) / target — so the DuckDB oracle
+    * reproduces the choice exactly.
+    */
+  private[graft] def semanticK(n: Long, target: Long = 128L): Int =
+    math.max(8L, (n + target - 1) / target).toInt
+
   /** Array scalar functions: size, element access, element sum. */
   private val arrayFuncs = Q(
     "q_array_funcs",
@@ -320,19 +331,30 @@ object VectorQueries {
     * assignment bounds the candidate self-join to cluster-sized blocks —
     * the same all-pairs-avoidance as the LSH buckets, but semantic: near
     * duplicates land in the same cluster because they are close to the
-    * same centroid, not because they hash together. At 100 TB the
-    * centroid count is the knob (SemDeDup runs k ≈ n/target so clusters
-    * stay task-sized; the centroid matrix is driver model state like the
-    * k-means trainer's). Reported per cluster: members, flagged
-    * duplicates, survivors.
+    * same centroid, not because they hash together. The centroid count
+    * is data-driven ([[semanticK]]: one cheap count, then k = max(8,
+    * ceil(n/128)) — SemDeDup's k ≈ n/target knob), so cluster blocks
+    * stay task-sized at any corpus size instead of growing as n/8; the
+    * seeds are the k vectors with the smallest md5(vec_id) — a
+    * hash-scattered pick both engines derive identically, not a prefix
+    * of the id space. The k×dim seed matrix is driver model state like
+    * the k-means trainer's (at 100 TB, where k itself outgrows a
+    * broadcast, assignment goes hierarchical/IVF — same recipe, staged).
+    * Reported per cluster: members, flagged duplicates, survivors.
     */
   private val dedupSemantic = Q(
     "q_dedup_semantic",
     (spark, dir) => {
       val e = Tables(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val cents = e.filter(col("vec_id") < 8)
-        .collect() // 8×64 floats: driver model state, like the k-means init
+      // bounded driver scalar: the row count turns the SemDeDup k knob
+      val k = semanticK(e.count())
+      val cents = e
+        .select(col("vec_id"), col("embedding"),
+          md5(col("vec_id").cast("string")).as("h"))
+        .orderBy(col("h"), col("vec_id"))
+        .limit(k)
+        .collect() // k×64 floats: driver model state, like the k-means init
         .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
         .toSeq.sortBy(_._1)
       val assigned = Caches.persisted(KMeans.assign(e, cents))
@@ -354,7 +376,13 @@ object VectorQueries {
         .orderBy(col("cluster"))
     },
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+            kc AS (SELECT GREATEST(CAST(8 AS BIGINT),
+                     (COUNT(*) + 127) // 128) AS k FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, v AS c FROM (
+                     SELECT vec_id, v,
+                       row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+                     FROM e), kc
+                   WHERE srn <= kc.k),
             assigned AS (SELECT vec_id, cid AS cluster, v FROM (
                            SELECT e.vec_id, c0.cid, e.v,
                              row_number() OVER (PARTITION BY e.vec_id

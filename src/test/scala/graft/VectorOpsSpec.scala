@@ -72,6 +72,23 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(planesFor(500) === 4 && planesFor(5000) === 8)
   }
 
+  test("semantic-dedup centroid count grows with n: expected cluster load stays bounded") {
+    import graft.operators.VectorQueries.semanticK
+    // contract: k >= 8, expected load n/k <= 128, and k is minimal for that
+    for (n <- Seq(1L, 8L, 500L, 1024L, 1025L, 2000L, 50000L, 5000000L, 5000000000L)) {
+      val k = semanticK(n)
+      assert(k >= 8, s"n=$n k=$k floor")
+      assert(n <= k.toLong * 128L, s"n=$n k=$k load ${n / k}")
+      if (k > 8) assert(n > (k.toLong - 1) * 128L, s"n=$n k=$k not minimal")
+      // 10x the corpus: k adapts so the expected load stays <= 128
+      val k10 = semanticK(10 * n)
+      assert(10 * n <= k10.toLong * 128L, s"10x n=$n k=$k10")
+    }
+    // the driver scale factors land on different k (the round-5 defect was
+    // k pinned at 8 regardless of corpus size)
+    assert(semanticK(500) === 8 && semanticK(2000) === 16 && semanticK(1000000) === 7813)
+  }
+
   test("cosine_sim survives whole-stage codegen (plan contains it)") {
     val e = Tables(spark, dir, "embeddings")
     val probe = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("p")))
