@@ -236,5 +236,117 @@ object DedupQueries {
             JOIN sizes sb ON sb.doc_id = i.doc_b
             ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram)
+  /** Asymmetric containment dedup: over the LSH candidate pairs, compute
+    * BOTH directional containments |A∩B|/|A| and |A∩B|/|B| and flag
+    * subset duplicates (max containment ≥ 0.8) — the quote/excerpt case
+    * symmetric Jaccard under-scores (a paragraph fully contained in a
+    * 10× longer page has Jaccard ≈ 0.1 but containment 1.0). Same
+    * candidate generator and intersection-count shape as
+    * q_dedup_minhash; the directional division is the only new math.
+    */
+  private val dedupContainment = Q(
+    "q_dedup_containment",
+    (spark, dir) => {
+      val sh = shingleRel(spark, dir)
+      val cand = minhashCandidates(sh)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          pround(col("i").cast("double") / col("na").cast("double"), 4).as("cont_a"),
+          pround(col("i").cast("double") / col("nb").cast("double"), 4).as("cont_b"))
+        .withColumn("is_subset_dup",
+          (greatest(col("cont_a"), col("cont_b")) >= 0.8).cast("int"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""WITH $minhashCandCte,
+             sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+                       FROM cand c
+                       JOIN sh x ON x.doc_id = c.doc_a
+                       JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+                       GROUP BY c.doc_a, c.doc_b),
+             r AS (SELECT i.doc_a, i.doc_b,
+                     FLOOR((CAST(i.i AS DOUBLE) / CAST(sa.n AS DOUBLE)) * 10000 + 0.5) / 10000 AS cont_a,
+                     FLOOR((CAST(i.i AS DOUBLE) / CAST(sb.n AS DOUBLE)) * 10000 + 0.5) / 10000 AS cont_b
+                   FROM inter i
+                   JOIN sizes sa ON sa.doc_id = i.doc_a
+                   JOIN sizes sb ON sb.doc_id = i.doc_b)
+             SELECT doc_a, doc_b, cont_a, cont_b,
+               CAST(CASE WHEN GREATEST(cont_a, cont_b) >= 0.8 THEN 1 ELSE 0 END AS INT)
+                 AS is_subset_dup
+             FROM r ORDER BY doc_a, doc_b"""))
+
+  /** MinHash-LSH recall audit — the dedup-side twin of q_ann_recall's
+    * index-quality gate. Ground truth: pairs with exact (rounded)
+    * shingle Jaccard ≥ 0.5, DISCOVERED through the df-pruned posting
+    * self-join (shingles in ≤ 50 docs — the q_cosine_pairs DISCO bound
+    * keeping discovery linear in rare-posting mass instead of quadratic
+    * in any boilerplate shingle's document list) and VERIFIED with the
+    * exact Jaccard over the full shingle sets of just the discovered
+    * pairs. A true ≥0.5-Jaccard pair whose every shared shingle sits in
+    * >50 documents would be missed — that is corpus-wide boilerplate,
+    * not near-duplication, and the bound is what makes the audit
+    * runnable at 100 TB. The candidate set is the 16-hash/4-band LSH
+    * generator every dedup pipeline here runs on; reported: truth size,
+    * candidate volume, hits, recall — the number that says whether the
+    * band parameters are safe to ship.
+    */
+  private val minhashRecall = Q(
+    "q_minhash_recall",
+    (spark, dir) => {
+      val sh = shingleRel(spark, dir)
+      val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val rare = sh.join(df.filter(col("df") <= 50).select(col("sh")), "sh")
+      val discovered = rare.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(rare.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val truth = jaccardOf(discovered, sh)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val cand = minhashCandidates(sh).withColumn("hit", lit(1))
+      truth.join(cand, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).cast("bigint").as("n_truth"),
+          count(col("hit")).cast("bigint").as("hits"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).cast("bigint").as("n_cand"))))
+        .select(col("n_truth"), col("n_cand"), col("hits"),
+          pround(col("hits").cast("double") / col("n_truth").cast("double"), 4)
+            .as("recall"))
+    },
+    Some(s"""WITH $minhashCandCte,
+             df AS (SELECT sh AS g, COUNT(*) AS df FROM sh GROUP BY sh),
+             rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN df ON df.g = s.sh
+                      WHERE df.df <= 50),
+             disc AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                      FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+             sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             inter AS (SELECT d.doc_a, d.doc_b, COUNT(*) AS i
+                       FROM disc d
+                       JOIN sh x ON x.doc_id = d.doc_a
+                       JOIN sh y ON y.doc_id = d.doc_b AND y.sh = x.sh
+                       GROUP BY d.doc_a, d.doc_b),
+             truth AS (SELECT i.doc_a, i.doc_b
+                       FROM inter i
+                       JOIN sizes sa ON sa.doc_id = i.doc_a
+                       JOIN sizes sb ON sb.doc_id = i.doc_b
+                       WHERE FLOOR((CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i))
+                               * 10000 + 0.5) / 10000 >= 0.5),
+             h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+                     CAST(COUNT(c.doc_a) AS BIGINT) AS hits
+                   FROM truth t LEFT JOIN cand c
+                     ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+             nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand)
+             SELECT n_truth, n_cand, hits,
+               FLOOR((CAST(hits AS DOUBLE) / CAST(n_truth AS DOUBLE)) * 10000 + 0.5) / 10000 AS recall
+             FROM h CROSS JOIN nc"""))
+
+  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
+    dedupContainment, minhashRecall)
 }

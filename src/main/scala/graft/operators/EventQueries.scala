@@ -484,7 +484,59 @@ object EventQueries {
             FROM grid g JOIN sizes s USING (cohort_week)
             ORDER BY cohort_week, week_offset"""))
 
+  /** Last-touch marketing attribution: every purchase's value is
+    * credited to the user's most recent preceding non-purchase event
+    * type ('direct' when the purchase is the user's first event). The
+    * preceding touch comes from the same O(1) running-window idiom as
+    * q_event_pattern (last IGNORE NULLS over ROWS UNBOUNDED
+    * PRECEDING..1 PRECEDING, ordered by the (ts, event_id) total order)
+    * — per-user state is one value, never a history buffer, and the
+    * window partitions by user_id (unbounded parallelism). Revenue
+    * funnels through exact integer cents; the share computes over the
+    * channel-bounded aggregate.
+    */
+  private val attribution = Q(
+    "q_attribution",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val attributed = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")), true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("touch"), lit("direct")).as("channel"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val byChannel = attributed.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).cast("bigint").as("revenue_cents"))
+      byChannel
+        .withColumn("share",
+          pround(col("revenue_cents").cast("double") /
+            sum(col("revenue_cents")).over(Window.partitionBy()).cast("double"), 4))
+        .orderBy(col("channel"))
+    },
+    Some("""WITH t AS (SELECT user_id, event_type, value,
+                  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+                FROM events),
+            a AS (SELECT COALESCE(touch, 'direct') AS channel,
+                    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+                  FROM t WHERE event_type = 'purchase'),
+            g AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                    CAST(SUM(cents) AS BIGINT) AS revenue_cents
+                  FROM a GROUP BY channel)
+            SELECT channel, n_purchases, revenue_cents,
+              FLOOR((CAST(revenue_cents AS DOUBLE)
+                  / CAST(SUM(revenue_cents) OVER () AS DOUBLE))
+                * 10000 + 0.5) / 10000 AS share
+            FROM g ORDER BY channel"""))
+
   val all: Seq[Q] = Seq(jsonFuncs, timeWindow, sessionize, histogram,
     eventWindowJoin, windowRangeTime, decileStats, decileApprox, funnel,
-    retention, markovTransitions, eventPattern, histogram2d, cohortMatrix)
+    retention, markovTransitions, eventPattern, histogram2d, cohortMatrix,
+    attribution)
 }

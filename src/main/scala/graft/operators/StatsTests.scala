@@ -265,5 +265,115 @@ object StatsTests {
                 * 10000 + 0.5) / 10000 AS pos_share
             FROM r WHERE o_custkey <= 20 ORDER BY o_custkey"""))
 
-  val all: Seq[Q] = Seq(mannWhitney, ksTest, chi2, paretoShare, percentileRank)
+  /** Kendall tau-b rank correlation between daily revenue and daily
+    * order count. The naive all-pairs concordance scan is O(n²) in ROWS;
+    * aggregating to the daily series first makes the pair relation
+    * bounded by the date domain squared — a business constant (~2400
+    * days → ~2.9M pairs) that does not grow with corpus size, the same
+    * bounded-post-aggregate idiom as the histogram windows. Concordance
+    * is decided by integer comparisons (never a difference product,
+    * which would overflow at 100 TB daily-cents magnitudes); ties in
+    * either margin enter the tau-b denominator exactly; float appears
+    * only in the final 1-row formula.
+    */
+  private val kendallTau = Q(
+    "q_kendall_tau",
+    (spark, dir) => {
+      val d = Tables(spark, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .cast("bigint").as("x"),
+          count(lit(1)).cast("bigint").as("y"))
+      val a = d.select(col("day").as("da"), col("x").as("xa"), col("y").as("ya"))
+      val b = d.select(col("day").as("db"), col("x").as("xb"), col("y").as("yb"))
+      a.join(b, col("da") < col("db"))
+        .agg(
+          count(lit(1)).cast("bigint").as("n0"),
+          sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+            (col("xa") > col("xb") && col("ya") > col("yb")), 1L).otherwise(0L))
+            .cast("bigint").as("nc"),
+          sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+            (col("xa") > col("xb") && col("ya") < col("yb")), 1L).otherwise(0L))
+            .cast("bigint").as("nd"),
+          sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).cast("bigint").as("nx"),
+          sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).cast("bigint").as("ny"))
+        .select(col("n0"), col("nc"), col("nd"),
+          pround((col("nc") - col("nd")).cast("double") /
+            sqrt((col("n0") - col("nx")).cast("double") *
+              (col("n0") - col("ny")).cast("double")), 4).as("tau_b"))
+    },
+    Some("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x,
+                  CAST(COUNT(*) AS BIGINT) AS y
+                FROM orders GROUP BY 1),
+            p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+                  FROM d a JOIN d b ON a.day < b.day),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+                    CAST(SUM(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                    CAST(SUM(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+                    CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT) AS nx,
+                    CAST(SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT) AS ny
+                  FROM p)
+            SELECT n0, nc, nd,
+              FLOOR((CAST(nc - nd AS DOUBLE)
+                  / sqrt(CAST(n0 - nx AS DOUBLE) * CAST(n0 - ny AS DOUBLE)))
+                * 10000 + 0.5) / 10000 AS tau_b
+            FROM s"""))
+
+  /** Theil T inequality index over per-customer revenue — the
+    * decomposable companion to q_gini / q_hhi (Theil splits exactly into
+    * between-group + within-group terms, the property a training-mix
+    * audit wants when attributing inequality to sources). Revenue
+    * funnels through exact integer cents; each customer's term
+    * (x/μ)·ln(x/μ) is floored to integer picounits and summed as
+    * decimal(38,0) (order-independent; ln's cross-engine ulp
+    * disagreement is bounded by the funnel and absorbed by pround — the
+    * q_js_divergence discipline). Also reports T normalized by its
+    * ln(n) maximum.
+    */
+  private val theilIndex = Q(
+    "q_theil_index",
+    (spark, dir) => {
+      val rev = Tables(spark, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .cast("bigint").as("cents"))
+      val tot = broadcast(rev.agg(
+        count(lit(1)).cast("bigint").as("n"),
+        sum(col("cents")).cast("bigint").as("tot")))
+      rev.crossJoin(tot)
+        .select(col("n"),
+          (col("cents").cast("double") /
+            (col("tot").cast("double") / col("n").cast("double"))).as("r"))
+        .select(col("n"),
+          floor(col("r") * log(col("r")) * 1e12).cast("long")
+            .cast("decimal(38,0)").as("i"))
+        .groupBy(col("n"))
+        .agg((sum(col("i")).cast("double") / 1e12).as("s"))
+        .select(col("n").as("n_customers"),
+          pround(col("s") / col("n").cast("double"), 4).as("theil"),
+          pround(col("s") / col("n").cast("double") /
+            log(col("n").cast("double")), 4).as("theil_norm"))
+    },
+    Some("""WITH rev AS (SELECT o_custkey,
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY o_custkey),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(cents) AS BIGINT) AS tot FROM rev),
+            i AS (SELECT t.n,
+                    CAST(FLOOR((CAST(cents AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))
+                      * ln(CAST(cents AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))
+                      * 1e12) AS HUGEINT) AS i
+                  FROM rev CROSS JOIN t),
+            s AS (SELECT n, CAST(SUM(i) AS DOUBLE) / 1e12 AS s FROM i GROUP BY n)
+            SELECT n AS n_customers,
+              FLOOR((s / CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000 AS theil,
+              FLOOR((s / CAST(n AS DOUBLE) / ln(CAST(n AS DOUBLE)))
+                * 10000 + 0.5) / 10000 AS theil_norm
+            FROM s"""))
+
+  val all: Seq[Q] = Seq(mannWhitney, ksTest, chi2, paretoShare, percentileRank,
+    kendallTau, theilIndex)
 }

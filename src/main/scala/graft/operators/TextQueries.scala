@@ -880,9 +880,66 @@ object TextQueries {
             WHERE NOT contains(substr(text, i, 2), ' ')
             GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""))
 
+  /** Kneser-Ney smoothed bigram probabilities (absolute discount
+    * d = 0.75) for the 20 most frequent bigrams — the LM-estimation
+    * upgrade over q_bigram_lm's raw MLE: P(w2|w1) = max(c12−d, 0)/c1 +
+    * (d·N1+(w1,·)/c1)·(N1+(·,w2)/|types|), where the continuation
+    * counts N1+ are distinct-neighbor counts. Everything up to the
+    * final per-row formula is exact integer aggregation: bigram counts,
+    * left/right distinct-neighbor counts (each one hash aggregate over
+    * the bigram-count relation — vocabulary-bounded), and the global
+    * type count as a broadcast scalar. The head is TakeOrdered; the
+    * formula runs on 20 rows.
+    */
+  private val knBigram = Q(
+    "q_kn_bigram",
+    (spark, dir) => {
+      // cached: the continuation counts and the head all derive from the
+      // bigram-count relation; released by the harness post-query
+      val bg = graft.Caches.persisted(
+        Tables(spark, dir, "documents")
+          .select(explode(TextOps.wordNGramsAll(col("text"), 2)).as("bg"))
+          .select(substring_index(col("bg"), " ", 1).as("w1"),
+            substring_index(col("bg"), " ", -1).as("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+      val c1 = bg.groupBy(col("w1"))
+        .agg(sum(col("c12")).cast("bigint").as("c1"),
+          count(lit(1)).cast("bigint").as("nfwd")) // N1+(w1, ·)
+      val nback = bg.groupBy(col("w2"))
+        .agg(count(lit(1)).cast("bigint").as("nback")) // N1+(·, w2)
+      val types = broadcast(bg.agg(count(lit(1)).cast("bigint").as("t")))
+      bg.orderBy(col("c12").desc, col("w1"), col("w2")).limit(20)
+        .join(c1, "w1").join(nback, "w2").crossJoin(types)
+        .select(col("w1"), col("w2"), col("c12").cast("bigint").as("cnt"),
+          pround(
+            greatest(col("c12").cast("double") - 0.75, lit(0.0)) / col("c1").cast("double") +
+              (lit(0.75) * col("nfwd").cast("double") / col("c1").cast("double")) *
+                (col("nback").cast("double") / col("t").cast("double")), 4)
+            .as("p_kn"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                          FROM documents),
+            bgr AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+                    FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
+                    WHERE len(ws) >= 2),
+            bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bgr GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                     CAST(COUNT(*) AS BIGINT) AS nfwd FROM bg GROUP BY w1),
+            nb AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nback FROM bg GROUP BY w2),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bg),
+            head AS (SELECT w1, w2, c12 FROM bg ORDER BY c12 DESC, w1, w2 LIMIT 20)
+            SELECT h.w1, h.w2, h.c12 AS cnt,
+              FLOOR((GREATEST(CAST(h.c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1.c1 AS DOUBLE)
+                  + (0.75 * CAST(c1.nfwd AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+                    * (CAST(nb.nback AS DOUBLE) / CAST(t.t AS DOUBLE)))
+                * 10000 + 0.5) / 10000 AS p_kn
+            FROM head h JOIN c1 ON c1.w1 = h.w1 JOIN nb ON nb.w2 = h.w2 CROSS JOIN t
+            ORDER BY cnt DESC, w1, w2"""))
+
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
     tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm,
     repetitionFilter, zipfStats, lmPerplexity, charEntropy, ngramCoverage,
     piiRedact, vocabCoverage, pmiCollocations, bm25, cosinePairs, probeScan,
-    ccnetBucket, bpePairs)
+    ccnetBucket, bpePairs, knBigram)
 }

@@ -222,5 +222,50 @@ object TpchQueries {
             GROUP BY b.d, b.cents
             ORDER BY b.d"""))
 
-  val all: Seq[Q] = Seq(tpchQ3, tpchQ5, anova, ewma)
+  /** TPC-H Q10 (returned-item reporting): the top-20 customers by
+    * revenue lost to returns in one quarter. Plan shape: the quarter
+    * filter prunes orders at the scan, the returnflag filter prunes
+    * lineitem at the scan, orders⋈lineitem is the one fact-fact shuffle
+    * (orderkey), the aggregate runs BEFORE the customer join so the
+    * join's left side is customer-bounded, nation broadcasts, and the
+    * head is TakeOrdered — no global sort of customers.
+    */
+  private val tpchQ10 = Q(
+    "q_tpch_q10",
+    (spark, dir) => {
+      val o = Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables(spark, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), revCents.as("cents"))
+      val rev = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("cents")).cast("bigint").as("revenue_cents"))
+      val c = Tables(spark, dir, "customer")
+        .join(broadcast(Tables(spark, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      rev.join(c, col("o_custkey") === col("c_custkey"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("revenue_cents"),
+          pround(col("c_acctbal"), 2).as("acctbal"), col("n_name"))
+    },
+    Some("""WITH rev AS (SELECT o_custkey,
+                  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1996-04-01'
+                  AND l_returnflag = 'R'
+                GROUP BY o_custkey)
+            SELECT c_custkey, c_name, revenue_cents,
+              FLOOR(c_acctbal * 100 + 0.5) / 100 AS acctbal, n_name
+            FROM rev
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY revenue_cents DESC, c_custkey LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(tpchQ3, tpchQ5, anova, ewma, tpchQ10)
 }

@@ -183,6 +183,194 @@ object TrainPrepQueries {
             FROM ex JOIN stats ON ex.dim = stats.dim
             WHERE vec_id < 20 ORDER BY vec_id, ex.dim"""))
 
+  /** Weighted systematic sampling: 50 evenly-spaced probe positions over
+    * the cumulative token mass pick documents with probability
+    * proportional to length — the deterministic, integer-exact
+    * alternative to weighted reservoir sampling (no RNG state, no float
+    * u^(1/w) knife edges; a document is picked iff a probe lands in its
+    * cumulative interval). The running mass comes from the distributed
+    * prefix sum; the 50-row probe relation broadcasts, so selection is
+    * one linear scan with a 50-way interval test at any corpus size.
+    * Probes are the k interval midpoints ((2j+1)·W) div (2k) + 1 —
+    * pure integer arithmetic both engines replay exactly.
+    */
+  private val systematicSample = Q(
+    "q_systematic_sample",
+    (spark, dir) => {
+      val c = Prefix.withRunningTotals(
+        tokenCounts(spark, dir).filter(col("tc") > 0),
+        Seq(col("doc_id")), Seq("tc"))
+      val w = broadcast(c.agg(max(col("tc_cum")).cast("bigint").as("tot")))
+      val probes = broadcast(spark.range(50).select(col("id").as("j"))
+        .crossJoin(w)
+        // integer division (div), matching the oracle's // exactly
+        .select(col("j"), expr("(2 * j + 1) * tot div 100 + 1").as("pos")))
+      c.join(probes,
+          col("pos") > col("tc_cum") - col("tc") && col("pos") <= col("tc_cum"))
+        .select(col("j").cast("int").as("j"), col("doc_id"), col("tc"))
+        .orderBy(col("j"))
+    },
+    Some(s"""WITH $tokensCte,
+             c AS (SELECT doc_id, tc,
+                     CAST(SUM(tc) OVER (ORDER BY doc_id) AS BIGINT) AS tc_cum
+                   FROM tc WHERE tc > 0),
+             w AS (SELECT MAX(tc_cum) AS tot FROM c),
+             probes AS (SELECT j, ((2 * j + 1) * tot) // 100 + 1 AS pos
+                        FROM UNNEST(generate_series(0, 49)) AS t(j), w)
+             SELECT CAST(j AS INT) AS j, doc_id, tc
+             FROM c JOIN probes ON pos > tc_cum - tc AND pos <= tc_cum
+             ORDER BY j"""))
+
+  /** Class-balance audit of the embedding labels: per-class count,
+    * corpus share, and ratio to the majority class — the first report a
+    * training run prints before choosing class weights. One hash
+    * aggregate; the class-bounded relation then crosses the broadcast
+    * totals.
+    */
+  private val labelBalance = Q(
+    "q_label_balance",
+    (spark, dir) => {
+      val g = Tables(spark, dir, "embeddings")
+        .groupBy(col("label")).agg(count(lit(1)).cast("bigint").as("n"))
+      val tot = broadcast(g.agg(sum(col("n")).cast("bigint").as("tot"),
+        max(col("n")).cast("bigint").as("mx")))
+      g.crossJoin(tot)
+        .select(col("label").cast("int").as("label"), col("n"),
+          pround(col("n").cast("double") / col("tot").cast("double"), 4).as("share"),
+          pround(col("n").cast("double") / col("mx").cast("double"), 4).as("ratio_to_max"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH g AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM embeddings GROUP BY label),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, CAST(MAX(n) AS BIGINT) AS mx FROM g)
+            SELECT CAST(label AS INT) AS label, n,
+              FLOOR((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 10000 + 0.5) / 10000 AS share,
+              FLOOR((CAST(n AS DOUBLE) / CAST(mx AS DOUBLE)) * 10000 + 0.5) / 10000 AS ratio_to_max
+            FROM g CROSS JOIN t ORDER BY label"""))
+
+  /** Curriculum bucketing: order the corpus by the (rounded) quality
+    * score and cut it into 5 equal curriculum stages by exact integer
+    * position arithmetic — easy-to-hard scheduling as a deterministic
+    * assignment. The global ordering is the distributed row-number
+    * primitive (never an unpartitioned window); the sort key is the
+    * pround(4)-rounded score with doc_id tiebreak, so both engines
+    * order identically. Stage = (rn−1)·5 div n, the q_ccnet_bucket
+    * integer cut. Output: per-stage size and score/token ranges.
+    */
+  private val curriculum = Q(
+    "q_curriculum",
+    (spark, dir) => {
+      val (_, _, _, score) = TextOps.qualityScore(col("text"))
+      val scored = Tables(spark, dir, "documents")
+        .select(col("doc_id"), pround(score, 4).as("s"),
+          TextOps.tokenStats(col("text")).getField("n_tokens").cast("long").as("tc"))
+      val (numbered, n) = graft.functions.Ranks.withGlobalRowNumber(
+        scored, Seq(col("s"), col("doc_id")), "rn")
+      numbered
+        .select(col("s"), col("tc"),
+          expr(s"CAST((rn - 1) * 5 div ${n}L AS INT)").as("stage"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("s")).as("min_score"), max(col("s")).as("max_score"),
+          sum(col("tc")).cast("bigint").as("tokens"))
+        .orderBy(col("stage"))
+    },
+    Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                       FROM documents),
+            m AS (SELECT doc_id,
+                    CAST(len(ws) AS BIGINT) AS tc,
+                    CAST(len(ws) AS DOUBLE) AS n_tok,
+                    CASE WHEN len(ws) = 0 THEN 0.0
+                         ELSE CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                              / CAST(len(ws) AS DOUBLE) END AS avg_len,
+                    CASE WHEN len(ws) = 0 THEN 0.0
+                         ELSE CAST(len(list_filter(ws, w -> w IN
+                           ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                           / CAST(len(ws) AS DOUBLE) END AS ratio
+                  FROM t),
+            sc AS (SELECT doc_id, tc,
+                     FLOOR((LEAST(n_tok / 100.0, 1.0) * 0.4 + ratio * 0.3
+                           + LEAST(avg_len / 8.0, 1.0) * 0.3) * 10000 + 0.5) / 10000 AS s
+                   FROM m),
+            r AS (SELECT s, tc,
+                    CAST(ROW_NUMBER() OVER (ORDER BY s, doc_id) AS BIGINT) AS rn,
+                    CAST(COUNT(*) OVER () AS BIGINT) AS n
+                  FROM sc)
+            SELECT CAST(((rn - 1) * 5) // n AS INT) AS stage,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              MIN(s) AS min_score, MAX(s) AS max_score,
+              CAST(SUM(tc) AS BIGINT) AS tokens
+            FROM r GROUP BY stage ORDER BY stage"""))
+
+  /** Deterministic epoch shuffling: each epoch permutes the corpus by
+    * md5(epoch:doc_id) and the query reports each epoch's first five
+    * scheduled documents — the reproducible-data-order contract
+    * (resume-safe training needs position(doc, epoch) to be a pure
+    * function). The per-epoch head is a rank-filtered window, which
+    * Spark executes with a partial WindowGroupLimit below the exchange
+    * (per-partition top-5 heaps first — the per-group TakeOrdered
+    * shape), so no epoch's full permutation ever materializes.
+    */
+  private val epochShuffle = Q(
+    "q_epoch_shuffle",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("epoch")).orderBy(col("h"), col("doc_id"))
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(array(lit(1), lit(2), lit(3))).as("epoch"))
+        .select(col("epoch"), col("doc_id"),
+          md5(concat(col("epoch").cast("string"), lit(":"),
+            col("doc_id").cast("string"))).as("h"))
+        .withColumn("pos", row_number().over(w))
+        .filter(col("pos") <= 5)
+        .select(col("epoch").cast("int").as("epoch"),
+          col("pos").cast("int").as("pos"), col("doc_id"))
+        .orderBy(col("epoch"), col("pos"))
+    },
+    Some("""WITH x AS (SELECT e.epoch, d.doc_id,
+                  md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS h
+                FROM documents d, UNNEST(generate_series(1, 3)) AS e(epoch)),
+            r AS (SELECT epoch, doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS pos
+                  FROM x)
+            SELECT CAST(epoch AS INT) AS epoch, CAST(pos AS INT) AS pos, doc_id
+            FROM r WHERE pos <= 5 ORDER BY epoch, pos"""))
+
+  /** RAG-style chunking: fixed 200-char windows with stride 150 (50-char
+    * overlap) over each document; per document the chunk count, the last
+    * chunk's length, and an order-sensitive content fingerprint
+    * (md5 of the concatenated per-chunk md5s) proving both engines cut
+    * identical chunk sequences. Pure per-row fan-out (explode over the
+    * stride positions) + one partial-aggregated groupBy — rides the scan
+    * at any scale; no chunk list ever exceeds a document's own span.
+    */
+  private val ragChunk = Q(
+    "q_rag_chunk",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .filter(length(col("text")) > 0) // Spark sequence() rejects 0 > -1
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), length(col("text")) - 1, lit(150))).as("st"))
+        .select(col("doc_id"), col("st"),
+          md5(expr("substring(text, st + 1, 200)")).as("m"),
+          (length(col("text")) - col("st")).as("tail_len"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_chunks"),
+          least(min(col("tail_len")), lit(200)).cast("bigint").as("last_chunk_len"),
+          md5(concat_ws("",
+            transform(sort_array(collect_list(struct(col("st"), col("m")))),
+              x => x.getField("m")))).as("fingerprint"))
+        .orderBy(col("doc_id")),
+    Some("""WITH ch AS (SELECT doc_id, st,
+                  md5(substr(text, st + 1, 200)) AS m,
+                  length(text) - st AS tail_len
+                FROM documents, UNNEST(generate_series(0, length(text) - 1, 150)) AS u(st))
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+              CAST(LEAST(MIN(tail_len), 200) AS BIGINT) AS last_chunk_len,
+              md5(string_agg(m, '' ORDER BY st)) AS fingerprint
+            FROM ch GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(seqPack, tokenBuckets, interleave, dedupCanonical,
-    minmaxScale)
+    minmaxScale, systematicSample, labelBalance, curriculum, epochShuffle,
+    ragChunk)
 }
