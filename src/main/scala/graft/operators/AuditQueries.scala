@@ -328,9 +328,14 @@ object AuditQueries {
           max(col("t")).as("n"),
           countDistinct(col("s")).cast("bigint").as("rdim"),
           countDistinct(col("p")).cast("bigint").as("cdim"),
-          (sum(floor((col("o").cast("double") - col("e")) *
+          // floor in decimal space: Spark's floor(double) lands in LongType,
+          // which wraps once a cell term passes ~9.2e6 (terms scale with n,
+          // unlike the ≤1-bounded q_js_divergence probabilities). Casting the
+          // double to decimal(38,6) first keeps the funnel exact to ~1e26
+          // picounits, mirroring the oracle's HUGEINT path.
+          (sum(floor(((col("o").cast("double") - col("e")) *
             (col("o").cast("double") - col("e")) / col("e") * 1e12)
-            .cast("long").cast("decimal(38,0)")).cast("double") / 1e12).as("x2"))
+            .cast("decimal(38,6)"))).cast("double") / 1e12).as("x2"))
         .select(col("n"), col("rdim").cast("int").as("r"), col("cdim").cast("int").as("c"),
           pround(col("x2"), 4).as("chi2"),
           pround(sqrt(col("x2") / (col("n").cast("double") *
@@ -350,8 +355,8 @@ object AuditQueries {
             s AS (SELECT MAX(t) AS n,
                     CAST(COUNT(DISTINCT s) AS BIGINT) AS rdim,
                     CAST(COUNT(DISTINCT p) AS BIGINT) AS cdim,
-                    CAST(SUM(CAST(FLOOR((CAST(o AS DOUBLE) - e)
-                        * (CAST(o AS DOUBLE) - e) / e * 1e12) AS HUGEINT))
+                    CAST(SUM(CAST(FLOOR(CAST((CAST(o AS DOUBLE) - e)
+                        * (CAST(o AS DOUBLE) - e) / e * 1e12 AS DECIMAL(38,6))) AS HUGEINT))
                       AS DOUBLE) / 1e12 AS x2
                   FROM grid)
             SELECT n, CAST(rdim AS INT) AS r, CAST(cdim AS INT) AS c,

@@ -348,7 +348,11 @@ object StatsTests {
           (col("cents").cast("double") /
             (col("tot").cast("double") / col("n").cast("double"))).as("r"))
         .select(col("n"),
-          floor(col("r") * log(col("r")) * 1e12).cast("long")
+          // decimal-space floor: floor(double) yields LongType, which wraps
+          // once r·ln(r)·1e12 passes ~9.2e18 (r ≈ 6e5 under extreme revenue
+          // skew) while the oracle's HUGEINT keeps going. decimal(38,6)
+          // carries the funnel exactly to ~1e26 picounits.
+          floor((col("r") * log(col("r")) * 1e12).cast("decimal(38,6)"))
             .cast("decimal(38,0)").as("i"))
         .groupBy(col("n"))
         .agg((sum(col("i")).cast("double") / 1e12).as("s"))
@@ -363,9 +367,9 @@ object StatsTests {
             t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                     CAST(SUM(cents) AS BIGINT) AS tot FROM rev),
             i AS (SELECT t.n,
-                    CAST(FLOOR((CAST(cents AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))
+                    CAST(FLOOR(CAST((CAST(cents AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))
                       * ln(CAST(cents AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))
-                      * 1e12) AS HUGEINT) AS i
+                      * 1e12 AS DECIMAL(38,6))) AS HUGEINT) AS i
                   FROM rev CROSS JOIN t),
             s AS (SELECT n, CAST(SUM(i) AS DOUBLE) / 1e12 AS s FROM i GROUP BY n)
             SELECT n AS n_customers,

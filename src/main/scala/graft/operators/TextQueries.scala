@@ -935,7 +935,7 @@ object TextQueries {
                     * (CAST(nb.nback AS DOUBLE) / CAST(t.t AS DOUBLE)))
                 * 10000 + 0.5) / 10000 AS p_kn
             FROM head h JOIN c1 ON c1.w1 = h.w1 JOIN nb ON nb.w2 = h.w2 CROSS JOIN t
-            ORDER BY cnt DESC, w1, w2"""))
+            ORDER BY cnt DESC, h.w1, h.w2"""))
 
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
     tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm,

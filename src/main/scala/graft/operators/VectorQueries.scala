@@ -57,8 +57,17 @@ object VectorQueries {
     * arithmetic — (n + target - 1) / target — so the DuckDB oracle
     * reproduces the choice exactly.
     */
-  private[graft] def semanticK(n: Long, target: Long = 128L): Int =
-    math.max(8L, (n + target - 1) / target).toInt
+  private[graft] def semanticK(n: Long, target: Long = 128L): Int = {
+    val k = math.max(8L, (n + target - 1) / target)
+    // fail loudly rather than wrap: .toInt on k > Int.MaxValue (n > ~2.7e11
+    // at the default target) would silently go negative inside limit(k);
+    // past this point the k-centroid broadcast model is the wrong tool
+    // anyway and the caller must shard the centroid table.
+    require(k <= Int.MaxValue,
+      s"semanticK: k=$k exceeds Int range (n=$n, target=$target); " +
+        "shard the centroid model instead of broadcasting")
+    k.toInt
+  }
 
   /** Array scalar functions: size, element access, element sum. */
   private val arrayFuncs = Q(
