@@ -246,23 +246,21 @@ object GraphQueries {
         .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
       val deg = Caches.persisted(
         e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-      // Pin the bare (src, dst) edge list's partitioning on the join key:
-      // every iteration then reuses the cached layout and shuffles only
-      // the (node, rank) vector into it — the edge relation (the 100 TB
-      // side) never moves again, and it carries no degree column (the
-      // division by out-degree happens ONCE per node per iteration on
-      // the node-sized rank vector below, not once per edge).
-      val contrib = Caches.persisted(e.repartition(col("src")))
+      // Pin the edge list's partitioning on the join key WITH the source
+      // degree attached once at setup: every iteration then joins the
+      // (node, rank) vector straight into the cached layout — the edge
+      // relation (the 100 TB side) never moves again, and the degree join
+      // that used to run per iteration runs zero times in the loop. The
+      // per-edge r/deg is the same division of the same operands as a
+      // per-node pre-divide (and is literally the oracle's SUM(r/deg)
+      // form), so the funnel value is bit-identical either way.
+      val contrib = Caches.persisted(e.join(deg, "src").repartition(col("src")))
       val n = deg.count() // bounded driver scalar (node count), like the k-means model state
       var r: DataFrame = deg.select(col("src").as("node"), lit(1.0 / n).as("r"))
       for (_ <- 1 to 3) {
-        // pre-divide on the node-sized vector: V divisions, not E — the
-        // per-edge value r/deg is bit-identical to dividing in the sum
-        val rd = r.join(deg.withColumnRenamed("src", "node"), "node")
-          .select(col("node"), (col("r") / col("deg")).as("w"))
-        r = contrib.join(rd, contrib("src") === rd("node"))
+        r = contrib.join(r, contrib("src") === r("node"))
           .groupBy(col("dst"))
-          .agg(sum(col("w")).as("mass"))
+          .agg(sum(col("r") / col("deg")).as("mass"))
           .select(col("dst").as("node"),
             (lit(0.15 / n) + lit(0.85) * col("mass")).as("r"))
       }

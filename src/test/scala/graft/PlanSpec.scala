@@ -170,4 +170,51 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
+
+  test("q_tpch_q10 aggregates before the customer join and heads via TakeOrdered") {
+    val plan = executedPlan("q_tpch_q10")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k head:\n$plan")
+    // good shape prints the customer/nation broadcast join ABOVE the
+    // revenue aggregate (join consumes the customer-bounded agg output);
+    // aggregating after the join would print the final HashAggregate first
+    val join = plan.indexOf("BroadcastHashJoin")
+    val agg = plan.indexOf("HashAggregate")
+    assert(join >= 0 && agg >= 0 && join < agg,
+      s"aggregate must run below the customer join:\n$plan")
+  }
+
+  test("q_epoch_shuffle heads each epoch via partial WindowGroupLimit heaps") {
+    val plan = executedPlan("q_epoch_shuffle")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected per-partition top-5 heaps below the exchange:\n$plan")
+  }
+
+  test("q_attribution credits via one running window, never a history buffer") {
+    val plan = executedPlan("q_attribution")
+    assert(plan.contains("Window"), s"expected a running last-touch window:\n$plan")
+    assert(!plan.contains("collect_list"),
+      s"attribution must not buffer a user's whole history:\n$plan")
+  }
+
+  test("q_dedup_containment generates candidates via bucket equi-joins (never doc²)") {
+    val plan = executedPlan("q_dedup_containment")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment candidates must come from LSH bucket equi-joins:\n$plan")
+  }
+
+  test("q_minhash_recall reuses the persisted shingle relation (single scan)") {
+    val plan = executedPlan("q_minhash_recall")
+    Caches.releaseAll()
+    assert(plan.contains("InMemoryTableScan"),
+      s"shingle/pair relations must come from the persisted cache:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"discovery must stay bucketed:\n$plan")
+  }
+
+  test("q_systematic_sample selects via broadcast probes — no window over the corpus") {
+    val plan = executedPlan("q_systematic_sample")
+    Caches.releaseAll()
+    assert(plan.contains("Broadcast"), s"expected broadcast probe relation:\n$plan")
+    assert(!plan.contains("Window"),
+      s"cumulative mass must come from the prefix primitive, not a global window:\n$plan")
+  }
 }

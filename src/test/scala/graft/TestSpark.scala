@@ -10,6 +10,11 @@ object TestSpark {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
+    // let AQE re-plan partition counts inside cached-plan materializations
+    // (off by default): at 100 TB it sizes post-shuffle partitions by
+    // bytes; at bench scale it coalesces the 32-way shuffles of tiny
+    // iteration vectors that otherwise pay pure scheduling overhead
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
