@@ -217,4 +217,90 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       s"cumulative mass must come from the prefix primitive, not a global window:\n$plan")
   }
+
+  test("q_tpch_q7 broadcasts every dimension; ship-date filter reaches the scan") {
+    val plan = executedPlan("q_tpch_q7")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation/supplier dims must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThanOrEqual(l_shipdate") || plan.contains("l_shipdate"),
+      s"date filter must prune the lineitem scan:\n$plan")
+  }
+
+  test("q_tpch_q6 is scan-only: all predicates pushed, no join anywhere") {
+    val plan = executedPlan("q_tpch_q6")
+    assert(!plan.contains("Join"), s"Q6 must not join:\n$plan")
+    // toString truncates the filter list; the stable prefix proves all
+    // three columns entered pushdown ahead of the shipdate bound
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual"),
+      s"predicates must reach the parquet scan:\n$plan")
+  }
+
+  test("q_tpch_q13 pre-aggregates orders before the outer join") {
+    val plan = executedPlan("q_tpch_q13")
+    // the per-custkey count aggregate must print BELOW the outer join
+    // (the join consumes the aggregated relation, never raw orders)
+    val join = plan.indexOf("Join")
+    val custAgg = plan.indexOf("HashAggregate(keys=[o_custkey")
+    assert(join >= 0 && custAgg >= 0 && custAgg > join,
+      s"per-customer counts must aggregate below the outer join:\n$plan")
+  }
+
+  test("q_tpch_q19 pushes the implied brand/size bound to the part scan") {
+    val plan = executedPlan("q_tpch_q19")
+    assert(plan.contains("In(p_brand"),
+      s"implied brand bound must reach the part scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the disjunction must not defeat the equi-join:\n$plan")
+  }
+
+  test("q_tpch_q22 tests dormancy via an anti join on the date-pruned scan") {
+    val plan = executedPlan("q_tpch_q22")
+    assert(plan.contains("LeftAnti"), s"expected anti join:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"trailing-window filter must prune the orders scan:\n$plan")
+  }
+
+  test("q_tpch_q8 keeps the 8-table star dimension-broadcast throughout") {
+    val plan = executedPlan("q_tpch_q8")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension chain must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_tpch_q15 broadcasts the scalar max back over the bounded revenue agg") {
+    val plan = executedPlan("q_tpch_q15")
+    // the tie filter must consume the broadcast 1-row max, never
+    // re-shuffle the revenue relation for a second aggregation
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected broadcast max join:\n$plan")
+  }
+
+  test("q_tpch_q17 aggregates per-part stats over the brand-filtered fact only") {
+    val plan = executedPlan("q_tpch_q17")
+    // the brand filter must reach the part scan (EqualTo pushed), and the
+    // per-part aggregate must print BELOW a join (it consumes filtered rows)
+    assert(plan.contains("EqualTo(p_brand,Brand#1)"),
+      s"brand filter must prune the part scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_tpch_q18 filters big orders on lineitem alone before any join") {
+    val plan = executedPlan("q_tpch_q18")
+    // good shape prints the joins ABOVE the HAVING aggregate (joins
+    // consume the threshold-filtered agg output); joining first would
+    // print the final HashAggregate before any join operator
+    val join = math.max(plan.indexOf("BroadcastHashJoin"),
+      plan.indexOf("SortMergeJoin"))
+    val agg = plan.indexOf("HashAggregate")
+    assert(join >= 0 && agg >= 0 && join < agg,
+      s"the quantity aggregate must run below the joins:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-100 head:\n$plan")
+  }
 }

@@ -100,4 +100,80 @@ class StatsAndPrepPropertiesSpec extends AnyFunSuite {
     assert(first.getAs[Double]("ma7_cents") === first.getAs[Long]("cents").toDouble,
       "window of size 1 averages to the value itself")
   }
+
+  test("kendall tau-b matches a naive in-memory concordance count") {
+    // replay the daily (revenue-cents, order-count) series in Scala and
+    // count concordant/discordant/tied pairs with a double loop — the
+    // O(n^2) definition the distributed pair-join must agree with.
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("x"),
+        count(lit(1)).as("y"))
+      .orderBy(col("day"))
+      .collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")))
+    var nc = 0L; var nd = 0L; var nx = 0L; var ny = 0L; var n0 = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length) {
+      val ((xa, ya), (xb, yb)) = (daily(i), daily(j))
+      n0 += 1
+      if ((xa < xb && ya < yb) || (xa > xb && ya > yb)) nc += 1
+      if ((xa < xb && ya > yb) || (xa > xb && ya < yb)) nd += 1
+      if (xa == xb) nx += 1
+      if (ya == yb) ny += 1
+    }
+    val tauB = math.floor((nc - nd).toDouble /
+      math.sqrt((n0 - nx).toDouble * (n0 - ny).toDouble) * 10000 + 0.5) / 10000
+    val r = run("q_kendall_tau")(0)
+    assert(r.getAs[Long]("n0") === n0)
+    assert(r.getAs[Long]("nc") === nc)
+    assert(r.getAs[Long]("nd") === nd)
+    assert(r.getAs[Double]("tau_b") === tauB)
+    assert(math.abs(tauB) <= 1.0, "tau-b is a correlation")
+  }
+
+  test("theil index matches the direct formula and sits in [0, ln n]") {
+    val cents = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .collect().map(_.getAs[Long]("cents").toDouble)
+    val n = cents.length
+    val mu = cents.sum / n
+    val direct = cents.map { x => val r = x / mu; r * math.log(r) }.sum / n
+    val r = run("q_theil_index")(0)
+    assert(r.getAs[Long]("n_customers") === n.toLong)
+    val theil = r.getAs[Double]("theil")
+    // the query floors per-term picounits before summing; the naive sum
+    // doesn't — agreement is to the picounit-truncation tolerance
+    assert(math.abs(theil - direct) < 1e-3,
+      s"distributed $theil vs direct $direct")
+    assert(theil >= 0.0, "Theil T is non-negative (Jensen)")
+    assert(theil <= math.log(n.toDouble), "bounded by ln(n) at max inequality")
+    val norm = r.getAs[Double]("theil_norm")
+    assert(norm >= 0.0 && norm <= 1.0)
+  }
+
+  test("systematic sample replays exactly: 50 probes, each in its interval") {
+    val rows = run("q_systematic_sample")
+    assert(rows.length === 50, "every probe lands in exactly one interval")
+    assert(rows.map(_.getAs[Int]("j")).sorted.toSeq === (0 until 50),
+      "probe indices are 0..49 exactly once")
+    // replay the weighted stride in memory: prefix sums in doc_id order,
+    // probe positions ((2j+1)·W) div 100 + 1, expected doc per probe
+    val tc = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextOps.tokenStats(col("text"))
+          .getField("n_tokens").cast("long").as("tc"))
+      .filter(col("tc") > 0).orderBy(col("doc_id"))
+      .collect().map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("tc")))
+    val cum = tc.scanLeft(0L)(_ + _._2).tail
+    val tot = cum.last
+    val expected = (0 until 50).map { j =>
+      val pos = (2L * j + 1) * tot / 100 + 1
+      val idx = cum.indexWhere(pos <= _)
+      (j, tc(idx)._1, tc(idx)._2)
+    }
+    val got = rows.sortBy(_.getAs[Int]("j"))
+      .map(r => (r.getAs[Int]("j"), r.getAs[String]("doc_id"), r.getAs[Long]("tc")))
+    assert(got.toSeq === expected, "distributed selection replays the stride")
+  }
 }
