@@ -20,11 +20,13 @@ object Tables {
       case n        => spark.read.parquet(s"$sfDir/$n.parquet")
     }
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright. Read nanos as a raw long (legacy
-    * flag) and truncate to microseconds — the identical truncation DuckDB
-    * applies when casting TIMESTAMP_NS to TIMESTAMP, so oracle comparisons
-    * stay exact.
+  /** Driver-generated events.parquet has shipped `ts` in two vintages:
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects — read nanos
+    * as a raw long (legacy flag) and truncate to microseconds, the identical
+    * truncation DuckDB applies casting TIMESTAMP_NS to TIMESTAMP — and plain
+    * naive TIMESTAMP(MICROS), which reads directly as TIMESTAMP under the
+    * session-wide `parquet.inferTimestampNTZ.enabled=false` + UTC pins, so
+    * oracle comparisons stay exact either way.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -19,20 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object Streams {
 
-  /** events.parquet as a bounded stream, with the same nanos→µs timestamp
-    * normalization as `Tables.events`.
+  /** events.parquet as a bounded stream, with the same timestamp
+    * normalization as `Tables.events`: nanos-vintage files surface `ts` as
+    * a raw long (legacy flag) and need the µs truncation; µs-vintage files
+    * already read as TIMESTAMP and pass through.
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.events(spark, sfDir).schema // post-conversion schema probe
+    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val raw = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(schema.map {
-        case f if f.name == "ts" =>
-          f.copy(dataType = org.apache.spark.sql.types.LongType)
-        case f => f
-      }))
+      .schema(fileSchema)
       .parquet(s"$sfDir/events.parq*") // glob: the file source wants a dir/glob
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    fileSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour windowed counts with a 1-hour watermark — the

@@ -15,6 +15,11 @@ object TestSpark {
     // bytes; at bench scale it coalesces the 32-way shuffles of tiny
     // iteration vectors that otherwise pay pure scheduling overhead
     .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    // the driver's synthetic parquet carries naive timestamp[us] columns;
+    // read them as session-UTC instants (TIMESTAMP) rather than NTZ so
+    // unix_micros/window/etc. keep their types — identical values under
+    // the pinned UTC session timezone
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
