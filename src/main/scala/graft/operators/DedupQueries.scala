@@ -390,6 +390,106 @@ object DedupQueries {
                END AS recall
              FROM h CROSS JOIN nc"""))
 
+  /** Non-overlapping 32-token chunks per document — the C4/RefinedWeb
+    * span-dedup granularity (shingles catch near-dups; fixed spans catch
+    * boilerplate and quotation reuse). `slice` is 1-based with an
+    * out-of-range-tolerant length, exactly like DuckDB's `ws[a:b]`, so the
+    * short tail chunk matches bit-for-bit. Empty documents are filtered on
+    * both sides: Spark's `sequence(0, -1)` would count DOWN (a 2-element
+    * array) where DuckDB's `generate_series(0, -1)` is empty.
+    */
+  private def chunkRel(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), TextOps.wordsNative(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(0, (size(ws)-1) div 32), " +
+            "i -> array_join(slice(ws, i*32+1, 32), ' '))")).as("chunk"))
+
+  private val chunkCte =
+    """d AS (SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       FROM documents),
+       ch AS (SELECT doc_id, source,
+         array_to_string(ws[(i*32+1):(i*32+32)], ' ') AS chunk
+       FROM d, UNNEST(generate_series(0, (len(ws)-1)//32)) AS t(i)
+       WHERE len(ws) > 0)"""
+
+  /** Chunk-level exact dedup audit: per document, how many of its fixed
+    * 32-token chunks also appear verbatim in some OTHER document. The
+    * span analog of q_dedup_exact — catches partial copies whole-text
+    * hashing misses and boilerplate minhash dilutes away. Shape: one
+    * chunk-keyed aggregate finds cross-document chunks (content-hashed
+    * shuffle key, skew-free), then a broadcast-size semi relation flags
+    * the chunk rows and a doc-keyed aggregate folds them per document —
+    * never a doc×doc comparison, so the plan is linear in corpus size.
+    */
+  private val chunkDedup = Q(
+    "q_chunk_dedup",
+    (spark, dir) => {
+      // cached: consumed by the cross-doc chunk aggregate AND the per-doc
+      // fold below; released by the harness post-query
+      val c = graft.Caches.persisted(chunkRel(spark, dir))
+      val dup = c.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("chunk").as("dchunk"))
+      c.join(dup, col("chunk") === col("dchunk"), "left_outer")
+        .select(col("doc_id"),
+          when(col("dchunk").isNotNull, 1L).otherwise(0L).as("isdup"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("isdup")).as("n_dup_chunks"))
+        .filter(col("n_dup_chunks") > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $chunkCte,
+             dup AS (SELECT chunk FROM ch GROUP BY chunk
+                     HAVING COUNT(DISTINCT doc_id) >= 2),
+             f AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                     CAST(SUM(CASE WHEN chunk IN (SELECT chunk FROM dup)
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+                   FROM ch GROUP BY doc_id)
+             SELECT doc_id, n_chunks, n_dup_chunks
+             FROM f WHERE n_dup_chunks > 0 ORDER BY doc_id"""))
+
+  /** Duplicate-mass attribution: which SOURCES contribute the duplicated
+    * spans — the report that decides which crawl/feed to down-weight or
+    * re-filter. Same chunk relation as q_chunk_dedup grouped by source
+    * instead of document; ratio is a 4dp portable round of two exact
+    * counts. (Whole-document hashing is degenerate here — the synthetic
+    * corpus has no verbatim full-text duplicates — so the attribution runs
+    * at the span granularity where duplication actually lives.)
+    */
+  private val dupRatioBySource = Q(
+    "q_dup_ratio_by_source",
+    (spark, dir) => {
+      val c = graft.Caches.persisted(chunkRel(spark, dir))
+      val dup = c.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("chunk").as("dchunk"))
+      c.join(dup, col("chunk") === col("dchunk"), "left_outer")
+        .select(col("source"),
+          when(col("dchunk").isNotNull, 1L).otherwise(0L).as("isdup"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("chunks"), sum(col("isdup")).as("dup_chunks"))
+        .select(col("source"), col("chunks"), col("dup_chunks"),
+          pround(col("dup_chunks").cast("double") / col("chunks").cast("double"), 4)
+            .as("dup_ratio"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH $chunkCte,
+             dup AS (SELECT chunk FROM ch GROUP BY chunk
+                     HAVING COUNT(DISTINCT doc_id) >= 2)
+             SELECT source, CAST(COUNT(*) AS BIGINT) AS chunks,
+               CAST(SUM(CASE WHEN chunk IN (SELECT chunk FROM dup)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+               FLOOR((CAST(SUM(CASE WHEN chunk IN (SELECT chunk FROM dup)
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.5) / 10000 AS dup_ratio
+             FROM ch GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
-    dedupContainment, minhashRecall)
+    dedupContainment, minhashRecall, chunkDedup, dupRatioBySource)
 }

@@ -535,8 +535,45 @@ object EventQueries {
                 * 10000 + 0.5) / 10000 AS share
             FROM g ORDER BY channel"""))
 
+  /** Time-to-convert: per user, the latency from FIRST view to the first
+    * purchase at-or-after it, bucketed into whole days — the
+    * conversion-latency histogram a growth report leads with. Both
+    * "firsts" are min-aggregates (partial+final on user_id); the
+    * view→purchase correlation is a user_id equi-join whose `p ≥ v`
+    * residual Spark evaluates post-join, never a time-range cross join.
+    * All arithmetic is integer microseconds (`div` floor = DuckDB `//` on
+    * the non-negative latency), so buckets match bit-for-bit.
+    */
+  private val timeToConvert = Q(
+    "q_time_to_convert",
+    (spark, dir) => {
+      val ev = graft.Tables.events(spark, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("p"))
+      v.join(p, col("user_id") === col("pu") && col("p") >= col("v"))
+        .groupBy(col("user_id"))
+        .agg(min(expr("unix_micros(p) - unix_micros(v)")).as("lat_us"))
+        .select(expr("lat_us div 86400000000").as("latency_days"))
+        .groupBy(col("latency_days")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("latency_days"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                       FROM events),
+            v AS (SELECT user_id, MIN(ts) AS v FROM e
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT v.user_id,
+                    MIN(epoch_us(p.ts) - epoch_us(v.v)) AS lat_us
+                  FROM v JOIN e p ON p.user_id = v.user_id
+                    AND p.event_type = 'purchase' AND p.ts >= v.v
+                  GROUP BY v.user_id)
+            SELECT lat_us // 86400000000 AS latency_days,
+              CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM c GROUP BY latency_days ORDER BY latency_days"""))
+
   val all: Seq[Q] = Seq(jsonFuncs, timeWindow, sessionize, histogram,
     eventWindowJoin, windowRangeTime, decileStats, decileApprox, funnel,
     retention, markovTransitions, eventPattern, histogram2d, cohortMatrix,
-    attribution)
+    attribution, timeToConvert)
 }

@@ -386,5 +386,133 @@ object GraphQueries {
                 * 10000 + 0.5) / 10000 AS clustering_coeff
             FROM census CROSS JOIN tri"""))
 
-  val all: Seq[Q] = Seq(ccDedup, graphDegree, pageRank, triangleCount)
+  /** k-core peeling (k = 3, at most four rounds) over the symmetrized
+    * trade graph: repeatedly drop nodes of degree < 3 and the edges
+    * touching them, then report the surviving degree histogram — the
+    * standard dense-subgraph extraction step before community/influence
+    * analysis. Each round is one degree aggregate plus two node-keyed
+    * semi-joins with the CC loop's persist/unpersist lineage discipline.
+    * The degree relation is MATERIALIZED (count) before the survivor
+    * joins are planned — a persisted-but-unmaterialized survivor set has
+    * unknown stats and silently demotes both semi-joins to sort-merge
+    * (measured 4× slower); with real sizes the planner broadcasts the
+    * node-sized side only when it actually fits. Peeling is idempotent
+    * once no node drops, so the loop exits at the fixpoint (detected by
+    * comparing survivor and node counts — two O(1) actions on the cached
+    * degree relation, no data to the driver): the DuckDB oracle replays a
+    * fixed 4-round unrolled chain whose post-convergence rounds are
+    * identities, keeping the two engines exactly equivalent whether
+    * convergence comes early or not at all.
+    */
+  private val kcore = Q(
+    "q_kcore",
+    (spark, dir) => {
+      val pairs = Caches.persisted(tradeEdges(spark, dir))
+      var e = Caches.persisted(
+        pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"))))
+      var rounds = 0
+      var converged = false
+      while (rounds < 4 && !converged) {
+        val degs = Caches.persisted(
+          e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+        val nNodes = degs.count() // materialize: real stats for the joins
+        val keep = degs.filter(col("deg") >= 3).select(col("src").as("keep"))
+        if (keep.count() == nNodes) {
+          degs.unpersist()
+          converged = true
+        } else {
+          val next = Caches.persisted(
+            e.join(keep, col("src") === col("keep"), "left_semi")
+              .join(keep.select(col("keep").as("k2")), col("dst") === col("k2"), "left_semi"))
+          next.count() // materialize before releasing the previous round
+          e.unpersist()
+          degs.unpersist()
+          e = next
+        }
+        rounds += 1
+      }
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("deg"))
+    },
+    Some(s"""WITH $edgesCte,
+             d0 AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+             k0 AS (SELECT src FROM d0 WHERE deg >= 3),
+             e1 AS (SELECT e.src, e.dst FROM edges e
+                    JOIN k0 x ON e.src = x.src JOIN k0 y ON e.dst = y.src),
+             d1 AS (SELECT src, COUNT(*) AS deg FROM e1 GROUP BY src),
+             k1 AS (SELECT src FROM d1 WHERE deg >= 3),
+             e2 AS (SELECT e.src, e.dst FROM e1 e
+                    JOIN k1 x ON e.src = x.src JOIN k1 y ON e.dst = y.src),
+             d2 AS (SELECT src, COUNT(*) AS deg FROM e2 GROUP BY src),
+             k2 AS (SELECT src FROM d2 WHERE deg >= 3),
+             e3 AS (SELECT e.src, e.dst FROM e2 e
+                    JOIN k2 x ON e.src = x.src JOIN k2 y ON e.dst = y.src),
+             d3 AS (SELECT src, COUNT(*) AS deg FROM e3 GROUP BY src),
+             k3 AS (SELECT src FROM d3 WHERE deg >= 3),
+             e4 AS (SELECT e.src, e.dst FROM e3 e
+                    JOIN k3 x ON e.src = x.src JOIN k3 y ON e.dst = y.src)
+             SELECT CAST(deg AS BIGINT) AS deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+             FROM (SELECT src, COUNT(*) AS deg FROM e4 GROUP BY src)
+             GROUP BY deg ORDER BY deg"""))
+
+  /** Link prediction by neighborhood overlap: distance-2 node pairs (the
+    * graph is bipartite, so these are same-side pairs that never share an
+    * edge) scored by common-neighbor count and Jaccard as an EXACT
+    * parts-per-million integer — cn·10⁶ div (deg_a + deg_b − cn) — so the
+    * top-20 ordering has no float knife edges anywhere. Raw wedge
+    * enumeration is Σdeg² over the intermediates — 345M rows at sf0.1
+    * (supplier hubs average degree ~590) and quadratic in the hub degree
+    * at scale — so the wedge middle is DISCO-pruned exactly like
+    * q_cosine_pairs' posting join: only intermediates with degree ≤ 128
+    * generate pairs (a hub shared by everyone carries no discriminative
+    * signal, the same reason df-pruning drops stopwords), while the
+    * DENOMINATOR keeps the full exact degrees. The oracle applies the
+    * identical cap, so the contract is exact; 14× less wedge mass at
+    * sf0.1 and bounded per-intermediate fan-out at any scale.
+    */
+  private val graphJaccard = Q(
+    "q_graph_jaccard",
+    (spark, dir) => {
+      val pairs = Caches.persisted(tradeEdges(spark, dir))
+      val e = Caches.persisted(
+        pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"))))
+      val deg = Caches.persisted(
+        e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+      val mid = deg.filter(col("deg") <= 128).select(col("src").as("x"))
+      // (x → n) edges whose middle endpoint survives the cap, reused by
+      // both sides of the wedge self-join
+      val ex = Caches.persisted(
+        e.join(mid, col("src") === col("x"), "left_semi")
+          .select(col("src").as("x"), col("dst").as("n")))
+      val wedges = ex
+        .join(ex.select(col("x").as("x2"), col("n").as("m")), col("x") === col("x2"))
+        .filter(col("n") < col("m"))
+        .groupBy(col("n"), col("m")).agg(count(lit(1)).as("cn"))
+      wedges
+        .join(deg.select(col("src").as("n2"), col("deg").as("da")), col("n") === col("n2"))
+        .join(deg.select(col("src").as("m2"), col("deg").as("db")), col("m") === col("m2"))
+        .select(col("n"), col("m"), col("cn"),
+          expr("cn * 1000000 div (da + db - cn)").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("n"), col("m"))
+        .limit(20)
+    },
+    Some(s"""WITH $edgesCte,
+             deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                     FROM edges GROUP BY src),
+             mid AS (SELECT src FROM deg WHERE deg <= 128),
+             ex AS (SELECT e.src AS x, e.dst AS n
+                    FROM edges e JOIN mid ON e.src = mid.src),
+             w AS (SELECT e1.n AS n, e2.n AS m, CAST(COUNT(*) AS BIGINT) AS cn
+                   FROM ex e1 JOIN ex e2 ON e1.x = e2.x AND e1.n < e2.n
+                   GROUP BY e1.n, e2.n)
+             SELECT n, m, cn,
+               CAST((cn * 1000000) // (a.deg + b.deg - cn) AS BIGINT) AS score_ppm
+             FROM w JOIN deg a ON w.n = a.src JOIN deg b ON w.m = b.src
+             ORDER BY score_ppm DESC, n, m LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(ccDedup, graphDegree, pageRank, triangleCount,
+    kcore, graphJaccard)
 }

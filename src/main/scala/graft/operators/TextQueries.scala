@@ -937,9 +937,85 @@ object TextQueries {
             FROM head h JOIN c1 ON c1.w1 = h.w1 JOIN nb ON nb.w2 = h.w2 CROSS JOIN t
             ORDER BY cnt DESC, h.w1, h.w2"""))
 
+  /** Nucleus (top-p) vocabulary cut: the smallest frequency-ordered
+    * vocabulary prefix covering p ∈ {50, 90, 95}% of corpus token mass —
+    * the tokenizer-design report behind "how big must the vocab be".
+    * The cumulative mass over the (count DESC, word) total order comes
+    * from the distributed prefix-sum primitive, NOT an unpartitioned
+    * window, so the vocab-sized relation never lands in one task; the
+    * three thresholds are ceil-divided integers (⌈tot·p/100⌉ =
+    * (tot·p+99) div 100) broadcast against it, and a row belongs to the
+    * p-nucleus iff its EXCLUSIVE prefix (cum − n) is below the threshold
+    * — pure integer comparisons on both engines.
+    */
+  private val nucleusVocab = Q(
+    "q_nucleus_vocab",
+    (spark, dir) => {
+      val vocab = Tables(spark, dir, "documents")
+        .select(explode(TextOps.wordsNative(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val c = graft.functions.Prefix.withRunningTotals(
+        vocab, Seq(col("n").desc, col("word")), Seq("n"))
+      val tot = broadcast(c.agg(max(col("n_cum")).as("tot")))
+      val probes = broadcast(tot
+        .select(explode(expr("array(50, 90, 95)")).as("p"), col("tot"))
+        .select(col("p"), expr("(tot * p + 99) div 100").as("thr")))
+      c.join(probes, col("n_cum") - col("n") < col("thr"))
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("vocab_size"), max(col("n_cum")).as("tokens_covered"))
+        .select(col("p").cast("int").as("p"), col("vocab_size"), col("tokens_covered"))
+        .orderBy(col("p"))
+    },
+    Some("""WITH w AS (SELECT x AS word FROM documents,
+              UNNEST(list_filter(string_split(text, ' '), y -> y <> '')) AS t(x)),
+            v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY word),
+            c AS (SELECT word, n,
+              CAST(SUM(n) OVER (ORDER BY n DESC, word) AS BIGINT) AS n_cum FROM v),
+            tt AS (SELECT MAX(n_cum) AS tot FROM c),
+            probes AS (SELECT p, (tot * p + 99) // 100 AS thr
+                       FROM UNNEST([50, 90, 95]) AS t(p), tt)
+            SELECT CAST(p AS INT) AS p, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+              CAST(MAX(n_cum) AS BIGINT) AS tokens_covered
+            FROM c JOIN probes ON n_cum - n < thr
+            GROUP BY p ORDER BY p"""))
+
+  /** Tokenizer fertility by source: chars-per-token and tokens-per-doc —
+    * the compression report that compares how expensively each corpus
+    * source tokenizes (the whitespace tokenizer stands in for BPE; the
+    * ratio structure is identical). One partial+final aggregate on
+    * source; the two ratios divide exact integer sums and round at 4/2dp
+    * portably.
+    */
+  private val tokenizerFertility = Q(
+    "q_tokenizer_fertility",
+    (spark, dir) => {
+      Tables(spark, dir, "documents")
+        .select(col("source"), col("n_chars").cast("long").as("nc"),
+          TextOps.tokenStats(col("text")).getField("n_tokens").cast("long").as("tc"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"), sum(col("tc")).as("tokens"),
+          sum(col("nc")).as("chars"))
+        .select(col("source"), col("docs"), col("tokens"), col("chars"),
+          pround(col("chars").cast("double") / col("tokens").cast("double"), 4)
+            .as("chars_per_token"),
+          pround(col("tokens").cast("double") / col("docs").cast("double"), 2)
+            .as("tokens_per_doc"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH s AS (SELECT source, CAST(n_chars AS BIGINT) AS nc,
+              CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tc
+            FROM documents)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+              CAST(SUM(tc) AS BIGINT) AS tokens, CAST(SUM(nc) AS BIGINT) AS chars,
+              FLOOR((CAST(SUM(nc) AS DOUBLE) / CAST(SUM(tc) AS DOUBLE)) * 10000 + 0.5) / 10000
+                AS chars_per_token,
+              FLOOR((CAST(SUM(tc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 100 + 0.5) / 100
+                AS tokens_per_doc
+            FROM s GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
     tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm,
     repetitionFilter, zipfStats, lmPerplexity, charEntropy, ngramCoverage,
     piiRedact, vocabCoverage, pmiCollocations, bm25, cosinePairs, probeScan,
-    ccnetBucket, bpePairs, knBigram)
+    ccnetBucket, bpePairs, knBigram, nucleusVocab, tokenizerFertility)
 }

@@ -370,7 +370,41 @@ object TrainPrepQueries {
               md5(string_agg(m, '' ORDER BY st)) AS fingerprint
             FROM ch GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Source mixture weights under square-root temperature (the
+    * multilingual-LM / UniMax sampling flattener): per-source token mass
+    * m_s, weight ∝ √m_s, normalized to a sampling share. √ is floored to
+    * integer micro-units BEFORE the normalizing sum, so the denominator
+    * is exact integer arithmetic at any source fan-in — the only float
+    * ops that cross engines are sqrt (correctly rounded per IEEE-754 in
+    * both) and one final division of two exact integers. One token
+    * aggregate (partial+final on source) plus a broadcast 1-row total.
+    */
+  private val mixtureWeights = Q(
+    "q_mixture_weights",
+    (spark, dir) => {
+      val toks = Tables(spark, dir, "documents")
+        .select(col("source"),
+          TextOps.tokenStats(col("text")).getField("n_tokens").cast("long").as("tc"))
+        .groupBy(col("source")).agg(sum(col("tc")).as("toks"))
+      val w = toks.select(col("source"), col("toks"),
+        floor(sqrt(col("toks").cast("double")) * lit(1000000d)).cast("long").as("w"))
+      val tot = broadcast(w.agg(sum(col("w")).as("wtot")))
+      w.crossJoin(tot)
+        .select(col("source"), col("toks"),
+          pround(col("w").cast("double") / col("wtot").cast("double"), 6).as("share"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (SELECT source,
+              CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS toks
+            FROM documents GROUP BY source),
+            w AS (SELECT source, toks,
+              CAST(FLOOR(SQRT(CAST(toks AS DOUBLE)) * 1000000) AS BIGINT) AS w FROM t),
+            s AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM w)
+            SELECT source, toks,
+              FLOOR((CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS share
+            FROM w CROSS JOIN s ORDER BY source"""))
+
   val all: Seq[Q] = Seq(seqPack, tokenBuckets, interleave, dedupCanonical,
     minmaxScale, systematicSample, labelBalance, curriculum, epochShuffle,
-    ragChunk)
+    ragChunk, mixtureWeights)
 }

@@ -303,4 +303,39 @@ class PlanSpec extends AnyFunSuite {
       s"the quantity aggregate must run below the joins:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-100 head:\n$plan")
   }
+
+  test("q_graph_jaccard takes the top-20 without a global sort") {
+    val plan = executedPlan("q_graph_jaccard")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_chunk_dedup reuses the cached chunk relation on both sides") {
+    val plan = executedPlan("q_chunk_dedup")
+    // the chunk explode must be computed once and read back twice (dup
+    // aggregate + flag join), not re-derived from the parquet scan
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"chunk relation not cache-reused:\n$plan")
+  }
+
+  test("q_time_to_convert joins purchases on user_id (equi), never a time cross join") {
+    val plan = executedPlan("q_time_to_convert")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected an equi join on user_id:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the p >= v residual must ride the equi join:\n$plan")
+  }
+
+  test("q_nucleus_vocab never plans an unpartitioned window") {
+    val plan = executedPlan("q_nucleus_vocab")
+    // the cumulative mass comes from the Prefix primitive; a Window
+    // operator here would mean the vocab collapsed into one task
+    assert(!plan.contains("Window"), s"unpartitioned running window:\n$plan")
+  }
+
+  test("q_mixture_weights broadcasts the 1-row normalizing total") {
+    val plan = executedPlan("q_mixture_weights")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected broadcast total:\n$plan")
+  }
 }
