@@ -188,5 +188,52 @@ object AdvancedJoins {
             WHERE levenshtein(a.name, b.name) <= 4
             ORDER BY dist, name_a, name_b"""))
 
-  val all: Seq[Q] = Seq(asofJoin, rangeJoin, saltedJoin, bloomJoin, fuzzyJoin)
+  /** Market-basket co-purchase lift: part pairs that co-occur in ≥ 2
+    * orders, scored by lift = P(p1,p2) / (P(p1)·P(p2)) as an EXACT
+    * parts-per-million integer (c12·N·10⁶ div (c1·c2)) — the classic
+    * association-rule mining shape. The pair enumeration self-joins the
+    * distinct (order, part) relation on the ORDER key, so fan-out per
+    * order is bounded by basket size squared — a business constant, not a
+    * scale variable (the same argument as q_triangle_count's per-order
+    * pair generation) — and every aggregate shuffles on content keys.
+    * The minimum-support prune (≥ 2) runs inside the pair aggregate's
+    * HAVING, shrinking the relation before the two count joins.
+    */
+  private val marketBasket = Q(
+    "q_market_basket",
+    (spark, dir) => {
+      // cached: the distinct basket relation feeds the pair self-join,
+      // the per-part counts and the order total
+      val d = graft.Caches.persisted(
+        Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
+      val n = broadcast(d.agg(countDistinct(col("o")).as("n_orders")))
+      val c1 = d.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val c12 = d.as("a")
+        .join(d.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+        .agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 2)
+      c12
+        .join(c1.select(col("p").as("p1"), col("c").as("cx")), "p1")
+        .join(c1.select(col("p").as("p2"), col("c").as("cy")), "p2")
+        .crossJoin(n)
+        .select(col("p1"), col("p2"), col("c12"),
+          expr("c12 * n_orders * 1000000 div (cx * cy)").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("p1"), col("p2"))
+        .limit(20)
+    },
+    Some("""WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+            n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM d),
+            c1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY p),
+            c12 AS (SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS c12
+                    FROM d a JOIN d b ON a.o = b.o AND a.p < b.p
+                    GROUP BY a.p, b.p HAVING COUNT(*) >= 2)
+            SELECT p1, p2, c12,
+              CAST((c12 * n_orders * 1000000) // (x.c * y.c) AS BIGINT) AS lift_ppm
+            FROM c12 JOIN c1 x ON c12.p1 = x.p JOIN c1 y ON c12.p2 = y.p CROSS JOIN n
+            ORDER BY lift_ppm DESC, p1, p2 LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(asofJoin, rangeJoin, saltedJoin, bloomJoin, fuzzyJoin,
+    marketBasket)
 }

@@ -490,6 +490,58 @@ object DedupQueries {
                       / CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.5) / 10000 AS dup_ratio
              FROM ch GROUP BY source ORDER BY source"""))
 
+  /** MinHash-LSH precision sweep — the complement of q_minhash_recall's
+    * audit: of the candidate pairs the banded LSH emits, how many are
+    * TRUE near-duplicates at Jaccard thresholds {0.5, 0.7, 0.9}. Tuning
+    * the band/row split is exactly this precision/recall trade, so the
+    * two queries together are the dedup quality dashboard. Candidates
+    * and their exact Jaccard are computed once (persisted) and the three
+    * thresholds probe the bounded scored relation via a broadcast
+    * nested-loop — never re-running the LSH. The Spark-side 4dp-rounded
+    * Jaccard and the double threshold literals are bit-identical in both
+    * engines, so the >= cut has no knife edges.
+    */
+  private val minhashPrecision = Q(
+    "q_minhash_precision",
+    (spark, dir) => {
+      val sh = graft.Caches.persisted(shingleRel(spark, dir))
+      val cand = graft.Caches.persisted(minhashCandidates(sh))
+      val j = jaccardOf(cand, sh) // inner: only pairs sharing ≥1 shingle
+      val nc = broadcast(cand.agg(count(lit(1)).as("n_cand")))
+      val thr = broadcast(spark.range(1)
+        .select(explode(expr("array(0.5d, 0.7d, 0.9d)")).as("thr")))
+      thr.join(j, col("jaccard") >= col("thr"), "left_outer")
+        .groupBy(col("thr")).agg(count(col("jaccard")).as("n_true"))
+        .crossJoin(nc)
+        .select(col("thr"), col("n_cand"), col("n_true"),
+          when(col("n_cand") === 0, lit(null).cast("double"))
+            .otherwise(pround(col("n_true").cast("double") / col("n_cand").cast("double"), 4))
+            .as("prec"))
+        .orderBy(col("thr"))
+    },
+    Some(s"""WITH $minhashCandCte,
+             sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM sh GROUP BY doc_id),
+             i AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+                   FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                   JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+                   GROUP BY c.doc_a, c.doc_b),
+             j AS (SELECT FLOOR((CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i))
+                     * 10000 + 0.5) / 10000 AS jaccard
+                   FROM i JOIN sizes sa ON sa.doc_id = i.doc_a
+                   JOIN sizes sb ON sb.doc_id = i.doc_b),
+             nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+             t AS (SELECT CAST(thr AS DOUBLE) AS thr
+                   FROM UNNEST([0.5, 0.7, 0.9]) AS u(thr))
+             SELECT thr, n_cand, CAST(COUNT(j.jaccard) AS BIGINT) AS n_true,
+               CASE WHEN n_cand = 0 THEN NULL
+                    ELSE FLOOR((CAST(COUNT(j.jaccard) AS DOUBLE)
+                      / CAST(n_cand AS DOUBLE)) * 10000 + 0.5) / 10000
+               END AS prec
+             FROM t LEFT JOIN j ON j.jaccard >= t.thr CROSS JOIN nc
+             GROUP BY thr, n_cand ORDER BY thr"""))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
-    dedupContainment, minhashRecall, chunkDedup, dupRatioBySource)
+    dedupContainment, minhashRecall, chunkDedup, dupRatioBySource,
+    minhashPrecision)
 }

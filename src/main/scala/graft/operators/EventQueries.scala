@@ -572,8 +572,125 @@ object EventQueries {
               CAST(COUNT(*) AS BIGINT) AS n_users
             FROM c GROUP BY latency_days ORDER BY latency_days"""))
 
+  /** Top navigation paths: the first three events of every session
+    * (q_sessionize's exact 30-minute gap rule), joined into a '>' path
+    * string, ranked by session count — the "what do users do first"
+    * product report. The path is assembled by sorting a collected
+    * (rank, type) struct array INSIDE each group — rank is unique within
+    * the session, so array_sort gives one deterministic order with no
+    * cross-partition collection; sessions are user-bounded so no group
+    * outgrows a task. TakeOrdered(20) caps the output.
+    */
+  private val sessionPaths = Q(
+    "q_session_paths",
+    (spark, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bySession = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(spark, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            (unix_micros(col("ts")) - col("prev_us")) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(run).cast("bigint"))
+        .withColumn("rn", row_number().over(bySession))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(struct(rn, event_type))), s -> s.event_type), '>')")
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+            l AS (SELECT user_id, event_id, event_type, ts,
+                    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                  FROM e),
+            f AS (SELECT user_id, event_id, event_type, ts,
+                    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                         THEN 1 ELSE 0 END AS new_s
+                  FROM l),
+            g AS (SELECT user_id, event_id, event_type, ts,
+                    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+                  FROM f),
+            r AS (SELECT user_id, session_id, event_type,
+                    ROW_NUMBER() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS rn
+                  FROM g),
+            p AS (SELECT user_id, session_id,
+                    string_agg(event_type, '>' ORDER BY rn) AS path
+                  FROM r WHERE rn <= 3 GROUP BY user_id, session_id)
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"""))
+
+  /** Cold-start conversion share: purchasers whose FIRST purchase has no
+    * view at-or-before it — the "bought without browsing" segment that
+    * calibrates attribution models. One min-aggregate for first
+    * purchases, one left-anti join against views with the time residual
+    * riding the user_id equi-join, three bounded counts.
+    */
+  private val coldStart = Q(
+    "q_cold_start",
+    (spark, dir) => {
+      val ev = graft.Tables.events(spark, dir)
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fp"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("ts").as("vts"))
+      val cold = fp.join(views,
+        col("user_id") === col("vu") && col("vts") <= col("fp"), "left_anti")
+      val nP = broadcast(fp.agg(count(lit(1)).as("n_purchasers")))
+      cold.agg(count(lit(1)).as("n_cold")).crossJoin(nP)
+        .select(col("n_purchasers"), col("n_cold"),
+          pround(col("n_cold").cast("double") / col("n_purchasers").cast("double"), 4)
+            .as("cold_share"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+            fp AS (SELECT user_id, MIN(ts) AS fp FROM e
+                   WHERE event_type = 'purchase' GROUP BY user_id),
+            cold AS (SELECT fp.user_id FROM fp
+                     WHERE NOT EXISTS (SELECT 1 FROM e v WHERE v.user_id = fp.user_id
+                                       AND v.event_type = 'view' AND v.ts <= fp.fp))
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n_purchasers,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM cold) AS n_cold,
+              FLOOR((CAST((SELECT COUNT(*) FROM cold) AS DOUBLE)
+                     / CAST((SELECT COUNT(*) FROM fp) AS DOUBLE)) * 10000 + 0.5) / 10000
+                AS cold_share"""))
+
+  /** Week-over-week volume growth: weekly event counts plus the growth
+    * rate vs the prior week — the BI pulse metric. The week relation is
+    * bounded by the calendar, so the single ordered lag window runs over
+    * an already-aggregated handful of rows (never the raw events), and
+    * the growth ratio divides two exact counts.
+    */
+  private val growthWow = Q(
+    "q_growth_wow",
+    (spark, dir) => {
+      val w = graft.Tables.events(spark, dir)
+        .groupBy(date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(count(lit(1)).as("n"))
+      w.withColumn("prev", lag(col("n"), 1).over(Window.orderBy(col("week"))))
+        .select(col("week"), col("n"), col("prev"),
+          when(col("prev").isNull, lit(null).cast("double"))
+            .otherwise(pround(col("n").cast("double") / col("prev").cast("double") - 1.0, 4))
+            .as("wow_growth"))
+        .orderBy(col("week"))
+    },
+    Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+            w AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+                    CAST(COUNT(*) AS BIGINT) AS n
+                  FROM e GROUP BY week),
+            g AS (SELECT week, n, lag(n) OVER (ORDER BY week) AS prev FROM w)
+            SELECT week, n, prev,
+              CASE WHEN prev IS NULL THEN NULL
+                   ELSE FLOOR((CAST(n AS DOUBLE) / CAST(prev AS DOUBLE) - 1.0) * 10000 + 0.5) / 10000
+              END AS wow_growth
+            FROM g ORDER BY week"""))
+
   val all: Seq[Q] = Seq(jsonFuncs, timeWindow, sessionize, histogram,
     eventWindowJoin, windowRangeTime, decileStats, decileApprox, funnel,
     retention, markovTransitions, eventPattern, histogram2d, cohortMatrix,
-    attribution, timeToConvert)
+    attribution, timeToConvert, sessionPaths, coldStart, growthWow)
 }

@@ -513,6 +513,64 @@ object GraphQueries {
              FROM w JOIN deg a ON w.n = a.src JOIN deg b ON w.m = b.src
              ORDER BY score_ppm DESC, n, m LIMIT 20"""))
 
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * across every directed edge of the symmetrized trade graph — the
+    * one-number summary of whether hubs attach to hubs (a bipartite
+    * customer–supplier graph is strongly DISassortative: high-degree
+    * suppliers pair with low-degree customers). All six moment sums are
+    * EXACT integer aggregates carried in decimal(38,0) (bigint products
+    * overflow past ~10⁷ edges; DuckDB's HUGEINT path is mirrored by the
+    * decimal cast), and only the final normalization touches doubles —
+    * two correctly-rounded sqrts and one division of exactly-represented
+    * integers, identical in both engines. Two node-keyed degree joins +
+    * one scalar aggregate; no driver state.
+    */
+  private val assortativity = Q(
+    "q_assortativity",
+    (spark, dir) => {
+      import graft.functions.Portable.pround
+      val pairs = Caches.persisted(tradeEdges(spark, dir))
+      val e = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val deg = Caches.persisted(
+        e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+      val xy = e
+        .join(deg.select(col("src").as("s2"), col("deg").as("x")), col("src") === col("s2"))
+        .join(deg.select(col("src").as("d2"), col("deg").as("y")), col("dst") === col("d2"))
+        .select(col("x"), col("y"))
+      xy.agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).cast("decimal(38,0)").as("sx"),
+          sum(col("y")).cast("decimal(38,0)").as("sy"),
+          sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
+          sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+          sum(col("y") * col("y")).cast("decimal(38,0)").as("syy"))
+        .select(col("n").cast("bigint").as("n_edges"),
+          pround(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+            .as("assortativity"))
+    },
+    Some(s"""WITH $edgesCte,
+             deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                     FROM edges GROUP BY src),
+             xy AS (SELECT da.deg AS x, db.deg AS y
+                    FROM edges e JOIN deg da ON e.src = da.src
+                    JOIN deg db ON e.dst = db.src),
+             s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+                     CAST(SUM(x*y) AS HUGEINT) AS sxy,
+                     CAST(SUM(x*x) AS HUGEINT) AS sxx,
+                     CAST(SUM(y*y) AS HUGEINT) AS syy
+                   FROM xy)
+             SELECT CAST(n AS BIGINT) AS n_edges,
+               FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(n * syy - sy * sy AS DOUBLE))))
+                 * 1000000 + 0.5) / 1000000 AS assortativity
+             FROM s"""))
+
   val all: Seq[Q] = Seq(ccDedup, graphDegree, pageRank, triangleCount,
-    kcore, graphJaccard)
+    kcore, graphJaccard, assortativity)
 }

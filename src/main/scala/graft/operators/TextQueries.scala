@@ -1013,9 +1013,39 @@ object TextQueries {
                 AS tokens_per_doc
             FROM s GROUP BY source ORDER BY source"""))
 
+  /** Language-mix audit: per corpus source, the number of distinct
+    * languages, document count, and the Shannon entropy (bits) of its
+    * language distribution — the multilingual-balance report behind
+    * sampling decisions. Same portable entropy funnel as q_char_entropy:
+    * H = log2(N) − Σ c·log2(c) / N over exact integer counts, rounded at
+    * 4dp. Two nested hash aggregates, both partial+final; output bounded
+    * by sources × languages.
+    */
+  private val langMix = Q(
+    "q_lang_mix",
+    (spark, dir) => {
+      Tables(spark, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_langs"), sum(col("c")).cast("bigint").as("docs"),
+          pround(
+            log2(sum(col("c")).cast("double")) -
+              sum(col("c").cast("double") * log2(col("c").cast("double"))) /
+                sum(col("c")).cast("double"), 4).as("lang_entropy"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+                       FROM documents GROUP BY source, lang)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+              CAST(SUM(c) AS BIGINT) AS docs,
+              FLOOR((log2(CAST(SUM(c) AS DOUBLE))
+                - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                  / CAST(SUM(c) AS DOUBLE)) * 10000 + 0.5) / 10000 AS lang_entropy
+            FROM c GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
     tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm,
     repetitionFilter, zipfStats, lmPerplexity, charEntropy, ngramCoverage,
     piiRedact, vocabCoverage, pmiCollocations, bm25, cosinePairs, probeScan,
-    ccnetBucket, bpePairs, knBigram, nucleusVocab, tokenizerFertility)
+    ccnetBucket, bpePairs, knBigram, nucleusVocab, tokenizerFertility, langMix)
 }

@@ -404,7 +404,52 @@ object TrainPrepQueries {
               FLOOR((CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS share
             FROM w CROSS JOIN s ORDER BY source"""))
 
+  /** T5-style span-corruption statistics: tokens are cut into 3-token
+    * blocks and a block is masked iff hash60(doc_id:block) ≡ 0 (mod 7) —
+    * a deterministic ≈1/7 span-level corruption schedule both engines
+    * replay exactly (hash60 is the repo's canonical portable hash).
+    * Per document: token count, masked-token count, mask ratio. The
+    * block explosion is sequence+explode bounded by ⌈tokens/3⌉ — linear,
+    * partition-local, no shuffle until the per-doc fold. Empty documents
+    * are filtered (Spark's sequence(0,-1) counts DOWN where DuckDB's
+    * generate_series is empty — the q_chunk_dedup guard).
+    */
+  private val spanMask = Q(
+    "q_span_mask",
+    (spark, dir) => {
+      import graft.functions.Portable.hash60
+      val b = tokenCounts(spark, dir).filter(col("tc") > 0)
+        .select(col("doc_id"), col("tc"), expr("(tc + 2) div 3").as("nb"))
+      b.select(col("doc_id"), col("tc"), col("nb"),
+          explode(expr("sequence(0, nb - 1)")).as("i"))
+        .select(col("doc_id"), col("tc"),
+          when(col("i") < col("nb") - 1, 3L)
+            .otherwise(col("tc") - (col("nb") - 1) * 3).as("bsz"),
+          when(hash60(concat_ws(":", col("doc_id"), col("i"))) % 7 === 0, 1L)
+            .otherwise(0L).as("m"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("tc")).as("n_tokens"),
+          sum(col("m") * col("bsz")).as("n_masked"))
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          pround(col("n_masked").cast("double") / col("n_tokens").cast("double"), 4)
+            .as("mask_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $tokensCte,
+             b AS (SELECT doc_id, tc, (tc + 2) // 3 AS nb FROM tc WHERE tc > 0),
+             blk AS (SELECT doc_id, tc,
+                 CASE WHEN i < nb - 1 THEN 3 ELSE tc - (nb - 1) * 3 END AS bsz,
+                 CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                     || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 7 = 0
+                      THEN 1 ELSE 0 END AS m
+               FROM b, UNNEST(generate_series(0, nb - 1)) AS t(i))
+             SELECT doc_id, CAST(MAX(tc) AS BIGINT) AS n_tokens,
+               CAST(SUM(m * bsz) AS BIGINT) AS n_masked,
+               FLOOR((CAST(SUM(m * bsz) AS DOUBLE) / CAST(MAX(tc) AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS mask_ratio
+             FROM blk GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(seqPack, tokenBuckets, interleave, dedupCanonical,
     minmaxScale, systematicSample, labelBalance, curriculum, epochShuffle,
-    ragChunk, mixtureWeights)
+    ragChunk, mixtureWeights, spanMask)
 }

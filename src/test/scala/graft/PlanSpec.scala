@@ -338,4 +338,26 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"expected broadcast total:\n$plan")
   }
+
+  test("q_market_basket prunes support inside the pair aggregate and takes top-20") {
+    val plan = executedPlan("q_market_basket")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+    // the c12 >= 2 prune must ride the aggregate, not a separate pass
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("q_growth_wow's lag window runs over the aggregated weekly relation") {
+    val plan = executedPlan("q_growth_wow")
+    // aggregate BEFORE window: the HashAggregate must print below Window
+    val win = plan.indexOf("Window")
+    val agg = plan.lastIndexOf("HashAggregate")
+    assert(win >= 0 && agg >= 0 && win < agg,
+      s"weekly aggregate must feed the window, not raw events:\n$plan")
+  }
+
+  test("q_assortativity carries its moment sums without a cartesian") {
+    val plan = executedPlan("q_assortativity")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
 }
