@@ -198,6 +198,10 @@ object AdvancedJoins {
     * pair generation) — and every aggregate shuffles on content keys.
     * The minimum-support prune (≥ 2) runs inside the pair aggregate's
     * HAVING, shrinking the relation before the two count joins.
+    * Range note: the lift numerator c12·N·10⁶ is exact in BIGINT up to
+    * c12·N ≈ 9.2·10¹² (≈ 3·10⁶ orders at worst-case co-occurrence);
+    * BOTH engines overflow loudly past it (neither promotes silently) —
+    * at larger N, pre-scale the funnel or move both sides to 128-bit.
     */
   private val marketBasket = Q(
     "q_market_basket",

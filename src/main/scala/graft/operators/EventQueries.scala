@@ -644,7 +644,11 @@ object EventQueries {
       val nP = broadcast(fp.agg(count(lit(1)).as("n_purchasers")))
       cold.agg(count(lit(1)).as("n_cold")).crossJoin(nP)
         .select(col("n_purchasers"), col("n_cold"),
-          pround(col("n_cold").cast("double") / col("n_purchasers").cast("double"), 4)
+          // 0-purchaser guard: 0/0 is NaN on Spark but engine-dependent in
+          // DuckDB (ieee_floating_point_ops) — the q_minhash_recall rule
+          when(col("n_purchasers") === 0, lit(null).cast("double"))
+            .otherwise(
+              pround(col("n_cold").cast("double") / col("n_purchasers").cast("double"), 4))
             .as("cold_share"))
     },
     Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -655,9 +659,10 @@ object EventQueries {
                                        AND v.event_type = 'view' AND v.ts <= fp.fp))
             SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n_purchasers,
               (SELECT CAST(COUNT(*) AS BIGINT) FROM cold) AS n_cold,
-              FLOOR((CAST((SELECT COUNT(*) FROM cold) AS DOUBLE)
+              CASE WHEN (SELECT COUNT(*) FROM fp) = 0 THEN NULL
+                   ELSE FLOOR((CAST((SELECT COUNT(*) FROM cold) AS DOUBLE)
                      / CAST((SELECT COUNT(*) FROM fp) AS DOUBLE)) * 10000 + 0.5) / 10000
-                AS cold_share"""))
+              END AS cold_share"""))
 
   /** Week-over-week volume growth: weekly event counts plus the growth
     * rate vs the prior week — the BI pulse metric. The week relation is

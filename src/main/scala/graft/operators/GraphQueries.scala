@@ -546,10 +546,15 @@ object GraphQueries {
           sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
           sum(col("y") * col("y")).cast("decimal(38,0)").as("syy"))
         .select(col("n").cast("bigint").as("n_edges"),
-          pround(
-            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          // zero-variance guard (all degrees equal): 0/0 crosses engines
+          // differently; the correlation is undefined there
+          when((col("n") * col("sxx") - col("sx") * col("sx")) === 0 ||
+              (col("n") * col("syy") - col("sy") * col("sy")) === 0,
+            lit(null).cast("double"))
+            .otherwise(pround(
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                  sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6))
             .as("assortativity"))
     },
     Some(s"""WITH $edgesCte,
@@ -565,10 +570,12 @@ object GraphQueries {
                      CAST(SUM(y*y) AS HUGEINT) AS syy
                    FROM xy)
              SELECT CAST(n AS BIGINT) AS n_edges,
-               FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
-                    * SQRT(CAST(n * syy - sy * sy AS DOUBLE))))
-                 * 1000000 + 0.5) / 1000000 AS assortativity
+               CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                    ELSE FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * SQRT(CAST(n * syy - sy * sy AS DOUBLE))))
+                      * 1000000 + 0.5) / 1000000
+               END AS assortativity
              FROM s"""))
 
   val all: Seq[Q] = Seq(ccDedup, graphDegree, pageRank, triangleCount,

@@ -996,7 +996,9 @@ object TextQueries {
         .agg(count(lit(1)).as("docs"), sum(col("tc")).as("tokens"),
           sum(col("nc")).as("chars"))
         .select(col("source"), col("docs"), col("tokens"), col("chars"),
-          pround(col("chars").cast("double") / col("tokens").cast("double"), 4)
+          // all-empty-source guard: x/0 is Infinity-vs-engine-dependent
+          when(col("tokens") === 0, lit(null).cast("double"))
+            .otherwise(pround(col("chars").cast("double") / col("tokens").cast("double"), 4))
             .as("chars_per_token"),
           pround(col("tokens").cast("double") / col("docs").cast("double"), 2)
             .as("tokens_per_doc"))
@@ -1007,8 +1009,9 @@ object TextQueries {
             FROM documents)
             SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
               CAST(SUM(tc) AS BIGINT) AS tokens, CAST(SUM(nc) AS BIGINT) AS chars,
-              FLOOR((CAST(SUM(nc) AS DOUBLE) / CAST(SUM(tc) AS DOUBLE)) * 10000 + 0.5) / 10000
-                AS chars_per_token,
+              CASE WHEN SUM(tc) = 0 THEN NULL
+                   ELSE FLOOR((CAST(SUM(nc) AS DOUBLE) / CAST(SUM(tc) AS DOUBLE)) * 10000 + 0.5) / 10000
+              END AS chars_per_token,
               FLOOR((CAST(SUM(tc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 100 + 0.5) / 100
                 AS tokens_per_doc
             FROM s GROUP BY source ORDER BY source"""))

@@ -391,7 +391,10 @@ object TrainPrepQueries {
       val tot = broadcast(w.agg(sum(col("w")).as("wtot")))
       w.crossJoin(tot)
         .select(col("source"), col("toks"),
-          pround(col("w").cast("double") / col("wtot").cast("double"), 6).as("share"))
+          // all-empty-corpus guard: 0/0 crosses engines differently
+          when(col("wtot") === 0, lit(null).cast("double"))
+            .otherwise(pround(col("w").cast("double") / col("wtot").cast("double"), 6))
+            .as("share"))
         .orderBy(col("source"))
     },
     Some("""WITH t AS (SELECT source,
@@ -401,7 +404,9 @@ object TrainPrepQueries {
               CAST(FLOOR(SQRT(CAST(toks AS DOUBLE)) * 1000000) AS BIGINT) AS w FROM t),
             s AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM w)
             SELECT source, toks,
-              FLOOR((CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS share
+              CASE WHEN wtot = 0 THEN NULL
+                   ELSE FLOOR((CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE)) * 1000000 + 0.5) / 1000000
+              END AS share
             FROM w CROSS JOIN s ORDER BY source"""))
 
   /** T5-style span-corruption statistics: tokens are cut into 3-token
