@@ -75,6 +75,30 @@ object KMeans {
     * accumulation-order float noise (~1e-15), far from any assignment
     * decision boundary.
     */
+  /** Shared oracle CTE chain replaying one trained Lloyd iteration:
+    * embeddings → vec_id<8 init → assign → mean recompute → re-assign as
+    * `a2(vec_id, cluster)`. Used by q_kmeans_assign and q_cluster_purity
+    * so both replay the identical trainer.
+    */
+  private val oneIterAssignCte =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+       a1 AS (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c0.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.v, c0.c) DESC, c0.cid) AS rn
+                FROM e CROSS JOIN c0) WHERE rn = 1),
+       m1 AS (SELECT a1.cid, t.d, AVG(e.v[t.d]) AS md
+              FROM a1 JOIN e USING (vec_id),
+                   UNNEST(generate_series(1, 64)) AS t(d)
+              GROUP BY a1.cid, t.d),
+       c1 AS (SELECT cid, list(md ORDER BY d) AS c FROM m1 GROUP BY cid),
+       a2 AS (SELECT vec_id, cid AS cluster FROM (
+                SELECT e.vec_id, c1.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.v, c1.c) DESC, c1.cid) AS rn
+                FROM e CROSS JOIN c1) WHERE rn = 1)"""
+
   private val kmeansAssign = Q(
     "q_kmeans_assign",
     (spark, dir) => {
@@ -84,24 +108,111 @@ object KMeans {
         .select(col("vec_id"), col("cluster"))
         .orderBy(col("vec_id"))
     },
-    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
-            a1 AS (SELECT vec_id, cid FROM (
-                     SELECT e.vec_id, c0.cid,
-                       row_number() OVER (PARTITION BY e.vec_id
-                         ORDER BY list_cosine_similarity(e.v, c0.c) DESC, c0.cid) AS rn
-                     FROM e CROSS JOIN c0) WHERE rn = 1),
-            m1 AS (SELECT a1.cid, t.d, AVG(e.v[t.d]) AS md
-                   FROM a1 JOIN e USING (vec_id),
-                        UNNEST(generate_series(1, 64)) AS t(d)
-                   GROUP BY a1.cid, t.d),
-            c1 AS (SELECT cid, list(md ORDER BY d) AS c FROM m1 GROUP BY cid)
-            SELECT vec_id, cid AS cluster FROM (
-              SELECT e.vec_id, c1.cid,
-                row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY list_cosine_similarity(e.v, c1.c) DESC, c1.cid) AS rn
-              FROM e CROSS JOIN c1) WHERE rn = 1
-            ORDER BY vec_id"""))
+    Some(s"""WITH $oneIterAssignCte
+             SELECT vec_id, cluster FROM a2 ORDER BY vec_id"""))
 
-  val all: Seq[Q] = Seq(kmeansAssign)
+  /** Cluster–label agreement: per trained cluster, its size, majority
+    * ground-truth label (ties → lowest label) and purity share — the
+    * first clustering-quality report (purity = Σ majority / N when
+    * averaged, which the property spec asserts). Reuses the exact
+    * one-iteration trainer of q_kmeans_assign; the label join and
+    * majority selection are one hash aggregate + one bounded per-cluster
+    * rank window (k×labels rows). All counts are exact integers; the
+    * share is a 4dp portable round.
+    */
+  private val clusterPurity = Q(
+    "q_cluster_purity",
+    (spark, dir) => {
+      import graft.functions.Portable.pround
+      val e = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val c1 = train(spark, dir, k = 8, iters = 1)
+      val lab = Tables(spark, dir, "embeddings")
+        .select(col("vec_id").as("v2"), col("label"))
+      val g = assign(e, c1).select(col("vec_id"), col("cluster"))
+        .join(lab, col("vec_id") === col("v2"))
+        .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("cnt"))
+      val byCluster = Window.partitionBy(col("cluster"))
+        .orderBy(col("cnt").desc, col("label"))
+      val tot = g.groupBy(col("cluster")).agg(sum(col("cnt")).as("n"))
+      g.withColumn("rn", row_number().over(byCluster)).filter(col("rn") === 1)
+        .join(tot, "cluster")
+        .select(col("cluster"), col("n").cast("bigint").as("n"),
+          col("label").cast("int").as("top_label"), col("cnt").as("top_n"),
+          pround(col("cnt").cast("double") / col("n").cast("double"), 4).as("purity"))
+        .orderBy(col("cluster"))
+    },
+    Some(s"""WITH $oneIterAssignCte,
+             g AS (SELECT a2.cluster, emb.label, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM a2 JOIN embeddings emb ON a2.vec_id = emb.vec_id
+                   GROUP BY a2.cluster, emb.label),
+             t AS (SELECT cluster, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY cluster),
+             m AS (SELECT cluster, label, cnt FROM (
+                     SELECT cluster, label, cnt,
+                       row_number() OVER (PARTITION BY cluster
+                         ORDER BY cnt DESC, label) AS rn
+                     FROM g) WHERE rn = 1)
+             SELECT m.cluster, t.n, CAST(m.label AS INT) AS top_label, m.cnt AS top_n,
+               FLOOR((CAST(m.cnt AS DOUBLE) / CAST(t.n AS DOUBLE)) * 10000 + 0.5) / 10000
+                 AS purity
+             FROM m JOIN t ON m.cluster = t.cluster ORDER BY m.cluster"""))
+
+  /** Int8 symmetric quantization audit: per embedding dimension, the
+    * absolute-max calibration, the int8 scale amax/127, and the total
+    * squared reconstruction error — the report behind "is int8 safe for
+    * this index". Every cross-engine float op is IEEE-deterministic
+    * (abs/max are order-independent, division and the half-up floor are
+    * single ops) and the ONLY accumulation — the per-dim error sum — is
+    * floored to integer picounits per term first, so float summation
+    * order cannot break engine parity (the q_js_divergence discipline).
+    * Shape: one posexplode scan + per-dim aggregate, a broadcast 64-row
+    * calibration join back, one final per-dim aggregate.
+    */
+  private val embedQuantize = Q(
+    "q_embed_quantize",
+    (spark, dir) => {
+      import graft.functions.Portable.pround
+      val x = Tables(spark, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("d0", "xf")))
+        // 1-based dimension ids, matching the oracle's v[d] indexing
+        .select((col("d0") + 1).as("d"), col("xf").cast("double").as("x"))
+      val cal = broadcast(x.groupBy(col("d")).agg(max(abs(col("x"))).as("amax")))
+      val err = col("x") - col("q") * (col("amax") / 127d)
+      x.join(cal, "d")
+        .select(col("d"), col("x"), col("amax"),
+          when(col("amax") === 0d, lit(0d)).otherwise(
+            greatest(lit(-127d), least(lit(127d),
+              floor(col("x") / (col("amax") / 127d) + 0.5d)))).as("q"))
+        .select(col("d"), col("amax"),
+          // err*err by plain multiplication — pow(x, 2) is libm-dependent
+          // at the last ulp and the picounit floor would amplify it
+          when(col("amax") === 0d, lit(0L)).otherwise(
+            floor(err * err * 1e12d).cast("long")).as("e2pico"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n"), max(pround(col("amax"), 6)).as("amax"),
+          sum(col("e2pico")).as("sq_err_pico"))
+        .select(col("d").cast("int").as("d"), col("n"), col("amax"), col("sq_err_pico"))
+        .orderBy(col("d"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            x AS (SELECT t.d, e.v[t.d] AS x
+                  FROM e, UNNEST(generate_series(1, 64)) AS t(d)),
+            cal AS (SELECT d, MAX(ABS(x)) AS amax FROM x GROUP BY d),
+            q AS (SELECT x.d, x.x, cal.amax,
+                    CASE WHEN cal.amax = 0 THEN 0
+                         ELSE GREATEST(-127, LEAST(127,
+                           FLOOR(x.x / (cal.amax / 127) + 0.5)))
+                    END AS q
+                  FROM x JOIN cal ON x.d = cal.d),
+            s AS (SELECT d, amax,
+                    CASE WHEN amax = 0 THEN 0
+                         ELSE CAST(FLOOR((x - q * (amax / 127)) * (x - q * (amax / 127))
+                           * 1e12) AS BIGINT)
+                    END AS e2pico
+                  FROM q)
+            SELECT CAST(d AS INT) AS d, CAST(COUNT(*) AS BIGINT) AS n,
+              FLOOR(amax * 1000000 + 0.5) / 1000000 AS amax,
+              CAST(SUM(e2pico) AS BIGINT) AS sq_err_pico
+            FROM s GROUP BY d, amax ORDER BY d"""))
+
+  val all: Seq[Q] = Seq(kmeansAssign, clusterPurity, embedQuantize)
 }

@@ -239,6 +239,42 @@ class Round7PropertiesSpec extends AnyFunSuite {
     assert(total === Tables(spark, dir, "documents").count())
   }
 
+  test("q_cluster_purity: sizes conserve, majority is a real majority") {
+    val rows = run("q_cluster_purity")
+    assert(rows.map(_.getAs[Long]("n")).sum ===
+      Tables(spark, dir, "embeddings").count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val top = r.getAs[Long]("top_n")
+      assert(top >= 1L && top <= n)
+      assert(r.getAs[Double]("purity") === pround(top.toDouble / n.toDouble, 4))
+    }
+  }
+
+  test("q_embed_quantize equals a naive per-dimension int8 replay") {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dims = vecs.head.length
+    val want = (1 to dims).map { d =>
+      val xs = vecs.map(_(d - 1))
+      val amax = xs.map(math.abs).max
+      val e2 = xs.map { x =>
+        if (amax == 0.0) 0L
+        else {
+          val scale = amax / 127.0
+          val q = math.max(-127.0, math.min(127.0, math.floor(x / scale + 0.5)))
+          val err = x - q * scale
+          math.floor(err * err * 1e12).toLong
+        }
+      }.sum
+      d -> ((xs.length.toLong, pround(amax, 6), e2))
+    }.toMap
+    val got = run("q_embed_quantize").map(r =>
+      r.getAs[Int]("d") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("amax"), r.getAs[Long]("sq_err_pico")))).toMap
+    assert(got === want)
+  }
+
   test("q_growth_wow conserves the event count and lags correctly") {
     val rows = run("q_growth_wow").sortBy(_.getAs[java.sql.Date]("week").getTime)
     assert(rows.map(_.getAs[Long]("n")).sum === Tables.events(spark, dir).count())
