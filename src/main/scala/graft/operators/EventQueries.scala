@@ -157,10 +157,17 @@ object EventQueries {
       numbered
         .withColumn("decile", decile)
         .groupBy(col("decile"))
+        // mean via the micro-unit integer funnel, NOT avg(double): the
+        // range partitioner samples fresh bounds every run, so raw double
+        // accumulation order varies run-to-run and pround(avg) sits one
+        // ulp from a knife edge (observed: decile-2 mean flipping
+        // 14.5873/14.5874 at sf0.01). min/max are order-independent.
         .agg(count(lit(1)).as("n"),
           pround(min(col("value")), 4).as("lo"),
           pround(max(col("value")), 4).as("hi"),
-          pround(avg(col("value")), 4).as("mean"))
+          pround(
+            sum(floor(col("value") * 1e6).cast("decimal(38,0)")).cast("double")
+              / 1e6 / count(lit(1)).cast("double"), 4).as("mean"))
         .orderBy(col("decile"))
     },
     Some("""WITH d AS (SELECT event_id, value,
@@ -169,7 +176,8 @@ object EventQueries {
             SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
               FLOOR((MIN(value)) * 10000 + 0.5) / 10000 AS lo,
               FLOOR((MAX(value)) * 10000 + 0.5) / 10000 AS hi,
-              FLOOR((AVG(value)) * 10000 + 0.5) / 10000 AS mean
+              FLOOR((CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS DOUBLE)
+                     / 1000000 / CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.5) / 10000 AS mean
             FROM d GROUP BY decile ORDER BY decile"""))
 
   /** Sliding time-range window: per event, the same user's trailing

@@ -1046,9 +1046,44 @@ object TextQueries {
                   / CAST(SUM(c) AS DOUBLE)) * 10000 + 0.5) / 10000 AS lang_entropy
             FROM c GROUP BY source ORDER BY source"""))
 
+  /** Frequency-of-frequencies (the hapax spectrum): how many word types
+    * occur exactly n times — the N_n table Good-Turing smoothing reads
+    * and the first diagnostic of vocabulary sparsity (hapax share).
+    * Complements q_zipf_stats (rank-based) and q_nucleus_vocab
+    * (cumulative-mass): this is the type-count marginal. Two nested
+    * integer aggregates plus a broadcast 1-row type total; output
+    * bounded by distinct frequencies (limited to the first 20 — the
+    * Good-Turing region).
+    */
+  private val freqOfFreq = Q(
+    "q_freq_of_freq",
+    (spark, dir) => {
+      val v = Tables(spark, dir, "documents")
+        .select(explode(TextOps.wordsNative(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val ff = v.groupBy(col("n")).agg(count(lit(1)).as("types"))
+      val tot = broadcast(ff.agg(sum(col("types")).as("v")))
+      ff.crossJoin(tot)
+        .select(col("n"), col("types"),
+          pround(col("types").cast("double") / col("v").cast("double"), 4)
+            .as("type_share"))
+        .orderBy(col("n"))
+        .limit(20)
+    },
+    Some("""WITH w AS (SELECT x AS word FROM documents,
+              UNNEST(list_filter(string_split(text, ' '), y -> y <> '')) AS t(x)),
+            v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY word),
+            ff AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS types FROM v GROUP BY n),
+            tt AS (SELECT CAST(SUM(types) AS BIGINT) AS v FROM ff)
+            SELECT n, types,
+              FLOOR((CAST(types AS DOUBLE) / CAST(v AS DOUBLE)) * 10000 + 0.5) / 10000
+                AS type_share
+            FROM ff CROSS JOIN tt ORDER BY n LIMIT 20"""))
+
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
     tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm,
     repetitionFilter, zipfStats, lmPerplexity, charEntropy, ngramCoverage,
     piiRedact, vocabCoverage, pmiCollocations, bm25, cosinePairs, probeScan,
-    ccnetBucket, bpePairs, knBigram, nucleusVocab, tokenizerFertility, langMix)
+    ccnetBucket, bpePairs, knBigram, nucleusVocab, tokenizerFertility, langMix,
+    freqOfFreq)
 }
