@@ -20,6 +20,35 @@ import org.apache.spark.sql.SparkSession
   * discipline), so no query's leftovers tax a later query's timing.
   */
 object Bench {
+  private val calibSink = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Fixed-work load marker: `threads` spinners each run the same 2e8
+    * xorshift iterations; the wall time is the suite's ambient-contention
+    * gauge. On a quiet host it is a stable constant (the work is pure
+    * register arithmetic — no memory, no syscalls), and it inflates by
+    * the same steal factor the timed queries pay, so a future reader can
+    * separate host tax from plan regressions WITHOUT hand re-timing:
+    * ratio-to-quiet of the calibration ≈ ratio-to-quiet of the medians.
+    * The expected quiet-window value is documented in BASELINE.md.
+    */
+  private def calibrateMs(threads: Int): Long = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { i =>
+      new Thread(() => {
+        var x = 0x9e3779b97f4a7c15L + i
+        var n = 0L
+        while (n < 200000000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; n += 1 }
+        calibSink.addAndGet(x) // defeat dead-code elimination
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1000000
+  }
+
+  private def loadavg1m(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Bench contract is local[32]; SPARK_GRAFT_CPUS overrides for ad-hoc
@@ -72,6 +101,10 @@ object Bench {
       }
       Caches.releaseAll()
     }
+    // Load markers bracket the timed passes (after warm-up, so JIT of the
+    // suite itself never pollutes the gauge).
+    val loadBefore = loadavg1m()
+    val calibBefore = calibrateMs(cpus.toInt)
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     // A timed-pass failure skips only that sample; the median is taken
@@ -83,6 +116,10 @@ object Bench {
         Caches.releaseAll()
       }
     }
+    val calibAfter = calibrateMs(cpus.toInt)
+    val loadAfter = loadavg1m()
+    val calib = s""""calib_before_ms":$calibBefore,"calib_after_ms":$calibAfter,""" +
+      s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter"""
     val results = selected.map { case (name, _) =>
       val ts = samples(name).sorted
       name -> (if (ts.isEmpty) -1.0 else ts(ts.size / 2))
@@ -90,7 +127,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$calib}""")
     // The harness keeps only the tail of stdout; with 160+ queries the full
     // line above outgrows that window (BENCH_r05 preserved 64 of 162
     // medians). Three tail-safe mitigations: (a) a per-query sidecar JSON
@@ -102,7 +139,7 @@ object Bench {
     try {
       val body = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{\"sf\":\"" + sfDir + "\",\"unit\":\"sec\",\"total\":" + total +
-          ",\"queries\":{", ",", "}}")
+          "," + calib + ",\"queries\":{", ",", "}}")
       java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
         body.getBytes("UTF-8"))
     } catch { case e: Throwable =>
@@ -113,7 +150,7 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"metric":"queries_chunk","part":${i + 1},"queries":$cq}""")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},$calib}""")
     spark.stop()
   }
 }
