@@ -360,4 +360,140 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("HashAggregate"), plan)
   }
+
+  // ---- round-7 ids: the shapes argued in their doc-comments, pinned ----
+
+  test("q_kcore's returned histogram reads the materialized survivor cache") {
+    val plan = executedPlan("q_kcore")
+    // the peeling rounds run in their own jobs; the declared result must
+    // be two aggregate pairs over the persisted survivor edges — any Join
+    // here would mean the loop's work leaked into the final plan
+    assert(plan.contains("InMemoryTableScan"), s"survivor cache not reused:\n$plan")
+    // the InMemoryRelation footer prints the cache's BUILD plan (which did
+    // join) — the live plan is everything above the first cache boundary
+    val live = plan.substring(0, plan.indexOf("InMemoryRelation"))
+    assert("HashAggregate".r.findAllIn(live).size >= 2, s"no partial agg:\n$plan")
+    assert(!live.contains("Join"), s"peeling must not replay in the final plan:\n$plan")
+  }
+
+  test("q_kcore's peeling semi-joins broadcast the materialized survivor set") {
+    // the discipline the doc-comment argues (materialize degs before the
+    // joins → real stats → broadcast, measured 4×), replayed on one round
+    val e = Registry.byName("q_graph_degree").build(spark, dir) // any edge source
+    e.collect(); Caches.releaseAll()
+    val pairs = Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("src"), col("o_custkey").as("dst"))
+    val degs = pairs.groupBy(col("src")).agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("deg")).persist()
+    degs.count() // the materialization under test
+    val keep = degs.filter(col("deg") >= 1).select(col("src").as("keep"))
+    val joined = pairs.join(keep, col("src") === col("keep"), "left_semi")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    degs.unpersist()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"materialized survivor set must broadcast at this size:\n$plan")
+  }
+
+  test("q_session_paths windows are all user-partitioned (no global session sort)") {
+    val plan = executedPlan("q_session_paths")
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val parted = "windowspecdefinition\\(user_id".r.findAllIn(plan).size
+    assert(specs > 0 && specs == parted,
+      s"found $specs window specs, only $parted partitioned by user_id:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-20 head:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_cold_start plans the view screen as a left-anti equi-join") {
+    val plan = executedPlan("q_cold_start")
+    assert(plan.contains("LeftAnti"), s"expected anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_embed_quantize broadcasts the 64-row calibration join") {
+    val plan = executedPlan("q_embed_quantize")
+    assert(plan.contains("BroadcastHashJoin"), s"calibration join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the fact side must never shuffle for a 64-row dimension:\n$plan")
+  }
+
+  test("q_cluster_purity's majority window is cluster-partitioned") {
+    val plan = executedPlan("q_cluster_purity")
+    assert(plan.contains("windowspecdefinition(cluster"),
+      s"majority rank must partition by cluster:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_minhash_precision probes the persisted candidates (no LSH re-run)") {
+    val plan = executedPlan("q_minhash_precision")
+    // shingle + candidate relations are computed once and read back
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"shared relations not cache-reused:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"threshold probe must broadcast over the bounded scored relation:\n$plan")
+  }
+
+  test("q_dup_ratio_by_source reuses the persisted chunk relation on both sides") {
+    val plan = executedPlan("q_dup_ratio_by_source")
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"chunk relation not cache-reused:\n$plan")
+  }
+
+  test("q_span_mask is generate + one aggregate pair — no join, no window") {
+    val plan = executedPlan("q_span_mask")
+    assert(plan.contains("Generate"), s"expected the block-sequence explode:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"hash-scheduled masking needs no join or window:\n$plan")
+  }
+
+  test("q_tpch_q14 pushes the month filter to the lineitem scan and broadcasts part") {
+    val plan = executedPlan("q_tpch_q14")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).isDefined,
+      s"ship-date window not pushed to the scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"part side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_lang_mix is two nested aggregate pairs — no join, no window") {
+    val plan = executedPlan("q_lang_mix")
+    assert("HashAggregate".r.findAllIn(plan).size >= 3,
+      s"expected nested partial+final aggregates:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+  }
+
+  test("q_freq_of_freq broadcasts the type total and takes the head without a global sort") {
+    val plan = executedPlan("q_freq_of_freq")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row type total must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-20 head:\n$plan")
+  }
+
+  test("q_tokenizer_fertility is one aggregate pair on the native token scan") {
+    val plan = executedPlan("q_tokenizer_fertility")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+  }
+
+  // ---- round-8 ids ----
+
+  test("q_span_dedup's run-merge window partitions by (pair, diagonal)") {
+    val plan = executedPlan("q_span_dedup")
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val parted = "windowspecdefinition\\(doc_a".r.findAllIn(plan).size
+    assert(specs > 0 && specs == parted,
+      s"run-merge must partition by the pair, found $specs specs / $parted pair-partitioned:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair space must stay candidate-bounded:\n$plan")
+  }
+
+  test("q_dsir_weights broadcasts the 256-row log-ratio table") {
+    val plan = executedPlan("q_dsir_weights")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ratio table must broadcast into the doc-bucket counts:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), s"no window needed anywhere:\n$plan")
+  }
 }
