@@ -541,7 +541,72 @@ object DedupQueries {
              FROM t LEFT JOIN j ON j.jaccard >= t.thr CROSS JOIN nc
              GROUP BY thr, n_cand ORDER BY thr"""))
 
+  /** Variable-length span dedup — the modality q_chunk_dedup's fixed
+    * 32-token grid cannot see: duplicated spans that straddle chunk
+    * boundaries (the reason Lee et al.'s ExactSubstr dedup builds suffix
+    * arrays; PAPERS.md dedup line). Scale-faithful Spark shape instead of
+    * a suffix array: positional 3-token shingles on both sides of each
+    * LSH candidate pair, matched on shingle equality, then merged into
+    * MAXIMAL runs with the classic diagonal trick — matches at positions
+    * (i, j) belong to the same duplicated span iff they share the
+    * diagonal d = i − j and their i's are consecutive, so
+    * grp = i − row_number() over (pair, diag ordered by i) labels each
+    * maximal run and COUNT(*) + k − 1 is its span length in tokens.
+    * Reported per pair: the longest shared span and the number of
+    * maximal runs ≥ 5 tokens.
+    *
+    * Scale posture: the pair space is BOUNDED BY THE LSH CANDIDATE SET
+    * (never doc × doc — the q_minhash_precision discipline), the match
+    * relation is linear in shared-shingle occurrences per candidate
+    * pair, and the run-merge window partitions by (pair, diagonal) —
+    * unbounded parallelism, no global sort. The oracle replays the
+    * identical run-merge in SQL over the shared candidate CTE.
+    */
+  private val spanDedup = Q(
+    "q_span_dedup",
+    (spark, dir) => {
+      val ps = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.wordNGramsAll(col("text"), 3)).as(Seq("pos", "sh")))
+      val cand = minhashCandidates(shingleRel(spark, dir))
+      val m = cand
+        .join(ps.select(col("doc_id").as("doc_a"), col("pos").as("i"), col("sh")), "doc_a")
+        .join(ps.select(col("doc_id").as("doc_b"), col("pos").as("j"), col("sh")),
+          Seq("doc_b", "sh"))
+        .select(col("doc_a"), col("doc_b"), (col("i") - col("j")).as("diag"), col("i"))
+      val byDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+        .orderBy(col("i"))
+      m.withColumn("grp", col("i") - row_number().over(byDiag))
+        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+        .agg((count(lit(1)) + 2).as("span"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("span")).cast("bigint").as("longest_span"),
+          sum(when(col("span") >= 5, 1L).otherwise(0L)).cast("bigint").as("n_spans"))
+        .filter(col("longest_span") >= 5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""WITH $minhashCandCte,
+             ps AS (SELECT doc_id, i - 1 AS pos,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+                    FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+                    WHERE len(ws) >= 3),
+             m AS (SELECT c.doc_a, c.doc_b, a.pos - b.pos AS diag, a.pos AS i
+                   FROM cand c
+                   JOIN ps a ON a.doc_id = c.doc_a
+                   JOIN ps b ON b.doc_id = c.doc_b AND b.sh = a.sh),
+             r AS (SELECT doc_a, doc_b, diag,
+                     i - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                       ORDER BY i) AS grp
+                   FROM m),
+             runs AS (SELECT doc_a, doc_b, COUNT(*) + 2 AS span
+                      FROM r GROUP BY doc_a, doc_b, diag, grp)
+             SELECT doc_a, doc_b, CAST(MAX(span) AS BIGINT) AS longest_span,
+               CAST(SUM(CASE WHEN span >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+             FROM runs GROUP BY doc_a, doc_b
+             HAVING MAX(span) >= 5
+             ORDER BY doc_a, doc_b"""))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupContainment, minhashRecall, chunkDedup, dupRatioBySource,
-    minhashPrecision)
+    minhashPrecision, spanDedup)
 }

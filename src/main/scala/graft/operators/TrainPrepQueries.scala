@@ -454,7 +454,100 @@ object TrainPrepQueries {
                  * 10000 + 0.5) / 10000 AS mask_ratio
              FROM blk GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** DSIR-shape data-mixture report (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS'23 — PAPERS.md
+    * mixture line): per-document importance weights of a target domain
+    * (here: English documents) against the raw corpus, estimated from
+    * hashed-bigram bag-of-ngrams distributions — the modern counterpart
+    * of q_ccnet_bucket's perplexity buckets and q_mixture_weights'
+    * √-temperature shares. Bigrams hash into 256 buckets (the hashing
+    * trick); both distributions get add-1 smoothing over the FULL
+    * 256-bucket grid (zero-cell discipline of q_chi2) so no bucket has
+    * log 0; the per-bucket log-likelihood ratio is floored to integer
+    * MICRO-BITS (determinism rule 6 — float summation never crosses
+    * engines un-floored), and each document's log-weight is the exact
+    * integer Σ count_b · lr_µ. Reported per source: document count and
+    * the mean log-weight in µbits (how much each source "looks like" the
+    * target — the number a resampling pass would consume).
+    *
+    * Scale posture: one bigram scan feeds both distributions and the
+    * per-doc bucket counts; the 256-row ratio table is grid-bounded and
+    * broadcasts; every shuffle keys on content hash or doc_id — no
+    * driver state, no skew.
+    */
+  private val dsirWeights = Q(
+    "q_dsir_weights",
+    (spark, dir) => {
+      import graft.functions.Portable.hash60
+      import org.apache.spark.sql.functions.broadcast
+      val bg = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(TextOps.wordNGramsAll(col("text"), 2)).as("g"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          (hash60(col("g")) % 256).as("b"))
+      val grid = spark.range(256).select(col("id").as("b"))
+      val raw = bg.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tgt = bg.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val full = grid
+        .join(raw, Seq("b"), "left_outer").join(tgt, Seq("b"), "left_outer")
+        .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
+          coalesce(col("ct"), lit(0L)).as("ct"))
+      val nr = full.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+      // identical op sequence on both engines: int+1 → double divide →
+      // log2 → subtract → scale → floor (each step IEEE-deterministic)
+      val ratio = broadcast(full.crossJoin(broadcast(nr))
+        .select(col("b"),
+          floor((log2((col("ct") + 1).cast("double") / (col("nt") + 256).cast("double")) -
+            log2((col("cr") + 1).cast("double") / (col("nr") + 256).cast("double"))) *
+            lit(1000000d)).cast("long").as("lr_u")))
+      val docw = bg.groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .join(ratio, "b")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c") * col("lr_u")).as("logw_u"))
+      docw.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("logw_u")).cast("bigint").as("sum_logw_u"))
+        .select(col("source"), col("n_docs"), col("sum_logw_u"),
+          pround(col("sum_logw_u").cast("double") / col("n_docs").cast("double") / 1e6, 4)
+            .as("mean_logw_bits"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, source, lang,
+                    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                  FROM documents),
+            bg AS (SELECT doc_id, source, lang,
+                     CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15) AS BIGINT)
+                       % 256 AS b
+                   FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
+                   WHERE len(ws) >= 2),
+            grid AS (SELECT i AS b FROM UNNEST(generate_series(0, 255)) AS t(i)),
+            raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bg GROUP BY b),
+            tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM bg
+                    WHERE lang = 'en' GROUP BY b),
+            fg AS (SELECT g.b, COALESCE(r.cr, 0) AS cr, COALESCE(t.ct, 0) AS ct
+                   FROM grid g LEFT JOIN raw r ON g.b = r.b
+                   LEFT JOIN tgt t ON g.b = t.b),
+            n AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM fg),
+            ratio AS (SELECT b,
+                CAST(FLOOR((log2(CAST(ct + 1 AS DOUBLE) / CAST(nt + 256 AS DOUBLE))
+                  - log2(CAST(cr + 1 AS DOUBLE) / CAST(nr + 256 AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS lr_u
+              FROM fg CROSS JOIN n),
+            dc AS (SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM bg GROUP BY doc_id, source, b),
+            docw AS (SELECT dc.doc_id, dc.source,
+                       CAST(SUM(dc.c * ratio.lr_u) AS BIGINT) AS logw_u
+                     FROM dc JOIN ratio ON dc.b = ratio.b
+                     GROUP BY dc.doc_id, dc.source)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(logw_u) AS BIGINT) AS sum_logw_u,
+              FLOOR((CAST(SUM(logw_u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000)
+                * 10000 + 0.5) / 10000 AS mean_logw_bits
+            FROM docw GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(seqPack, tokenBuckets, interleave, dedupCanonical,
     minmaxScale, systematicSample, labelBalance, curriculum, epochShuffle,
-    ragChunk, mixtureWeights, spanMask)
+    ragChunk, mixtureWeights, spanMask, dsirWeights)
 }

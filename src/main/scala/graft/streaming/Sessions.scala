@@ -84,3 +84,82 @@ object Sessions {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(stateFn)(
         Encoders.kryo[Vector[SessionEvent]], Encoders.product[SessionSummary])
 }
+
+/** Typed event row for navigation-path assembly (q_session_paths' input
+  * shape: the event type must ride along).
+  */
+final case class PathEvent(user_id: Long, event_id: Long, ts_us: Long, event_type: String,
+    ts: java.sql.Timestamp)
+
+/** One closed session's first-3-event navigation path. */
+final case class SessionPath(user_id: Long, session_id: Long, path: String)
+
+/** Streaming twin of q_session_paths' path-assembly layer: the same
+  * 30-minute gap rule as [[Sessions]], emitting each sealed session's
+  * first-3-event-type '>' path instead of its numeric summary. The
+  * declared batch query's downstream top-20 aggregation is a plain
+  * grouped count over this relation — kept OUT of the streaming operator
+  * because a global top-k over an unbounded stream is a different
+  * (complete-output) contract; path emission is append-safe.
+  *
+  * State discipline is identical to [[Sessions.stateFn]]: per-user event
+  * buffer, sealed by an event-time timeout at last-event + gap, late
+  * events clamped just above the watermark so the group re-seals next
+  * batch. The agreement spec (StreamingSpec) runs both realizations over
+  * the same fixture and demands exact path-multiset equality.
+  */
+object SessionPaths {
+  import Sessions.GapUs
+
+  /** Splits one user's events into gap-delimited sessions and assembles
+    * each session's first-3 path (pure; 1-based session ids matching the
+    * declarative q_session_paths window chain).
+    */
+  private[streaming] def pathsOf(userId: Long, events: Iterator[PathEvent]): Iterator[SessionPath] = {
+    val sorted = events.toVector.sortBy(e => (e.ts_us, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = Vector.newBuilder[SessionPath]
+      var sid = 1L; var n = 0L; var end = 0L
+      var head = Vector.empty[String]
+      for (e <- sorted) {
+        if (n > 0L && e.ts_us - end > GapUs) {
+          out += SessionPath(userId, sid, head.mkString(">"))
+          sid += 1; n = 0L; head = Vector.empty
+        }
+        n += 1; end = e.ts_us
+        if (head.size < 3) head :+= e.event_type
+      }
+      out += SessionPath(userId, sid, head.mkString(">"))
+      out.result().iterator
+    }
+  }
+
+  /** Batch realization — whole-group reduce. */
+  def sessionPaths(ds: Dataset[PathEvent]): Dataset[SessionPath] =
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroups((uid: Long, it: Iterator[PathEvent]) => pathsOf(uid, it))(
+        Encoders.product[SessionPath])
+
+  private def stateFn(userId: Long, events: Iterator[PathEvent],
+      state: GroupState[Vector[PathEvent]]): Iterator[SessionPath] = {
+    if (state.hasTimedOut) {
+      val buffered = state.getOption.getOrElse(Vector.empty)
+      state.remove()
+      pathsOf(userId, buffered.iterator)
+    } else {
+      val buffered = state.getOption.getOrElse(Vector.empty) ++ events
+      state.update(buffered)
+      val candidate = buffered.map(_.ts_us / 1000).max + GapUs / 1000
+      val floor = state.getCurrentWatermarkMs() + 1000
+      state.setTimeoutTimestamp(math.max(candidate, floor))
+      Iterator.empty
+    }
+  }
+
+  /** Streaming realization — requires a watermark on `ts`. */
+  def sessionPathsStream(ds: Dataset[PathEvent]): Dataset[SessionPath] =
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(stateFn)(
+        Encoders.kryo[Vector[PathEvent]], Encoders.product[SessionPath])
+}

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Naive in-memory replays for the round-8 operators (the
+  * Round7PropertiesSpec discipline): the oracle hash certifies the two
+  * engines agree; these certify the statistic IS the statistic by
+  * recomputing it with the dumbest possible Scala on sf0.001 and
+  * demanding EXACT agreement.
+  */
+class Round8PropertiesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private def run(name: String) = {
+    val rows = Registry.byName(name).build(spark, dir).collect()
+    Caches.releaseAll()
+    rows
+  }
+
+  private def md5hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  private def pround(x: Double, scale: Int): Double = {
+    val f = math.pow(10, scale)
+    math.floor(x * f + 0.5) / f
+  }
+
+  private lazy val docs: Seq[(Long, String, String, String)] =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+
+  private def tokens(text: String): Seq[String] =
+    text.split(" ", -1).filter(_.nonEmpty).toSeq
+
+  /** The engine's LSH candidate pairs, replayed naively: distinct 3-gram
+    * shingles → 16 XOR minhashes → 4 bands of 4 → bucket agreement.
+    */
+  private lazy val naiveCandidates: Set[(Long, Long)] = {
+    val sigs = docs.flatMap { case (id, text, _, _) =>
+      val sh = tokens(text).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      if (sh.isEmpty) None // shingle-less docs never enter the LSH
+      else {
+        val xs = sh.map(md5hash60)
+        Some(id -> operators.DedupQueries.minhashSeeds.map(k => xs.map(_ ^ k).min))
+      }
+    }
+    val buckets = for {
+      (id, mh) <- sigs
+      b <- 0 until 4
+    } yield (b, mh.slice(b * 4, b * 4 + 4).mkString(",")) -> id
+    buckets.groupBy(_._1).values.flatMap { g =>
+      val ids = g.map(_._2).sorted
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+  }
+
+  test("q_span_dedup equals the naive diagonal run-merge over LSH candidates") {
+    val pos = docs.map { case (id, text, _, _) =>
+      id -> tokens(text).sliding(3).filter(_.size == 3).map(_.mkString(" "))
+        .zipWithIndex.map { case (sh, i) => (i, sh) }.toSeq
+    }.toMap
+    val want = naiveCandidates.toSeq.flatMap { case (a, b) =>
+      val byShB = pos(b).groupBy(_._2)
+      val matches = pos(a).flatMap { case (i, sh) =>
+        byShB.getOrElse(sh, Nil).map { case (j, _) => (i, j) }
+      }
+      if (matches.isEmpty) None
+      else {
+        // maximal runs: consecutive i on the same diagonal d = i - j
+        val runs = matches.groupBy { case (i, j) => i - j }.values.flatMap { ms =>
+          val is = ms.map(_._1).sorted
+          // split into consecutive runs
+          is.foldLeft(List.empty[List[Int]]) {
+            case ((run :: rest), i) if run.headOption.contains(i - 1) =>
+              (i :: run) :: rest
+            case (acc, i) => List(i) :: acc
+          }.map(_.size + 2) // span in tokens = run length + k - 1
+        }.toSeq
+        val longest = runs.max
+        if (longest >= 5) Some((a, b, longest.toLong, runs.count(_ >= 5).toLong))
+        else None
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = run("q_span_dedup").map(r => (r.getAs[Long]("doc_a"),
+      r.getAs[Long]("doc_b"), r.getAs[Long]("longest_span"), r.getAs[Long]("n_spans")))
+    assert(got.toSeq === want)
+  }
+
+  test("q_span_dedup pair space is a subset of the LSH candidate set") {
+    val got = run("q_span_dedup").map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got.subsetOf(naiveCandidates),
+      s"span pairs outside the candidate bound: ${got -- naiveCandidates}")
+  }
+
+  test("q_dsir_weights equals the naive hashed-bigram importance estimate") {
+    val bigrams = docs.map { case (id, text, src, lang) =>
+      val bs = tokens(text).sliding(2).filter(_.size == 2)
+        .map(g => (md5hash60(g.mkString(" ")) % 256).toInt).toSeq
+      (id, src, lang, bs)
+    }
+    val cr = Array.fill(256)(0L)
+    val ct = Array.fill(256)(0L)
+    bigrams.foreach { case (_, _, lang, bs) =>
+      bs.foreach { b => cr(b) += 1; if (lang == "en") ct(b) += 1 }
+    }
+    val nr = cr.sum; val nt = ct.sum
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val lrU = (0 until 256).map { b =>
+      math.floor((log2((ct(b) + 1).toDouble / (nt + 256).toDouble) -
+        log2((cr(b) + 1).toDouble / (nr + 256).toDouble)) * 1e6).toLong
+    }
+    val bySource = bigrams.groupBy(_._2)
+    val want = bySource.toSeq.map { case (src, ds) =>
+      val logws = ds.map { case (_, _, _, bs) => bs.map(b => lrU(b)).sum }
+      val sum = logws.sum
+      (src, ds.size.toLong, sum,
+        pround(sum.toDouble / ds.size.toDouble / 1e6, 4))
+    }.sortBy(_._1)
+    val got = run("q_dsir_weights").map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("n_docs"), r.getAs[Long]("sum_logw_u"),
+      r.getAs[Double]("mean_logw_bits")))
+    assert(got.toSeq === want)
+  }
+
+  test("q_dsir_weights: an all-target corpus would weight every bucket identically") {
+    // structural sanity of the estimator itself: if target == raw the
+    // log-ratio table is exactly zero everywhere, hence zero weights
+    val cr = Array(5L, 3L, 0L, 9L)
+    val lr = cr.indices.map { b =>
+      val n = cr.sum
+      def log2(x: Double) = math.log(x) / math.log(2.0)
+      math.floor((log2((cr(b) + 1).toDouble / (n + cr.length).toDouble) -
+        log2((cr(b) + 1).toDouble / (n + cr.length).toDouble)) * 1e6).toLong
+    }
+    assert(lr.forall(_ == 0L))
+  }
+}

@@ -119,6 +119,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotPer === wantPer)
   }
 
+  test("session-path assembly: batch twin == declared q_session_paths head") {
+    import spark.implicits._
+    import graft.streaming.{PathEvent, SessionPaths}
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("ts"))
+      .as[PathEvent]
+    val counts = SessionPaths.sessionPaths(ev)
+      .groupBy("path").count().as[(String, Long)].collect().toMap
+    val declared = Registry.byName("q_session_paths").build(spark, dir).collect()
+    Caches.releaseAll()
+    // the declared query is the top-20 of exactly this relation
+    declared.foreach { r =>
+      assert(counts(r.getAs[String]("path")) === r.getAs[Long]("n_sessions"),
+        s"path ${r.getAs[String]("path")} count mismatch")
+    }
+    assert(declared.map(_.getAs[Long]("n_sessions")).sum <= counts.values.sum)
+  }
+
+  test("session-path assembly: streaming twin == batch twin exactly") {
+    import spark.implicits._
+    import graft.streaming.{PathEvent, SessionPaths}
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("ts"))
+    val batch = SessionPaths.sessionPaths(base.as[PathEvent])
+      .collect().map(p => (p.user_id, p.session_id, p.path)).sorted
+    // Stage the fixture plus one far-future sentinel event (user -1) as a
+    // second file: its batch advances the watermark past every real
+    // session's timeout, so the no-data batch seals ALL real sessions and
+    // exact equality is well-defined (without it, sessions near the end
+    // of the bounded fixture stay open forever).
+    val staged = java.nio.file.Files.createTempDirectory("graft-paths").toString
+    base.coalesce(1).write.parquet(s"$staged/f0.parquet")
+    val maxUs = base.agg(org.apache.spark.sql.functions.max(col("ts_us"))).head().getLong(0)
+    val farUs = maxUs + 3L * 3600 * 1000 * 1000
+    spark.createDataFrame(Seq((-1L, -1L, farUs, "view")))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
+        org.apache.spark.sql.functions.timestamp_micros(col("ts_us")).as("ts"))
+      .coalesce(1).write.parquet(s"$staged/f1.parquet")
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$staged/*.parquet")
+      .withWatermark("ts", "1 hour")
+      .as[PathEvent]
+    val q = SessionPaths.sessionPathsStream(stream).writeStream
+      .format("memory").queryName("sess_paths").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sess_paths")
+      .as[graft.streaming.SessionPath]
+      .collect().filter(_.user_id >= 0)
+      .map(p => (p.user_id, p.session_id, p.path)).sorted
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stateful sessionizer (streaming mode) runs and seals sessions") {
     import spark.implicits._
     val ev = Streams.eventsStream(spark, dir)
