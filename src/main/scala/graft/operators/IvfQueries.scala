@@ -64,15 +64,24 @@ object IvfQueries {
             WHERE a.cluster = probe.pcluster AND e.vec_id <> 0
             ORDER BY cos DESC, e.vec_id LIMIT 10"""))
 
-  /** LSH-bucketed embedding near-dup: candidate pairs share a 4-bit
-    * hyperplane bucket (same planes as q_knn_lsh), scored exactly, top-20.
+  /** LSH-bucketed embedding near-dup: candidate pairs share a hyperplane
+    * bucket (same plane family as q_knn_lsh), scored exactly, top-20.
     * The bucket equi-join replaces the all-pairs cross join — the shuffle
     * keys on the bucket id, so the work partitions across the cluster.
+    * The plane count is DATA-DRIVEN (the q_knn_join mechanism: one cheap
+    * count, then the smallest k ≥ 4 keeping expected bucket population
+    * ≤ 32): a fixed depth makes every bucket deepen linearly with corpus
+    * size and the within-bucket pair mass grow QUADRATICALLY — the
+    * round-8 sf1 pass measured exactly that (11.8× at 10× rows with 4
+    * fixed planes); with the adaptive depth the candidate generation
+    * stays linear-per-row at any scale. The oracle derives the identical
+    * plane count from its own COUNT(*).
     */
   private val dedupEmbedLsh = Q(
     "q_dedup_embed_lsh",
     (spark, dir) => {
-      val signs = VectorQueries.planeSigns(4, 64)
+      val n = Tables(spark, dir, "embeddings").count()
+      val signs = VectorQueries.planeSigns(VectorQueries.planesFor(n), 64)
       val bucket = concat(signs.map(s =>
         when(VectorOps.signedDot(col("embedding"), s.toArray) > 0, lit("1"))
           .otherwise(lit("0"))): _*)
@@ -87,11 +96,16 @@ object IvfQueries {
         .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
         .limit(20)
     },
-    Some("""WITH planes AS (
+    Some("""WITH np AS (
+              SELECT MIN(k) AS np
+              FROM UNNEST(generate_series(4, 20)) AS t(k),
+                   (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings) c
+              WHERE (CAST(32 AS BIGINT) << k) >= c.n OR k = 20),
+            planes AS (
               SELECT p, d,
                 CASE WHEN substr(md5('p' || CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1)
                      IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS sgn
-              FROM UNNEST(generate_series(0, 3)) AS a(p), UNNEST(generate_series(1, 64)) AS b(d)),
+              FROM np, UNNEST(generate_series(0, np.np - 1)) AS a(p), UNNEST(generate_series(1, 64)) AS b(d)),
             dots AS (SELECT e.vec_id, pl.p,
                        SUM(pl.sgn * CAST(e.embedding[pl.d] AS DOUBLE)) AS dp
                      FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p),

@@ -480,15 +480,23 @@ object TrainPrepQueries {
     (spark, dir) => {
       import graft.functions.Portable.hash60
       import org.apache.spark.sql.functions.broadcast
-      val bg = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("source"), col("lang"),
-          explode(TextOps.wordNGramsAll(col("text"), 2)).as("g"))
-        .select(col("doc_id"), col("source"), col("lang"),
-          (hash60(col("g")) % 256).as("b"))
+      // ONE bigram explode pass, reduced immediately to the per-(doc,
+      // bucket) counts and persisted: the raw and target distributions
+      // and the per-doc weights all re-aggregate this bounded relation
+      // (≤ 256 rows per doc) instead of re-running the corpus-sized
+      // tokenize+explode three times (measured 3x at sf1)
+      val dc0 = graft.Caches.persisted(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            explode(TextOps.wordNGramsAll(col("text"), 2)).as("g"))
+          .select(col("doc_id"), col("source"), col("lang"),
+            (hash60(col("g")) % 256).as("b"))
+          .groupBy(col("doc_id"), col("source"), col("lang"), col("b"))
+          .agg(count(lit(1)).as("c")))
       val grid = spark.range(256).select(col("id").as("b"))
-      val raw = bg.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-      val tgt = bg.filter(col("lang") === "en")
-        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val raw = dc0.groupBy(col("b")).agg(sum(col("c")).as("cr"))
+      val tgt = dc0.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(sum(col("c")).as("ct"))
       val full = grid
         .join(raw, Seq("b"), "left_outer").join(tgt, Seq("b"), "left_outer")
         .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
@@ -501,8 +509,7 @@ object TrainPrepQueries {
           floor((log2((col("ct") + 1).cast("double") / (col("nt") + 256).cast("double")) -
             log2((col("cr") + 1).cast("double") / (col("nr") + 256).cast("double"))) *
             lit(1000000d)).cast("long").as("lr_u")))
-      val docw = bg.groupBy(col("doc_id"), col("source"), col("b"))
-        .agg(count(lit(1)).as("c"))
+      val docw = dc0.select(col("doc_id"), col("source"), col("b"), col("c"))
         .join(ratio, "b")
         .groupBy(col("doc_id"), col("source"))
         .agg(sum(col("c") * col("lr_u")).as("logw_u"))
