@@ -606,7 +606,57 @@ object DedupQueries {
              HAVING MAX(span) >= 5
              ORDER BY doc_a, doc_b"""))
 
+  /** Span-level train/test leakage — the decontamination audit
+    * q_split_leakage cannot see: that query compares whole-document
+    * canonical hashes, but benchmark contamination in practice is a test
+    * PASSAGE appearing inside a longer training document (the reason
+    * decontamination pipelines match n-gram spans, not documents). Same
+    * deterministic doc_id-hash 90/10 split, same 32-token chunk
+    * vocabulary as q_chunk_dedup; a test chunk "leaks" when the
+    * identical chunk text occurs in any train document. One content-
+    * keyed semi-join against the distinct train-chunk relation — the
+    * chunk string is the shuffle key (uniform, skew-free), nothing is
+    * pairwise, linear at any corpus size.
+    */
+  private val spanLeakage = Q(
+    "q_span_leakage",
+    (spark, dir) => {
+      import graft.functions.Portable.hash60
+      val c = graft.Caches.persisted(chunkRel(spark, dir)
+        .withColumn("train",
+          pmod(hash60(concat(lit("split"), col("doc_id").cast("string"))),
+            lit(100L)) < 90))
+      val trainChunks = c.filter(col("train")).select(col("chunk")).distinct()
+      val test = c.filter(!col("train"))
+      val leak = test.join(trainChunks, Seq("chunk"), "left_semi")
+        .agg(count(lit(1)).cast("bigint").as("n_leaked_chunks"),
+          countDistinct(col("doc_id")).cast("bigint").as("n_affected_docs"))
+      test.agg(countDistinct(col("doc_id")).cast("bigint").as("n_test_docs"),
+          count(lit(1)).cast("bigint").as("n_test_chunks"))
+        .crossJoin(broadcast(leak))
+        .select(col("n_test_docs"), col("n_test_chunks"),
+          col("n_leaked_chunks"), col("n_affected_docs"),
+          pround(col("n_leaked_chunks").cast("double") /
+            col("n_test_chunks").cast("double"), 4).as("leak_rate"))
+    },
+    Some(s"""WITH $chunkCte,
+             s AS (SELECT doc_id, chunk,
+                     CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 100 < 90 AS train
+                   FROM ch),
+             tr AS (SELECT DISTINCT chunk FROM s WHERE train),
+             te AS (SELECT doc_id, chunk FROM s WHERE NOT train),
+             lk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_leaked_chunks,
+                      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_affected_docs
+                    FROM te WHERE chunk IN (SELECT chunk FROM tr)),
+             st AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_test_docs,
+                      CAST(COUNT(*) AS BIGINT) AS n_test_chunks FROM te)
+             SELECT n_test_docs, n_test_chunks, n_leaked_chunks, n_affected_docs,
+               FLOOR((CAST(n_leaked_chunks AS DOUBLE) / CAST(n_test_chunks AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS leak_rate
+             FROM st CROSS JOIN lk"""))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupContainment, minhashRecall, chunkDedup, dupRatioBySource,
-    minhashPrecision, spanDedup)
+    minhashPrecision, spanDedup, spanLeakage)
 }

@@ -1080,10 +1080,66 @@ object TextQueries {
                 AS type_share
             FROM ff CROSS JOIN tt ORDER BY n LIMIT 20"""))
 
+  /** Second BPE merge round — the iterative step q_bpe_pairs (round 1)
+    * stops short of: apply the round-1 winner as an actual merge and
+    * re-count. The top space-free adjacent pair becomes one atomic
+    * symbol via a global left-to-right `replace` (exactly BPE's greedy
+    * merge; `replace` is non-regex and byte-identical in both engines),
+    * encoded as chr(1) — a codepoint the corpus cannot contain — and the
+    * round-2 pair census runs over the merged text with the new symbol
+    * rendered as '<pair>'. This is the real vocabulary-construction
+    * loop: round N's counts depend on round N-1's merge, which is why
+    * BPE training is iterative and why each round is one broadcast
+    * scalar (the winning pair) + one linear pass — no state beyond the
+    * 1-row merge table ever leaves the executors.
+    */
+  private val bpeMerge2 = Q(
+    "q_bpe_merge2",
+    (spark, dir) => {
+      val top1 = broadcast(Tables(spark, dir, "documents")
+        .select(explode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("pair"))
+        .filter(!col("pair").contains(" "))
+        .groupBy(col("pair")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .select(col("pair").as("mp")))
+      val merged = Tables(spark, dir, "documents").crossJoin(top1)
+        .select(expr("replace(text, mp, char(1))").as("t"), col("mp"))
+      val sym = expr("char(1)")
+      merged
+        .select(col("mp"), explode(expr(
+          "transform(sequence(1, length(t) - 1), " +
+            "i -> struct(substring(t, i, 1) AS a, substring(t, i + 1, 1) AS b))")).as("p"))
+        .filter(col("p.a") =!= " " && col("p.b") =!= " ")
+        .select(
+          when(col("p.a") === sym, concat(lit("<"), col("mp"), lit(">")))
+            .otherwise(col("p.a")).as("s1"),
+          when(col("p.b") === sym, concat(lit("<"), col("mp"), lit(">")))
+            .otherwise(col("p.b")).as("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+        .orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(10)
+    },
+    Some("""WITH p1 AS (SELECT substr(text, i, 2) AS pair
+                        FROM documents, UNNEST(generate_series(1, len(text) - 1)) AS u(i)
+                        WHERE NOT contains(substr(text, i, 2), ' ')),
+            top1 AS (SELECT pair AS mp FROM (
+                       SELECT pair, COUNT(*) AS c FROM p1 GROUP BY pair
+                       ORDER BY c DESC, pair LIMIT 1)),
+            m AS (SELECT replace(text, mp, chr(1)) AS t, mp FROM documents, top1),
+            p2 AS (SELECT substr(t, i, 1) AS a, substr(t, i + 1, 1) AS b, mp
+                   FROM m, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+            f AS (SELECT CASE WHEN a = chr(1) THEN '<' || mp || '>' ELSE a END AS s1,
+                         CASE WHEN b = chr(1) THEN '<' || mp || '>' ELSE b END AS s2
+                  FROM p2 WHERE a <> ' ' AND b <> ' ')
+            SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM f GROUP BY s1, s2 ORDER BY cnt DESC, s1, s2 LIMIT 10"""))
+
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
     tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm,
     repetitionFilter, zipfStats, lmPerplexity, charEntropy, ngramCoverage,
     piiRedact, vocabCoverage, pmiCollocations, bm25, cosinePairs, probeScan,
     ccnetBucket, bpePairs, knBigram, nucleusVocab, tokenizerFertility, langMix,
-    freqOfFreq)
+    freqOfFreq, bpeMerge2)
 }

@@ -496,4 +496,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("Window"), s"no window needed anywhere:\n$plan")
   }
+
+  test("q_span_leakage semi-joins on the chunk text and reuses the persisted chunks") {
+    val plan = executedPlan("q_span_leakage")
+    assert(plan.contains("LeftSemi"), s"expected chunk-keyed semi join:\n$plan")
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"chunk relation not cache-reused:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_bpe_merge2 broadcasts the 1-row winning pair and takes the head without a sort") {
+    val plan = executedPlan("q_bpe_merge2")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row merge table must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-10 head:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

@@ -129,6 +129,45 @@ class Round8PropertiesSpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
+  test("q_span_leakage equals the naive chunk-overlap audit") {
+    val chunks = docs.flatMap { case (id, text, _, _) =>
+      val ws = tokens(text)
+      if (ws.isEmpty) Nil
+      else (0 to (ws.size - 1) / 32).map(i => (id, ws.slice(i * 32, i * 32 + 32).mkString(" ")))
+    }
+    val train = docs.map(_._1).filter(id => md5hash60(s"split$id") % 100 < 90).toSet
+    val trainChunks = chunks.filter(c => train(c._1)).map(_._2).toSet
+    val test = chunks.filterNot(c => train(c._1))
+    val leaked = test.filter(c => trainChunks(c._2))
+    val r = run("q_span_leakage")(0)
+    assert(r.getAs[Long]("n_test_docs") === test.map(_._1).distinct.size.toLong)
+    assert(r.getAs[Long]("n_test_chunks") === test.size.toLong)
+    assert(r.getAs[Long]("n_leaked_chunks") === leaked.size.toLong)
+    assert(r.getAs[Long]("n_affected_docs") === leaked.map(_._1).distinct.size.toLong)
+    assert(r.getAs[Double]("leak_rate") ===
+      pround(leaked.size.toDouble / test.size.toDouble, 4))
+  }
+
+  test("q_bpe_merge2 equals the naive two-round BPE census") {
+    val texts = docs.map(_._2)
+    def pairsOf(ts: Seq[String]): Map[String, Long] =
+      ts.flatMap(t => t.sliding(2).filter(p => p.length == 2 && !p.contains(' ')))
+        .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val r1 = pairsOf(texts)
+    val mp = r1.toSeq.sortBy { case (p, c) => (-c, p) }.head._1
+    val merged = texts.map(_.replace(mp, "\u0001"))
+    def render(c: Char): String = if (c == '\u0001') s"<$mp>" else c.toString
+    val want = merged
+      .flatMap(t => t.sliding(2).filter(_.length == 2))
+      .filter(p => p(0) != ' ' && p(1) != ' ')
+      .groupBy(p => (render(p(0)), render(p(1))))
+      .map { case (k, g) => (k._1, k._2, g.size.toLong) }.toSeq
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(10)
+    val got = run("q_bpe_merge2").map(r =>
+      (r.getAs[String]("s1"), r.getAs[String]("s2"), r.getAs[Long]("cnt")))
+    assert(got.toSeq === want)
+  }
+
   test("q_dsir_weights: an all-target corpus would weight every bucket identically") {
     // structural sanity of the estimator itself: if target == raw the
     // log-ratio table is exactly zero everywhere, hence zero weights
