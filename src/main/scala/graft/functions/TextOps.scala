@@ -54,6 +54,16 @@ object TextOps {
     Bridge.column(graft.plans.WordNGrams(Bridge.expression(text), n, distinct = false))
   }
 
+  /** Native adjacent-character-pair scan (graft.plans.CharPairs): same
+    * values as `transform(sequence(1, length(text)-1), i ->
+    * substring(text, i, 2))` filtered of pairs containing ' ', in one
+    * compiled pass — the BPE census primitive.
+    */
+  def charPairs(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.CharPairs(Bridge.expression(text)))
+  }
+
   /** One-pass native token statistics: struct(n_tokens, stop_hits,
     * char_sum) — see graft.plans.TokenStats. Bit-parity with
     * `size(words(text))` / stopword filter counts / summed `length(w)`.

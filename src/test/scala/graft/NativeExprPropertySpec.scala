@@ -35,6 +35,31 @@ class NativeExprPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("CharPairs == substring-HOF adjacent pairs on random text") {
+    import spark.implicits._
+    // multibyte + surrogate-pair chars pin codepoint (not UTF-16) pairing
+    val ch = Gen.frequency((6, Gen.alphaLowerChar.map(_.toString)),
+      (2, Gen.const(" ")), (1, Gen.const("é")), (1, Gen.const("😀")))
+    val doc = Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, ch).map(_.mkString))
+    val prop = Prop.forAll(Gen.listOfN(15, doc)) { docs =>
+      val df = docs.toDF("text")
+      val native = df.select(TextOps.charPairs(col("text")).as("p"))
+        .collect().map(_.getSeq[String](0).toList).toList
+      // guard <2-char docs: Spark's sequence(1, len-1) runs DESCENDING
+      // there (DuckDB's generate_series is empty) — CharPairs implements
+      // the oracle's empty-array semantics
+      val hof = df.select(when(length(col("text")) >= 2,
+          filter(
+            expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"),
+            p => !p.contains(" ")))
+          .otherwise(array().cast("array<string>")).as("p"))
+        .collect().map(_.getSeq[String](0).toList).toList
+      native == hof
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("TokenStats == HOF token/stopword/length stats on random text") {
     import spark.implicits._
     // include stopwords, multi-space runs, leading/trailing spaces, and
