@@ -1080,6 +1080,72 @@ object TextQueries {
                 AS type_share
             FROM ff CROSS JOIN tt ORDER BY n LIMIT 20"""))
 
+  /** Good-Turing smoothed counts — the estimator q_freq_of_freq's N_n
+    * table exists to feed: r* = (r+1)·N_{r+1}/N_r for the low-frequency
+    * region r ≤ 10, plus the leave-one-out probability mass the r-count
+    * words keep (r*·N_r / N_tokens) — the discounting step under every
+    * classical LM smoother and the standard "how much mass belongs to
+    * unseen events" diagnostic (P₀ = N_1/N). Both relations in the
+    * formula are frequency-bounded aggregates; the adjacency join
+    * (N_r ⋈ N_{r+1}) runs over the ≤ max-frequency-row spectrum, and
+    * every ratio divides exact integers with a 4dp portable round.
+    */
+  private val goodTuring = Q(
+    "q_good_turing",
+    (spark, dir) => {
+      // bigram, not unigram, level: the synthetic corpus reuses a small
+      // vocabulary so heavily that no WORD is rare (min count 29 even at
+      // sf0.001) — the hapax region Good-Turing discounts lives at the
+      // bigram level (N_1 = 9 at sf0.001), which is also where LM
+      // smoothing actually applies it
+      val v = Tables(spark, dir, "documents")
+        .select(explode(TextOps.wordNGramsAll(col("text"), 2)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      val ff = graft.Caches.persisted(
+        v.groupBy(col("n")).agg(count(lit(1)).as("types")))
+      val tot = broadcast(ff.agg(
+        sum(col("n") * col("types")).cast("bigint").as("n_tokens")))
+      val nxt = ff.select(col("n").as("n2"), col("types").as("types_next"))
+      ff.filter(col("n") <= 10)
+        .join(nxt, col("n2") === col("n") + 1, "left_outer")
+        .crossJoin(tot)
+        .select(col("n").cast("bigint").as("r"), col("types").cast("bigint").as("n_r"),
+          coalesce(col("types_next"), lit(0L)).cast("bigint").as("n_r1"),
+          col("n_tokens"))
+        .select(col("r"), col("n_r"), col("n_r1"),
+          when(col("n_r1") === 0, lit(null).cast("double"))
+            .otherwise(pround((col("r") + 1).cast("double") *
+              col("n_r1").cast("double") / col("n_r").cast("double"), 4))
+            .as("r_star"),
+          // r*·N_r / N = (r+1)·N_{r+1} / N — the probability mass the
+          // r-count words keep after discounting
+          when(col("n_r1") === 0, lit(null).cast("double"))
+            .otherwise(pround((col("r") + 1).cast("double") *
+              col("n_r1").cast("double") / col("n_tokens").cast("double"), 4))
+            .as("mass_share"))
+        .orderBy(col("r"))
+    },
+    Some("""WITH toks AS (SELECT list_filter(string_split(text, ' '), y -> y <> '') AS ws
+                     FROM documents),
+            bg AS (SELECT ws[i] || ' ' || ws[i+1] AS g
+                   FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
+                   WHERE len(ws) >= 2),
+            v AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY g),
+            ff AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS types FROM v GROUP BY n),
+            tt AS (SELECT CAST(SUM(n * types) AS BIGINT) AS n_tokens FROM ff),
+            j AS (SELECT a.n AS r, a.types AS n_r,
+                    CAST(COALESCE(b.types, 0) AS BIGINT) AS n_r1
+                  FROM ff a LEFT JOIN ff b ON b.n = a.n + 1
+                  WHERE a.n <= 10)
+            SELECT r, n_r, n_r1,
+              CASE WHEN n_r1 = 0 THEN NULL
+                   ELSE FLOOR((CAST(r + 1 AS DOUBLE) * CAST(n_r1 AS DOUBLE)
+                     / CAST(n_r AS DOUBLE)) * 10000 + 0.5) / 10000 END AS r_star,
+              CASE WHEN n_r1 = 0 THEN NULL
+                   ELSE FLOOR((CAST(r + 1 AS DOUBLE) * CAST(n_r1 AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE)) * 10000 + 0.5) / 10000 END AS mass_share
+            FROM j CROSS JOIN tt ORDER BY r"""))
+
   /** Second BPE merge round — the iterative step q_bpe_pairs (round 1)
     * stops short of: apply the round-1 winner as an actual merge and
     * re-count. The top space-free adjacent pair becomes one atomic
@@ -1139,5 +1205,5 @@ object TextQueries {
     repetitionFilter, zipfStats, lmPerplexity, charEntropy, ngramCoverage,
     piiRedact, vocabCoverage, pmiCollocations, bm25, cosinePairs, probeScan,
     ccnetBucket, bpePairs, knBigram, nucleusVocab, tokenizerFertility, langMix,
-    freqOfFreq, bpeMerge2)
+    freqOfFreq, bpeMerge2, goodTuring)
 }

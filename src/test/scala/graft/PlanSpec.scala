@@ -505,6 +505,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q_good_turing joins the bounded spectrum and broadcasts the token total") {
+    val plan = executedPlan("q_good_turing")
+    assert(plan.contains("InMemoryTableScan"),
+      s"spectrum relation not cache-reused:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"1-row total / adjacency join must broadcast at this size:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q_bpe_merge2 broadcasts the 1-row winning pair and takes the head without a sort") {
     val plan = executedPlan("q_bpe_merge2")
     assert(plan.contains("BroadcastNestedLoopJoin"),

@@ -168,6 +168,26 @@ class Round8PropertiesSpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
+  test("q_good_turing equals the naive bigram spectrum estimator") {
+    val counts = docs.flatMap { case (_, text, _, _) =>
+      tokens(text).sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }.groupBy(identity).map { case (_, g) => g.size.toLong }
+    val ff = counts.groupBy(identity).map { case (n, g) => n -> g.size.toLong }
+    val nTokens = ff.map { case (n, t) => n * t }.sum
+    val want = ff.filter(_._1 <= 10).toSeq.sortBy(_._1).map { case (r, nr) =>
+      val nr1 = ff.getOrElse(r + 1, 0L)
+      val rStar = if (nr1 == 0) null
+        else java.lang.Double.valueOf(pround((r + 1).toDouble * nr1 / nr, 4))
+      val mass = if (nr1 == 0) null
+        else java.lang.Double.valueOf(pround((r + 1).toDouble * nr1 / nTokens, 4))
+      (r, nr, nr1, rStar, mass)
+    }
+    val got = run("q_good_turing").map(r => (r.getAs[Long]("r"), r.getAs[Long]("n_r"),
+      r.getAs[Long]("n_r1"), r.getAs[java.lang.Double]("r_star"),
+      r.getAs[java.lang.Double]("mass_share")))
+    assert(got.toSeq === want)
+  }
+
   test("q_dsir_weights: an all-target corpus would weight every bucket identically") {
     // structural sanity of the estimator itself: if target == raw the
     // log-ratio table is exactly zero everywhere, hence zero weights
