@@ -62,4 +62,31 @@ class SkewAndSinksSpec extends AnyFunSuite {
       .filter(col("o_orderstatus") === "F").count()
     assert(df.count() === want)
   }
+
+  test("LSH-bucket-partitioned vector layout prunes a probe to one bucket") {
+    // SCALE.md's similarity-search claim made concrete: "at 100 TB the
+    // bucket id becomes a partition column so the scan prunes to one
+    // bucket". Write embeddings partitioned by the SAME 4-plane bucket
+    // q_knn_lsh derives, probe one bucket, and demand directory pruning.
+    import graft.functions.VectorOps
+    val signs = operators.VectorQueries.planeSigns(4, 64)
+    val bucket = concat(signs.map(s =>
+      when(VectorOps.signedDot(col("embedding"), s.toArray) > 0, lit("1"))
+        .otherwise(lit("0"))): _*)
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), bucket.as("bk"))
+    val tmp = Files.createTempDirectory("graft-lshpart").toString
+    e.write.mode("overwrite").partitionBy("bk").parquet(tmp)
+    val probeBk = e.filter(col("vec_id") === 0).select(col("bk")).head().getString(0)
+    val pruned = spark.read.parquet(tmp).filter(col("bk") === probeBk)
+      .select(col("vec_id"))
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bk".r.findFirstIn(plan).isDefined,
+      s"bucket filter not pruned at the scan:\n$plan")
+    // the pruned read is exactly the probe's candidate set
+    val want = e.filter(col("bk") === probeBk).select(col("vec_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq === want)
+  }
 }
