@@ -139,10 +139,16 @@ object AdvancedJoins {
       // on the already-filtered dim): an undersized filter saturates at
       // scale (fpp → 1) and silently degenerates the pre-filter to a
       // pass-through — correct but useless
-      val nKeys = math.max(1000L, bigOrders.count())
-      val bloom = bigOrders.stat.bloomFilter("o_orderkey", nKeys, 0.01)
-      Tables(spark, dir, "lineitem")
-        .filter(graft.functions.Probes.bloomProbe(col("l_orderkey"), bloom))
+      val nBuild = bigOrders.count()
+      val li = Tables(spark, dir, "lineitem")
+      // an EMPTY build side produces a degenerate BloomFilter (null bit
+      // array → NPE at probe time); the bloom is purely a pre-filter, so
+      // skip it there — the exact semi-join below already returns nothing
+      val prefiltered =
+        if (nBuild == 0) li
+        else li.filter(graft.functions.Probes.bloomProbe(col("l_orderkey"),
+          bigOrders.stat.bloomFilter("o_orderkey", math.max(1000L, nBuild), 0.01)))
+      prefiltered
         .join(bigOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"), pround(sum(col("l_quantity")), 4).as("sum_qty"))

@@ -278,7 +278,9 @@ object AuditQueries {
           count_if(!col("train")).cast("bigint").as("n_test"))
         .crossJoin(broadcast(leaked))
         .select(col("n_train"), col("n_test"), col("n_leaked"),
-          pround(col("n_leaked").cast("double") / col("n_test").cast("double"), 4)
+          // empty-test-split guard: the q_minhash_recall NULL rule
+          when(col("n_test") === 0, lit(null).cast("double"))
+            .otherwise(pround(col("n_leaked").cast("double") / col("n_test").cast("double"), 4))
             .as("leak_rate"))
     },
     Some("""WITH d AS (SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
@@ -293,8 +295,9 @@ object AuditQueries {
                     CAST(COUNT(*) FILTER (WHERE NOT train) AS BIGINT) AS n_test
                   FROM d)
             SELECT n_train, n_test, n_leaked,
-              FLOOR((CAST(n_leaked AS DOUBLE) / CAST(n_test AS DOUBLE))
-                * 10000 + 0.5) / 10000 AS leak_rate
+              CASE WHEN n_test = 0 THEN NULL
+                   ELSE FLOOR((CAST(n_leaked AS DOUBLE) / CAST(n_test AS DOUBLE))
+                     * 10000 + 0.5) / 10000 END AS leak_rate
             FROM c CROSS JOIN lk"""))
 
   /** Cramér's V association strength between event type and 6-hour

@@ -636,8 +636,10 @@ object DedupQueries {
         .crossJoin(broadcast(leak))
         .select(col("n_test_docs"), col("n_test_chunks"),
           col("n_leaked_chunks"), col("n_affected_docs"),
-          pround(col("n_leaked_chunks").cast("double") /
-            col("n_test_chunks").cast("double"), 4).as("leak_rate"))
+          // empty-test-split guard: the q_minhash_recall NULL rule
+          when(col("n_test_chunks") === 0, lit(null).cast("double"))
+            .otherwise(pround(col("n_leaked_chunks").cast("double") /
+              col("n_test_chunks").cast("double"), 4)).as("leak_rate"))
     },
     Some(s"""WITH $chunkCte,
              s AS (SELECT doc_id, chunk,
@@ -652,8 +654,9 @@ object DedupQueries {
              st AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_test_docs,
                       CAST(COUNT(*) AS BIGINT) AS n_test_chunks FROM te)
              SELECT n_test_docs, n_test_chunks, n_leaked_chunks, n_affected_docs,
-               FLOOR((CAST(n_leaked_chunks AS DOUBLE) / CAST(n_test_chunks AS DOUBLE))
-                 * 10000 + 0.5) / 10000 AS leak_rate
+               CASE WHEN n_test_chunks = 0 THEN NULL
+                    ELSE FLOOR((CAST(n_leaked_chunks AS DOUBLE) / CAST(n_test_chunks AS DOUBLE))
+                      * 10000 + 0.5) / 10000 END AS leak_rate
              FROM st CROSS JOIN lk"""))
 
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram,

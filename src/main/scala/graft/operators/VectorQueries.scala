@@ -301,7 +301,9 @@ object VectorQueries {
         .agg(count(lit(1)).cast("int").as("k"),
           count(col("lv")).cast("int").as("hits"))
         .select(col("k"), col("hits"),
-          pround(col("hits").cast("double") / col("k").cast("double"), 4)
+          // empty-corpus guard (k = 0): the q_minhash_recall NULL rule
+          when(col("k") === 0, lit(null).cast("double"))
+            .otherwise(pround(col("hits").cast("double") / col("k").cast("double"), 4))
             .as("recall"))
     },
     Some("""WITH probe0 AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0),
@@ -330,8 +332,9 @@ object VectorQueries {
                     ORDER BY cos DESC, e.vec_id LIMIT 10)
             SELECT CAST(COUNT(*) AS INT) AS k,
               CAST(COUNT(lsh.vec_id) AS INT) AS hits,
-              FLOOR((CAST(COUNT(lsh.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-                * 10000 + 0.5) / 10000 AS recall
+              CASE WHEN COUNT(*) = 0 THEN NULL
+                   ELSE FLOOR((CAST(COUNT(lsh.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                     * 10000 + 0.5) / 10000 END AS recall
             FROM brute LEFT JOIN lsh ON brute.vec_id = lsh.vec_id"""))
 
   /** Semantic (SemDeDup-style) embedding dedup: partition the corpus by
