@@ -179,5 +179,81 @@ object PipelineQueries {
                FLOOR((AVG(score)) * 10000 + 0.5) / 10000 AS avg_score
              FROM final GROUP BY lang ORDER BY lang"""))
 
-  val all: Seq[Q] = Seq(trainTestSplit, contamination, cleanPipeline, corpusPipeline)
+  /** Gopher/C4-style filter cascade with REASON CODES: every document is
+    * assigned the FIRST rule it fails — too_short (< 30 tokens), word_len
+    * (mean token length outside [3, 12]), repetitive (duplicate-trigram
+    * ratio > 0.2), low_quality (blended score < 0.4) — or 'kept'. The
+    * per-reason census is the report every corpus-cleaning run ships:
+    * not just how much was dropped, but WHY (rule attribution drives
+    * threshold tuning). Rule order matters and is part of the contract;
+    * CASE evaluates lazily in both engines, so the trigram ratio is
+    * never computed for sub-3-token documents (no 0/0). One native
+    * token-stats + n-gram pass per document, one bounded aggregate, a
+    * broadcast 1-row total for the share.
+    */
+  private val qualityEnsemble = Q(
+    "q_quality_ensemble",
+    (spark, dir) => {
+      val st = TextOps.tokenStats(col("text"))
+      val (_, _, _, score) = TextOps.qualityScore(col("text"))
+      val nTok = st.getField("n_tokens").cast("double")
+      val avgLen = when(st.getField("n_tokens") === 0, lit(0.0))
+        .otherwise(st.getField("char_sum").cast("double") / nTok)
+      val d = Tables(spark, dir, "documents")
+        .select(
+          st.getField("n_tokens").cast("long").as("nt"),
+          avgLen.as("al"), score.as("sc"),
+          size(TextOps.wordNGramsAll(col("text"), 3)).cast("long").as("t3"),
+          size(TextOps.distinctWordNGrams(col("text"), 3)).cast("long").as("d3"))
+      val reason = when(col("nt") < 30, "too_short")
+        .when(col("al") < 3.0 || col("al") > 12.0, "word_len")
+        .when(lit(1.0) - col("d3").cast("double") / col("t3").cast("double") > 0.2,
+          "repetitive")
+        .when(col("sc") < 0.4, "low_quality")
+        .otherwise("kept")
+      val g = d.select(reason.as("reason"))
+        .groupBy(col("reason")).agg(count(lit(1)).as("n_docs"))
+      val tot = broadcast(g.agg(sum(col("n_docs")).cast("bigint").as("total")))
+      g.crossJoin(tot)
+        .select(col("reason"), col("n_docs"),
+          pround(col("n_docs").cast("double") / col("total").cast("double"), 4)
+            .as("share"))
+        .orderBy(col("reason"))
+    },
+    Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                       FROM documents),
+            m AS (SELECT doc_id, ws,
+                    CAST(len(ws) AS BIGINT) AS nt,
+                    CASE WHEN len(ws) = 0 THEN 0.0
+                         ELSE CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                              / CAST(len(ws) AS DOUBLE) END AS al,
+                    CASE WHEN len(ws) = 0 THEN 0.0
+                         ELSE CAST(len(list_filter(ws, w -> w IN
+                           ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                           / CAST(len(ws) AS DOUBLE) END AS ratio
+                  FROM t),
+            tg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS t3,
+                     CAST(COUNT(DISTINCT g) AS BIGINT) AS d3
+                   FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                         FROM t, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+                         WHERE len(ws) >= 3)
+                   GROUP BY doc_id),
+            r AS (SELECT CASE
+                    WHEN m.nt < 30 THEN 'too_short'
+                    WHEN m.al < 3.0 OR m.al > 12.0 THEN 'word_len'
+                    WHEN 1.0 - CAST(tg.d3 AS DOUBLE) / CAST(tg.t3 AS DOUBLE) > 0.2
+                      THEN 'repetitive'
+                    WHEN (LEAST(CAST(m.nt AS DOUBLE) / 100.0, 1.0) * 0.4 + m.ratio * 0.3
+                          + LEAST(m.al / 8.0, 1.0) * 0.3) < 0.4 THEN 'low_quality'
+                    ELSE 'kept' END AS reason
+                  FROM m LEFT JOIN tg ON m.doc_id = tg.doc_id),
+            g AS (SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs FROM r GROUP BY reason),
+            s AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM g)
+            SELECT reason, n_docs,
+              FLOOR((CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) * 10000 + 0.5) / 10000
+                AS share
+            FROM g CROSS JOIN s ORDER BY reason"""))
+
+  val all: Seq[Q] = Seq(trainTestSplit, contamination, cleanPipeline,
+    corpusPipeline, qualityEnsemble)
 }

@@ -409,6 +409,67 @@ object TrainPrepQueries {
               END AS share
             FROM w CROSS JOIN s ORDER BY source"""))
 
+  /** Largest-remainder token-budget allocation: turn q_mixture_weights'
+    * √-temperature weights into INTEGER per-source token budgets summing
+    * to exactly B = 1,000,000 — the step between "weights" and an actual
+    * sampling schedule (floats don't fill batches; integers do). Quota
+    * method: base = ⌊B·w/Σw⌋ per source, then the B − Σbase leftover
+    * tokens go to the sources with the largest remainders (ties by
+    * source name) — the Hamilton apportionment rule, exact in integer /
+    * decimal(38,0) arithmetic on both engines (B·w overflows BIGINT once
+    * w passes ~9e12, i.e. corpora beyond ~10¹³ tokens — the decimal cast
+    * mirrors HUGEINT). The ranking window is unpartitioned but runs over
+    * the SOURCE-bounded weight relation (~tens of rows at any corpus
+    * size — the q_growth_wow bounded-window rule). Conservation
+    * (Σalloc = B exactly) is property-tested.
+    */
+  private val mixtureAllocation = Q(
+    "q_mixture_allocation",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.broadcast
+      val B = 1000000L
+      val toks = Tables(spark, dir, "documents")
+        .select(col("source"),
+          TextOps.tokenStats(col("text")).getField("n_tokens").cast("long").as("tc"))
+        .groupBy(col("source")).agg(sum(col("tc")).as("toks"))
+        .filter(col("toks") > 0)
+      val w = toks.select(col("source"),
+        floor(sqrt(col("toks").cast("double")) * lit(1000000d)).cast("long").as("w"))
+      val tot = broadcast(w.agg(sum(col("w")).cast("decimal(38,0)").as("wtot")))
+      val a = w.crossJoin(tot).select(col("source"), col("w"),
+        expr(s"CAST((CAST(w AS DECIMAL(38,0)) * $B) div wtot AS BIGINT)").as("alloc0"),
+        expr(s"CAST((CAST(w AS DECIMAL(38,0)) * $B) % wtot AS DECIMAL(38,0))").as("rem"))
+      val used = broadcast(a.agg(sum(col("alloc0")).cast("long").as("used")))
+      a.crossJoin(used)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+        .select(col("source"), col("w").as("weight_u"),
+          (col("alloc0") +
+            when(col("rk") <= lit(B) - col("used"), 1L).otherwise(0L))
+            .cast("bigint").as("alloc_tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (SELECT source,
+              CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS toks
+            FROM documents GROUP BY source),
+            w AS (SELECT source,
+                    CAST(FLOOR(SQRT(CAST(toks AS DOUBLE)) * 1000000) AS BIGINT) AS w
+                  FROM t WHERE toks > 0),
+            s AS (SELECT CAST(SUM(w) AS HUGEINT) AS wtot FROM w),
+            a AS (SELECT source, w,
+                    CAST((CAST(w AS HUGEINT) * 1000000) // wtot AS BIGINT) AS alloc0,
+                    (CAST(w AS HUGEINT) * 1000000) % wtot AS rem
+                  FROM w CROSS JOIN s),
+            u AS (SELECT CAST(SUM(alloc0) AS BIGINT) AS used FROM a),
+            r AS (SELECT source, w, alloc0,
+                    row_number() OVER (ORDER BY rem DESC, source) AS rk
+                  FROM a)
+            SELECT source, w AS weight_u,
+              CAST(alloc0 + CASE WHEN rk <= 1000000 - used THEN 1 ELSE 0 END AS BIGINT)
+                AS alloc_tokens
+            FROM r CROSS JOIN u ORDER BY source"""))
+
   /** T5-style span-corruption statistics: tokens are cut into 3-token
     * blocks and a block is masked iff hash60(doc_id:block) ≡ 0 (mod 7) —
     * a deterministic ≈1/7 span-level corruption schedule both engines
@@ -556,5 +617,5 @@ object TrainPrepQueries {
 
   val all: Seq[Q] = Seq(seqPack, tokenBuckets, interleave, dedupCanonical,
     minmaxScale, systematicSample, labelBalance, curriculum, epochShuffle,
-    ragChunk, mixtureWeights, spanMask, dsirWeights)
+    ragChunk, mixtureWeights, mixtureAllocation, spanMask, dsirWeights)
 }

@@ -514,6 +514,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q_quality_ensemble is one document pass + bounded census (no join before the census)") {
+    val plan = executedPlan("q_quality_ensemble")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row total must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"), plan)
+  }
+
+  test("q_mixture_allocation ranks remainders over the source-bounded relation only") {
+    val plan = executedPlan("q_mixture_allocation")
+    // the one Window is the remainder rank over ~20 source rows — it must
+    // sit ABOVE the aggregates (bounded input), never over raw documents
+    val win = plan.indexOf("Window")
+    val agg = plan.lastIndexOf("HashAggregate")
+    assert(win >= 0 && agg >= 0 && win < agg,
+      s"remainder rank must run over the aggregated source relation:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q_bpe_merge2 broadcasts the 1-row winning pair and takes the head without a sort") {
     val plan = executedPlan("q_bpe_merge2")
     assert(plan.contains("BroadcastNestedLoopJoin"),

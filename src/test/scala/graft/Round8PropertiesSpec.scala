@@ -188,6 +188,51 @@ class Round8PropertiesSpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
+  test("q_mixture_allocation conserves the budget exactly and matches Hamilton quotas") {
+    val B = 1000000L
+    val toks = docs.groupBy(_._3).map { case (src, ds) =>
+      src -> ds.map(d => tokens(d._2).size.toLong).sum
+    }.filter(_._2 > 0)
+    val w = toks.map { case (s, t) => s -> math.floor(math.sqrt(t.toDouble) * 1e6).toLong }
+    val wtot = w.values.map(BigInt(_)).sum
+    val base = w.map { case (s, wi) => s -> ((BigInt(wi) * B) / wtot).toLong }
+    val rem = w.map { case (s, wi) => s -> (BigInt(wi) * B) % wtot }
+    val leftover = (B - base.values.sum).toInt
+    val plusOne = rem.toSeq.sortBy { case (s, r) => (-r, s) }.take(leftover).map(_._1).toSet
+    val want = base.map { case (s, b) => (s, w(s), b + (if (plusOne(s)) 1L else 0L)) }
+      .toSeq.sortBy(_._1)
+    val got = run("q_mixture_allocation").map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("weight_u"), r.getAs[Long]("alloc_tokens")))
+    assert(got.toSeq === want)
+    assert(got.map(_._3).sum === B, "allocation must conserve the budget exactly")
+  }
+
+  test("q_quality_ensemble equals the naive first-failing-rule cascade") {
+    val reasons = docs.map { case (_, text, _, _) =>
+      val ws = tokens(text)
+      val nt = ws.size.toLong
+      val charSum = ws.map(w => w.codePointCount(0, w.length).toLong).sum
+      val al = if (nt == 0) 0.0 else charSum.toDouble / nt
+      val stop = Set("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+      val ratio = if (nt == 0) 0.0 else ws.count(stop).toDouble / nt
+      val sc = math.min(nt / 100.0, 1.0) * 0.4 + ratio * 0.3 + math.min(al / 8.0, 1.0) * 0.3
+      lazy val tg = ws.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      if (nt < 30) "too_short"
+      else if (al < 3.0 || al > 12.0) "word_len"
+      else if (1.0 - tg.distinct.size.toDouble / tg.size > 0.2) "repetitive"
+      else if (sc < 0.4) "low_quality"
+      else "kept"
+    }
+    val counts = reasons.groupBy(identity).map { case (r, g) => r -> g.size.toLong }
+    val total = reasons.size.toLong
+    val wantRows = counts.toSeq.sortBy(_._1).map { case (r, n) =>
+      (r, n, pround(n.toDouble / total, 4))
+    }
+    val got = run("q_quality_ensemble").map(r => (r.getAs[String]("reason"),
+      r.getAs[Long]("n_docs"), r.getAs[Double]("share")))
+    assert(got.toSeq === wantRows)
+  }
+
   test("q_dsir_weights: an all-target corpus would weight every bucket identically") {
     // structural sanity of the estimator itself: if target == raw the
     // log-ratio table is exactly zero everywhere, hence zero weights
