@@ -162,6 +162,43 @@ object DedupQueries {
     },
     Some(minhashOracle))
 
+  /** Per-document SimHash signature of `width` bits (one vote position
+    * per md5 hex char, width ≤ 32): one md5 per word occurrence, width
+    * partial-aggregated bit votes in one groupBy(doc). The 16-bit
+    * variant is q_dedup_simhash's declared output; the Hamming index
+    * uses the full 32 — signature width is THE simhash scale knob
+    * (buckets must outnumber documents or band buckets go quadratic).
+    */
+  private def simhashSigs(spark: SparkSession, dir: String, width: Int = 16): DataFrame = {
+    val high = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val voteCols = (1 to width).map(i =>
+      sum(when(substring(col("m"), i, 1).isin(high: _*), 1).otherwise(-1)).as(s"s$i"))
+    val sigChar = (1 to width).map(i =>
+      when(col(s"s$i") > 0, lit("1")).otherwise(lit("0")))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.wordsNative(col("text"))).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("m")) // hash each word once
+      .groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), concat(sigChar: _*).as(s"simhash$width"))
+  }
+
+  /** Shared oracle CTE: documents → word md5 votes → width-bit signature
+    * string (`sig(doc_id, s)`).
+    */
+  private def simhashSigCte(width: Int): String =
+    s"""w1 AS (SELECT doc_id, word AS w FROM
+               (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+             WHERE word <> ''),
+       bits AS (SELECT doc_id, i,
+                  SUM(CASE WHEN substr(md5(w), i, 1) IN
+                    ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+                FROM w1, UNNEST(generate_series(1, $width)) AS t(i)
+                GROUP BY doc_id, i),
+       sig AS (SELECT doc_id,
+                 string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS s
+               FROM bits GROUP BY doc_id)"""
+
   /** SimHash: 16-bit signature from per-hex-char md5 "bit" votes weighted
     * by term frequency. md5(w) is computed once per word occurrence; the 16
     * bit votes are partial-aggregated sums in a single groupBy (no row
@@ -169,20 +206,7 @@ object DedupQueries {
     */
   private val dedupSimhash = Q(
     "q_dedup_simhash",
-    (spark, dir) => {
-      val high = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-      val voteCols = (1 to 16).map(i =>
-        sum(when(substring(col("m"), i, 1).isin(high: _*), 1).otherwise(-1)).as(s"s$i"))
-      val sigChar = (1 to 16).map(i =>
-        when(col(s"s$i") > 0, lit("1")).otherwise(lit("0")))
-      Tables(spark, dir, "documents")
-        .select(col("doc_id"), explode(TextOps.wordsNative(col("text"))).as("w"))
-        .select(col("doc_id"), md5(col("w")).as("m")) // hash each word once
-        .groupBy(col("doc_id"))
-        .agg(voteCols.head, voteCols.tail: _*)
-        .select(col("doc_id"), concat(sigChar: _*).as("simhash16"))
-        .orderBy(col("doc_id"))
-    },
+    (spark, dir) => simhashSigs(spark, dir, width = 16).orderBy(col("doc_id")),
     Some("""WITH w1 AS (SELECT doc_id, word AS w FROM
                           (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
                         WHERE word <> ''),
@@ -659,7 +683,85 @@ object DedupQueries {
                       * 10000 + 0.5) / 10000 END AS leak_rate
              FROM st CROSS JOIN lk"""))
 
+  /** SimHash Hamming near-dup join — the pigeonhole multi-index of Manku
+    * et al., "Detecting Near-Duplicates for Web Crawling" (WWW'07;
+    * PAPERS.md dedup line): split the 16-bit signature into 4 bands of 4
+    * bits (32-bit signature — all 32 md5 hex positions; the 16-bit
+    * q_dedup_simhash signature has only 2^16 values, so its band
+    * buckets grow with the corpus and the pair space goes quadratic:
+    * measured 21 s at sf0.1 before widening, ~1 s after); any pair
+    * within Hamming distance ≤ 3 differs in at most 3 bands, so it MUST
+    * agree exactly on at least one band — the banded
+    * equi-join finds every such pair with zero misses (a guarantee, not
+    * a probability: this is what separates the simhash index from
+    * minhash-LSH's probabilistic bands). Candidates are then verified
+    * with the exact 32-position Hamming count; the report is the bounded
+    * distance histogram (pairs and distinct left docs per distance ≤ 3)
+    * — the pair LIST itself is unbounded output, while the histogram
+    * stays 4 rows at any scale (the production knob is a 64-bit
+    * signature and more band tables, same shape).
+    *
+    * Scale posture: the shuffle keys on (band, bits) — content-derived
+    * and uniform; per-bucket fan-in is the corpus' signature collision
+    * rate, tuned by band width exactly as in production simhash indexes
+    * (64-bit sigs, 4–6 tables). Completeness is property-tested against
+    * the naive all-pairs Hamming scan.
+    */
+  private val simhashHamming = Q(
+    "q_simhash_hamming",
+    (spark, dir) => {
+      // Fixed 500-document window (the q_dedup_ngram exact-verifier
+      // precedent): on THIS corpus the operator is corpus-quadratic BY
+      // DATA, not by plan — every document draws from one shared
+      // vocabulary, so signatures concentrate around the corpus mean and
+      // ~28% of ALL pairs sit within Hamming 3 (measured; 4041 distinct
+      // sigs across 5000 docs at sf0.1). No index can bound an output
+      // that IS quadratic. On natural corpora signatures spread and the
+      // same banded join is the standard near-linear simhash index; the
+      // production knobs are 64-bit signatures and more band tables.
+      val s = graft.Caches.persisted(
+        simhashSigs(spark, dir, width = 32).filter(col("doc_id") < 500))
+      val bands = s.select(col("doc_id"), col("simhash32"),
+          explode(expr("sequence(0, 3)")).as("b"))
+        .select(col("doc_id"), col("simhash32"), col("b"),
+          expr("substring(simhash32, b * 8 + 1, 8)").as("bits"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.b") === col("b.b") && col("a.bits") === col("b.bits") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash32").as("sa"), col("b.simhash32").as("sb"))
+        .distinct()
+      val ham = (1 to 32).map(i =>
+        when(substring(col("sa"), i, 1) =!= substring(col("sb"), i, 1), 1).otherwise(0))
+        .reduce(_ + _)
+      cand.select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_a")).cast("bigint").as("n_left_docs"))
+        .orderBy(col("hamming"))
+    },
+    Some(s"""WITH ${simhashSigCte(32)},
+             bands AS (SELECT doc_id, s, b, substr(s, b * 8 + 1, 8) AS bits
+                       FROM sig, UNNEST(generate_series(0, 3)) AS t(b)
+                       WHERE doc_id < 500),
+             cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.s AS sa, b.s AS sb
+                      FROM bands a JOIN bands b
+                        ON a.b = b.b AND a.bits = b.bits AND a.doc_id < b.doc_id),
+             h AS (SELECT doc_a, doc_b,
+                     ${(1 to 32).map(i =>
+                       s"CASE WHEN substr(sa, $i, 1) <> substr(sb, $i, 1) THEN 1 ELSE 0 END")
+                       .mkString(" + ")} AS hamming
+                   FROM cand)
+             SELECT CAST(hamming AS INT) AS hamming,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS n_left_docs
+             FROM h WHERE hamming <= 3
+             GROUP BY hamming ORDER BY hamming"""))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupContainment, minhashRecall, chunkDedup, dupRatioBySource,
-    minhashPrecision, spanDedup, spanLeakage)
+    minhashPrecision, spanDedup, spanLeakage, simhashHamming)
 }

@@ -533,6 +533,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q_simhash_hamming reuses the persisted signature relation in the banded join") {
+    val plan = executedPlan("q_simhash_hamming")
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"signature relation not cache-reused on both join sides:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pairs must come from the banded equi-join:\n$plan")
+  }
+
   test("q_bpe_merge2 broadcasts the 1-row winning pair and takes the head without a sort") {
     val plan = executedPlan("q_bpe_merge2")
     assert(plan.contains("BroadcastNestedLoopJoin"),

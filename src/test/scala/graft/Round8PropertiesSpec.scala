@@ -233,6 +233,39 @@ class Round8PropertiesSpec extends AnyFunSuite {
     assert(got.toSeq === wantRows)
   }
 
+  test("q_simhash_hamming equals the naive all-pairs Hamming histogram (pigeonhole completeness)") {
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val high = "89abcdef".toSet
+    val sigs = docs.filter(_._1 < 500).flatMap { case (id, text, _, _) =>
+      val ws = tokens(text)
+      if (ws.isEmpty) None
+      else {
+        val votes = Array.fill(32)(0)
+        ws.foreach { w =>
+          val h = md5hex(w)
+          for (i <- 0 until 32) votes(i) += (if (high(h(i))) 1 else -1)
+        }
+        Some(id -> votes.map(v => if (v > 0) '1' else '0').mkString)
+      }
+    }.sortBy(_._1)
+    // naive ALL-PAIRS scan — no bands; pigeonhole completeness means the
+    // banded query must find every one of these pairs
+    val pairs = for {
+      i <- sigs.indices; j <- (i + 1) until sigs.size
+      d = sigs(i)._2.zip(sigs(j)._2).count { case (a, b) => a != b }
+      if d <= 3
+    } yield (sigs(i)._1, d)
+    val want = pairs.groupBy(_._2).map { case (h, g) =>
+      (h, g.size.toLong, g.map(_._1).distinct.size.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = run("q_simhash_hamming").map(r => (r.getAs[Int]("hamming"),
+      r.getAs[Long]("n_pairs"), r.getAs[Long]("n_left_docs")))
+    assert(got.toSeq === want)
+  }
+
   test("q_dsir_weights: an all-target corpus would weight every bucket identically") {
     // structural sanity of the estimator itself: if target == raw the
     // log-ratio table is exactly zero everywhere, hence zero weights
