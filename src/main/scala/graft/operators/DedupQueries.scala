@@ -685,11 +685,11 @@ object DedupQueries {
 
   /** SimHash Hamming near-dup join — the pigeonhole multi-index of Manku
     * et al., "Detecting Near-Duplicates for Web Crawling" (WWW'07;
-    * PAPERS.md dedup line): split the 16-bit signature into 4 bands of 4
-    * bits (32-bit signature — all 32 md5 hex positions; the 16-bit
-    * q_dedup_simhash signature has only 2^16 values, so its band
-    * buckets grow with the corpus and the pair space goes quadratic:
-    * measured 21 s at sf0.1 before widening, ~1 s after); any pair
+    * PAPERS.md dedup line): split the 32-bit signature (all 32 md5 hex
+    * positions — the 16-bit q_dedup_simhash signature has only 2^16
+    * values, so its band buckets grow with the corpus and the pair
+    * space goes quadratic: measured 21 s at sf0.1 before widening, ~1 s
+    * after) into 4 bands of 8 bits; any pair
     * within Hamming distance ≤ 3 differs in at most 3 bands, so it MUST
     * agree exactly on at least one band — the banded
     * equi-join finds every such pair with zero misses (a guarantee, not

@@ -471,7 +471,20 @@ object GraphQueries {
     * DENOMINATOR keeps the full exact degrees. The oracle applies the
     * identical cap, so the contract is exact; 14× less wedge mass at
     * sf0.1 and bounded per-intermediate fan-out at any scale.
+    *
+    * CONTRACT NOTE: build() runs one small Spark job eagerly (a count()
+    * that materializes the cached degree relation before the consumers
+    * are planned) — plan-only consumers (PlanSpec, explain tooling) pay
+    * that node-sized job at build time. The cap below is the single
+    * `JaccardMidCap` constant; the wedge tail-slice length derives from
+    * it (a capped middle has ≤ cap neighbors, so the slice can never
+    * truncate).
     */
+  /** Degree cap on wedge intermediates (and hence on the per-middle
+    * sorted-adjacency slice): shared by the filter, the slice length and
+    * the oracle so they can never drift apart.
+    */
+  private val JaccardMidCap = 128
   private val graphJaccard = Q(
     "q_graph_jaccard",
     (spark, dir) => {
@@ -490,7 +503,7 @@ object GraphQueries {
       val deg = Caches.persisted(
         e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
       deg.count()
-      val mid = deg.filter(col("deg") <= 128).select(col("src").as("x"))
+      val mid = deg.filter(col("deg") <= JaccardMidCap).select(col("src").as("x"))
       // (x → n) edges whose middle endpoint survives the cap
       val ex = e.join(mid, col("src") === col("x"), "left_semi")
         .select(col("src").as("x"), col("dst").as("n"))
@@ -507,7 +520,8 @@ object GraphQueries {
       val wedges = ex
         .groupBy(col("x")).agg(sort_array(collect_list(col("n"))).as("ns"))
         .select(posexplode(col("ns")).as(Seq("i", "n")), col("ns"))
-        .select(col("n"), explode(slice(col("ns"), col("i") + lit(2), lit(128))).as("m"))
+        .select(col("n"),
+          explode(slice(col("ns"), col("i") + lit(2), lit(JaccardMidCap))).as("m"))
         .groupBy(col("n"), col("m")).agg(count(lit(1)).as("cn"))
       wedges
         .join(deg.select(col("src").as("n2"), col("deg").as("da")), col("n") === col("n2"))
@@ -520,7 +534,7 @@ object GraphQueries {
     Some(s"""WITH $edgesCte,
              deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
                      FROM edges GROUP BY src),
-             mid AS (SELECT src FROM deg WHERE deg <= 128),
+             mid AS (SELECT src FROM deg WHERE deg <= $JaccardMidCap),
              ex AS (SELECT e.src AS x, e.dst AS n
                     FROM edges e JOIN mid ON e.src = mid.src),
              w AS (SELECT e1.n AS n, e2.n AS m, CAST(COUNT(*) AS BIGINT) AS cn

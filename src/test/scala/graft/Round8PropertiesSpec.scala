@@ -116,7 +116,10 @@ class Round8PropertiesSpec extends AnyFunSuite {
       math.floor((log2((ct(b) + 1).toDouble / (nt + 256).toDouble) -
         log2((cr(b) + 1).toDouble / (nr + 256).toDouble)) * 1e6).toLong
     }
-    val bySource = bigrams.groupBy(_._2)
+    // the engine (and oracle) drop documents with fewer than 2 tokens
+    // entirely — no row survives the bigram explode — so the naive
+    // per-source grouping must use the same document universe
+    val bySource = bigrams.filter(_._4.nonEmpty).groupBy(_._2)
     val want = bySource.toSeq.map { case (src, ds) =>
       val logws = ds.map { case (_, _, _, bs) => bs.map(b => lrU(b)).sum }
       val sum = logws.sum
@@ -266,16 +269,26 @@ class Round8PropertiesSpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
-  test("q_dsir_weights: an all-target corpus would weight every bucket identically") {
-    // structural sanity of the estimator itself: if target == raw the
-    // log-ratio table is exactly zero everywhere, hence zero weights
-    val cr = Array(5L, 3L, 0L, 9L)
-    val lr = cr.indices.map { b =>
-      val n = cr.sum
-      def log2(x: Double) = math.log(x) / math.log(2.0)
-      math.floor((log2((cr(b) + 1).toDouble / (n + cr.length).toDouble) -
-        log2((cr(b) + 1).toDouble / (n + cr.length).toDouble)) * 1e6).toLong
+  test("q_dsir_weights: an all-target corpus weights every document exactly zero") {
+    // structural sanity of the estimator run END-TO-END: when every
+    // document is in the target language the target and raw bucket
+    // distributions coincide, the log-ratio table is exactly zero, and
+    // every per-doc weight must come out 0 — asserted through the real
+    // query on a tiny all-English fixture, not a hand replay.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsir-allen").toString
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "web", "en"),
+      (2L, "pack my box with five dozen liquor jugs", "web", "en"),
+      (3L, "a stitch in time saves nine every single day", "books", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = Registry.byName("q_dsir_weights").build(spark, tmp).collect()
+    Caches.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sum_logw_u") === 0L)
+      assert(r.getAs[Double]("mean_logw_bits") === 0.0)
     }
-    assert(lr.forall(_ == 0L))
   }
 }

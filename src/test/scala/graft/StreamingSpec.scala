@@ -160,6 +160,22 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
         org.apache.spark.sql.functions.timestamp_micros(col("ts_us")).as("ts"))
       .coalesce(1).write.parquet(s"$staged/f1.parquet")
+    // FileStreamSource orders files by modification time; f0 and f1 are
+    // written back-to-back and their mtimes can collide at millisecond
+    // granularity, which would let the far-future sentinel batch run
+    // FIRST and advance the watermark past every real event. Force the
+    // sentinel's data files strictly later so batch order is
+    // deterministic: f0's real events always precede the sealer.
+    locally {
+      import java.nio.file.{Files, Paths, FileVisitOption}
+      import java.nio.file.attribute.FileTime
+      val f0Max = Files.walk(Paths.get(s"$staged/f0.parquet"), FileVisitOption.FOLLOW_LINKS)
+        .filter(Files.isRegularFile(_))
+        .mapToLong(p => Files.getLastModifiedTime(p).toMillis).max.orElse(0L)
+      Files.walk(Paths.get(s"$staged/f1.parquet"), FileVisitOption.FOLLOW_LINKS)
+        .filter(Files.isRegularFile(_))
+        .forEach(p => Files.setLastModifiedTime(p, FileTime.fromMillis(f0Max + 60000L)))
+    }
     val stream = spark.readStream.schema(base.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$staged/*.parquet")
       .withWatermark("ts", "1 hour")
