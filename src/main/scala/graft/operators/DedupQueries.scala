@@ -683,6 +683,114 @@ object DedupQueries {
                       * 10000 + 0.5) / 10000 END AS leak_rate
              FROM st CROSS JOIN lk"""))
 
+  /** Corpus surgery — the WRITE side of span dedup (Lee et al.'s
+    * ExactSubstr deduplication *removes* one copy of each duplicated
+    * span and emits the cleaned corpus; PAPERS.md dedup line). Reuses
+    * q_span_dedup's detector verbatim — positional 3-gram match over the
+    * LSH-bounded candidate pair space, diagonal run-merge into maximal
+    * runs ≥ 5 tokens — then applies the greedy keep-first policy: each
+    * run is excised from the HIGHER-id document of its pair (the lower
+    * id keeps its copy, the q_dedup_exact keep-lowest rule), covered
+    * token positions are unioned across all pairs touching a document,
+    * and the survivors are re-joined into the scrubbed text. Reported
+    * per scrubbed doc: token count before, tokens removed, single-space-
+    * joined characters removed, and the md5 fingerprint of the scrubbed
+    * text — the content receipt a downstream writer would verify.
+    *
+    * Scale posture: the pair space is LSH-bounded (never doc × doc), the
+    * removed-position relation is linear in duplicated-span mass, the
+    * anti-join keys on (doc_id, pos) — uniform, skew-free — and text
+    * reassembly is a per-document sort of that document's own surviving
+    * tokens (bounded by doc length, embarrassingly parallel). The oracle
+    * replays the identical splice: same runs, same position union, same
+    * ordered re-join, same md5.
+    */
+  private val spanScrub = Q(
+    "q_span_scrub",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val ps = docs.select(col("doc_id"),
+        posexplode(TextOps.wordNGramsAll(col("text"), 3)).as(Seq("pos", "sh")))
+      val cand = minhashCandidates(shingleRel(spark, dir))
+      val m = cand
+        .join(ps.select(col("doc_id").as("doc_a"), col("pos").as("i"), col("sh")), "doc_a")
+        .join(ps.select(col("doc_id").as("doc_b"), col("pos").as("j"), col("sh")),
+          Seq("doc_b", "sh"))
+        .select(col("doc_a"), col("doc_b"), (col("i") - col("j")).as("diag"),
+          col("i"), col("j"))
+      val byDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+        .orderBy(col("i"))
+      val runs = m.withColumn("grp", col("i") - row_number().over(byDiag))
+        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+        .agg(min(col("j")).as("j0"), (count(lit(1)) + 2).as("span"))
+        .filter(col("span") >= 5)
+      // union of covered token positions in the higher-id doc of each pair
+      val removed = runs
+        .select(col("doc_b").as("doc_id"),
+          explode(sequence(col("j0"), col("j0") + col("span") - 1)).as("pos"))
+        .distinct()
+      val toks = docs.select(col("doc_id"),
+        posexplode(TextOps.wordsNative(col("text"))).as(Seq("pos", "w")))
+      val kept = toks.join(removed, Seq("doc_id", "pos"), "left_anti")
+      val keptAgg = kept.groupBy(col("doc_id"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            s => s.getField("w")), " ").as("scrub_text"))
+      val rem = removed.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_removed"))
+      val nt = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_tokens"))
+      val orig = docs.select(col("doc_id"),
+        length(array_join(TextOps.wordsNative(col("text")), " ")).as("orig_len"))
+      rem.join(nt, "doc_id").join(orig, "doc_id")
+        .join(keptAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          (col("orig_len") - length(coalesce(col("scrub_text"), lit(""))))
+            .cast("bigint").as("chars_removed"),
+          md5(coalesce(col("scrub_text"), lit(""))).as("scrub_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $minhashCandCte,
+             ps AS (SELECT doc_id, i - 1 AS pos,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+                    FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+                    WHERE len(ws) >= 3),
+             m AS (SELECT c.doc_a, c.doc_b, a.pos - b.pos AS diag,
+                     a.pos AS i, b.pos AS j
+                   FROM cand c
+                   JOIN ps a ON a.doc_id = c.doc_a
+                   JOIN ps b ON b.doc_id = c.doc_b AND b.sh = a.sh),
+             r AS (SELECT doc_a, doc_b, diag, i, j,
+                     i - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                       ORDER BY i) AS grp
+                   FROM m),
+             runs AS (SELECT doc_b, MIN(j) AS j0, COUNT(*) + 2 AS span
+                      FROM r GROUP BY doc_a, doc_b, diag, grp
+                      HAVING COUNT(*) + 2 >= 5),
+             rem AS (SELECT DISTINCT doc_b AS doc_id, j0 + u.k AS pos
+                     FROM runs, UNNEST(generate_series(0, span - 1)) AS u(k)),
+             tk AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
+                    FROM toks, UNNEST(generate_series(1, len(ws))) AS u(i)),
+             kept AS (SELECT t.doc_id, t.pos, t.w FROM tk t
+                      LEFT JOIN rem x ON x.doc_id = t.doc_id AND x.pos = t.pos
+                      WHERE x.pos IS NULL),
+             sc AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS scrub_text
+                    FROM kept GROUP BY doc_id),
+             nr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+                    FROM rem GROUP BY doc_id),
+             nt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+                    FROM tk GROUP BY doc_id),
+             orig AS (SELECT doc_id, array_to_string(ws, ' ') AS jt FROM toks)
+             SELECT nr.doc_id, nt.n_tokens, nr.n_removed,
+               CAST(LENGTH(o.jt) - LENGTH(COALESCE(sc.scrub_text, '')) AS BIGINT)
+                 AS chars_removed,
+               md5(COALESCE(sc.scrub_text, '')) AS scrub_fp
+             FROM nr
+             JOIN nt ON nt.doc_id = nr.doc_id
+             JOIN orig o ON o.doc_id = nr.doc_id
+             LEFT JOIN sc ON sc.doc_id = nr.doc_id
+             ORDER BY nr.doc_id"""))
+
   /** SimHash Hamming near-dup join — the pigeonhole multi-index of Manku
     * et al., "Detecting Near-Duplicates for Web Crawling" (WWW'07;
     * PAPERS.md dedup line): split the 32-bit signature (all 32 md5 hex
@@ -763,5 +871,5 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupContainment, minhashRecall, chunkDedup, dupRatioBySource,
-    minhashPrecision, spanDedup, spanLeakage, simhashHamming)
+    minhashPrecision, spanDedup, spanLeakage, simhashHamming, spanScrub)
 }

@@ -541,6 +541,20 @@ class PlanSpec extends AnyFunSuite {
       s"pairs must come from the banded equi-join:\n$plan")
   }
 
+  // ---- round-9 ids ----
+
+  test("q_span_scrub anti-joins removed positions and keeps the pair space candidate-bounded") {
+    val plan = executedPlan("q_span_scrub")
+    assert(plan.contains("LeftAnti"),
+      s"survivors must come from a (doc_id, pos) anti-join:\n$plan")
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val parted = "windowspecdefinition\\(doc_a".r.findAllIn(plan).size
+    assert(specs > 0 && specs == parted,
+      s"run-merge must partition by the pair, found $specs/$parted:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair space must stay candidate-bounded:\n$plan")
+  }
+
   test("q_bpe_merge2 broadcasts the 1-row winning pair and takes the head without a sort") {
     val plan = executedPlan("q_bpe_merge2")
     assert(plan.contains("BroadcastNestedLoopJoin"),

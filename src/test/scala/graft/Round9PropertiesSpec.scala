@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Naive in-memory replays for the round-9 operators (the
+  * Round7/Round8PropertiesSpec discipline): the oracle hash certifies the
+  * two engines agree; these certify the statistic IS the statistic by
+  * recomputing it with the dumbest possible Scala on sf0.001 and
+  * demanding EXACT agreement.
+  */
+class Round9PropertiesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private def run(name: String) = {
+    val rows = Registry.byName(name).build(spark, dir).collect()
+    Caches.releaseAll()
+    rows
+  }
+
+  private def md5hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  private def md5hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private lazy val docs: Seq[(Long, String)] =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  private def tokens(text: String): Seq[String] =
+    text.split(" ", -1).filter(_.nonEmpty).toSeq
+
+  /** Same naive LSH candidate generator as Round8PropertiesSpec — the
+    * scrub query must act on exactly the detector's pair space.
+    */
+  private lazy val naiveCandidates: Set[(Long, Long)] = {
+    val sigs = docs.flatMap { case (id, text) =>
+      val sh = tokens(text).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      if (sh.isEmpty) None
+      else {
+        val xs = sh.map(md5hash60)
+        Some(id -> operators.DedupQueries.minhashSeeds.map(k => xs.map(_ ^ k).min))
+      }
+    }
+    val buckets = for {
+      (id, mh) <- sigs
+      b <- 0 until 4
+    } yield (b, mh.slice(b * 4, b * 4 + 4).mkString(",")) -> id
+    buckets.groupBy(_._1).values.flatMap { g =>
+      val ids = g.map(_._2).sorted
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+  }
+
+  /** Union of removed token positions per doc, replaying the detector's
+    * diagonal run-merge and the keep-first (remove-from-doc_b) policy.
+    */
+  private lazy val naiveRemoved: Map[Long, Set[Int]] = {
+    val pos = docs.map { case (id, text) =>
+      id -> tokens(text).sliding(3).filter(_.size == 3).map(_.mkString(" "))
+        .zipWithIndex.map { case (sh, i) => (i, sh) }.toSeq
+    }.toMap
+    val perPair = naiveCandidates.toSeq.flatMap { case (a, b) =>
+      val byShB = pos(b).groupBy(_._2)
+      val matches = pos(a).flatMap { case (i, sh) =>
+        byShB.getOrElse(sh, Nil).map { case (j, _) => (i, j) }
+      }
+      matches.groupBy { case (i, j) => i - j }.toSeq.flatMap { case (d, ms) =>
+        val is = ms.map(_._1).sorted
+        val runs = is.foldLeft(List.empty[List[Int]]) {
+          case ((run :: rest), i) if run.headOption.contains(i - 1) =>
+            (i :: run) :: rest
+          case (acc, i) => List(i) :: acc
+        }
+        runs.map(r => (r.min, r.size + 2)).filter(_._2 >= 5).map {
+          case (i0, span) =>
+            val j0 = i0 - d
+            b -> (j0 until j0 + span).toSet
+        }
+      }
+    }
+    perPair.groupBy(_._1).map { case (id, g) =>
+      id -> g.map(_._2).reduce(_ ++ _)
+    }
+  }
+
+  test("q_span_scrub equals the naive span splice over LSH candidates") {
+    val want = naiveRemoved.toSeq.map { case (id, rem) =>
+      val ws = tokens(docs.find(_._1 == id).get._2)
+      val kept = ws.zipWithIndex.collect { case (w, i) if !rem(i) => w }
+      val scrub = kept.mkString(" ")
+      (id, ws.size.toLong, rem.size.toLong,
+        (ws.mkString(" ").length - scrub.length).toLong, md5hex(scrub))
+    }.sortBy(_._1)
+    val got = run("q_span_scrub").map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+      r.getAs[Long]("chars_removed"), r.getAs[String]("scrub_fp")))
+    assert(got.toSeq === want)
+  }
+
+  test("q_span_scrub removes every span q_span_dedup detects, from the higher-id doc") {
+    val scrubbed = run("q_span_scrub").map(_.getAs[Long]("doc_id")).toSet
+    val detectedB = run("q_span_dedup").map(_.getAs[Long]("doc_b")).toSet
+    assert(scrubbed === detectedB,
+      "the scrubbed-doc set must be exactly the detector's doc_b set")
+  }
+
+  test("q_span_scrub never removes more tokens than the document has") {
+    run("q_span_scrub").foreach { r =>
+      assert(r.getAs[Long]("n_removed") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_removed") >= 5L,
+        "a scrubbed doc carries at least one >= 5-token span")
+    }
+  }
+}
