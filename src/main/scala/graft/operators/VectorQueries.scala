@@ -411,6 +411,107 @@ object VectorQueries {
             FROM assigned a LEFT JOIN dups d ON d.cluster = a.cluster
             GROUP BY a.cluster ORDER BY a.cluster"""))
 
+  /** Quantized ANN search — the memory-bound production shape (FAISS's
+    * asymmetric distance computation, ADC, here over the scalar-int8
+    * codebook q_embed_quantize already calibrates; PQ proper swaps the
+    * per-dimension codebook for per-subspace centroids, same funnel).
+    * The CORPUS side is quantized to int8 with the per-dimension abs-max
+    * scale (4× fewer bytes to scan than float32 — at 100 TB the index
+    * that fits in executor memory is the one that gets used); the PROBE
+    * stays float. Search runs the quantized scan first — approximate
+    * score Σ_d p_d · q_d · (amax_d / 127), each term floored to integer
+    * µunits BEFORE the sum so the aggregate is exact integer arithmetic
+    * with no float summation-order knife edges (the q_dsir_weights
+    * funnel) — keeps the top-50 shortlist, then re-ranks exactly with
+    * full-precision cosine and reports recall@10 of the final top-10
+    * against the q_knn_brute baseline (the q_ann_recall quality-gate
+    * shape).
+    *
+    * Scale posture: calibration is a 64-row broadcast; the probe is a
+    * 64-row broadcast; the quantized scan is one pass with a
+    * TakeOrdered(50) head (no shuffle of embedding data beyond the
+    * per-vec_id partial sum); the re-rank touches exactly 50 vectors.
+    */
+  private val knnPq = Q(
+    "q_knn_pq",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "embeddings")
+      val x = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d0", "xf")))
+        .select(col("vec_id"), (col("d0") + 1).as("d"), col("xf").cast("double").as("x"))
+      val cal = broadcast(x.groupBy(col("d")).agg(max(abs(col("x"))).as("amax")))
+      val xq = x.join(cal, "d")
+        .select(col("vec_id"), col("d"), col("amax"),
+          when(col("amax") === 0d, lit(0d)).otherwise(
+            greatest(lit(-127d), least(lit(127d),
+              floor(col("x") / (col("amax") / 127d) + 0.5d)))).as("q"))
+      val probeD = broadcast(x.filter(col("vec_id") === 0)
+        .select(col("d"), col("x").as("p")))
+      val approx = xq.filter(col("vec_id") =!= 0)
+        .join(probeD, "d")
+        .select(col("vec_id"),
+          when(col("amax") === 0d, lit(0L)).otherwise(
+            floor(col("p") * col("q") * (col("amax") / lit(127d)) * lit(1e6d))
+              .cast("long")).as("t"))
+        .groupBy(col("vec_id")).agg(sum(col("t")).as("approx_u"))
+      val short50 = approx.orderBy(col("approx_u").desc, col("vec_id")).limit(50)
+      val pv = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pvec")))
+      val rerank = short50.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .crossJoin(pv)
+        .select(col("vec_id"),
+          pround(VectorOps.cosine(col("embedding"), col("pvec")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+      val brute = e.filter(col("vec_id") =!= 0)
+        .crossJoin(pv)
+        .select(col("vec_id"),
+          pround(VectorOps.cosine(col("embedding"), col("pvec")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+      brute.select(col("vec_id"))
+        .join(rerank.select(col("vec_id").as("pq")), col("vec_id") === col("pq"), "left")
+        .agg(count(lit(1)).cast("int").as("k"),
+          count(col("pq")).cast("int").as("hits"))
+        .select(col("k"), col("hits"),
+          // empty-corpus guard (k = 0): the q_minhash_recall NULL rule
+          when(col("k") === 0, lit(null).cast("double"))
+            .otherwise(pround(col("hits").cast("double") / col("k").cast("double"), 4))
+            .as("recall"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            x AS (SELECT vec_id, t.d, v[t.d] AS x
+                  FROM e, UNNEST(generate_series(1, 64)) AS t(d)),
+            cal AS (SELECT d, MAX(ABS(x)) AS amax FROM x GROUP BY d),
+            qz AS (SELECT x.vec_id, x.d, cal.amax,
+                     CASE WHEN cal.amax = 0 THEN 0
+                          ELSE GREATEST(-127, LEAST(127,
+                            FLOOR(x.x / (cal.amax / 127) + 0.5)))
+                     END AS q
+                   FROM x JOIN cal ON x.d = cal.d),
+            pr AS (SELECT d, x AS p FROM x WHERE vec_id = 0),
+            ap AS (SELECT qz.vec_id,
+                     SUM(CASE WHEN qz.amax = 0 THEN 0
+                              ELSE CAST(FLOOR(pr.p * qz.q * (qz.amax / 127) * 1000000.0)
+                                AS BIGINT) END) AS approx_u
+                   FROM qz JOIN pr ON pr.d = qz.d
+                   WHERE qz.vec_id <> 0 GROUP BY qz.vec_id),
+            short AS (SELECT vec_id FROM ap ORDER BY approx_u DESC, vec_id LIMIT 50),
+            pv AS (SELECT v FROM e WHERE vec_id = 0),
+            rr AS (SELECT e.vec_id,
+                     FLOOR((list_cosine_similarity(e.v, pv.v)) * 10000 + 0.5) / 10000 AS cos
+                   FROM e JOIN short s ON e.vec_id = s.vec_id, pv
+                   ORDER BY cos DESC, e.vec_id LIMIT 10),
+            brute AS (SELECT e.vec_id,
+                        FLOOR((list_cosine_similarity(e.v, pv.v)) * 10000 + 0.5) / 10000 AS cos
+                      FROM e, pv WHERE e.vec_id <> 0
+                      ORDER BY cos DESC, e.vec_id LIMIT 10)
+            SELECT CAST(COUNT(*) AS INT) AS k,
+              CAST(COUNT(rr.vec_id) AS INT) AS hits,
+              CASE WHEN COUNT(*) = 0 THEN NULL
+                   ELSE FLOOR((CAST(COUNT(rr.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                     * 10000 + 0.5) / 10000 END AS recall
+            FROM brute LEFT JOIN rr ON brute.vec_id = rr.vec_id"""))
+
   val all: Seq[Q] = Seq(arrayFuncs, knnBrute, knnLsh, dedupEmbed, embedCentroid,
-    knnJoin, annRecall, dedupSemantic)
+    knnJoin, annRecall, dedupSemantic, knnPq)
 }

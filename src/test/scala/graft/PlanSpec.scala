@@ -555,6 +555,18 @@ class PlanSpec extends AnyFunSuite {
       s"pair space must stay candidate-bounded:\n$plan")
   }
 
+  test("q_knn_pq takes bounded heads and broadcasts every join side") {
+    val plan = executedPlan("q_knn_pq")
+    assert(plan.contains("TakeOrderedAndProject(limit=50"),
+      s"the quantized shortlist must be a bounded head, not a global sort:\n$plan")
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 3,
+      s"expected shortlist + rerank + brute heads:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"calibration/probe/shortlist joins must broadcast:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"approx score needs a partial (map-side) sum:\n$plan")
+  }
+
   test("q_bpe_merge2 broadcasts the 1-row winning pair and takes the head without a sort") {
     val plan = executedPlan("q_bpe_merge2")
     assert(plan.contains("BroadcastNestedLoopJoin"),

@@ -113,6 +113,41 @@ class Round9PropertiesSpec extends AnyFunSuite {
       "the scrubbed-doc set must be exactly the detector's doc_b set")
   }
 
+  test("q_knn_pq equals the naive int8 asymmetric-distance funnel") {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toSeq.sortBy(_._1)
+    val dim = vecs.head._2.length
+    val amax = (0 until dim).map(d => vecs.map(v => math.abs(v._2(d))).max)
+    def quant(x: Double, a: Double): Double =
+      if (a == 0d) 0d else math.max(-127d, math.min(127d, math.floor(x / (a / 127d) + 0.5d)))
+    val probe = vecs.find(_._1 == 0L).get._2
+    val approx = vecs.filter(_._1 != 0L).map { case (id, v) =>
+      id -> (0 until dim).map { d =>
+        if (amax(d) == 0d) 0L
+        else math.floor(probe(d) * quant(v(d), amax(d)) * (amax(d) / 127d) * 1e6d).toLong
+      }.sum
+    }
+    val short50 = approx.sortBy { case (id, s) => (-s, id) }.take(50).map(_._1).toSet
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.floor(dp / (na * nb) * 10000 + 0.5) / 10000
+    }
+    val rerank10 = vecs.filter(v => short50(v._1))
+      .map { case (id, v) => (id, cos(v, probe)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val brute10 = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, probe)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val hits = brute10.count(rerank10)
+    val row = run("q_knn_pq").head
+    assert(row.getAs[Int]("k") === brute10.size)
+    assert(row.getAs[Int]("hits") === hits)
+  }
+
   test("q_span_scrub never removes more tokens than the document has") {
     run("q_span_scrub").foreach { r =>
       assert(r.getAs[Long]("n_removed") <= r.getAs[Long]("n_tokens"))
