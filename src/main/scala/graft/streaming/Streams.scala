@@ -88,6 +88,39 @@ object Streams {
         col("e_ts") <= col("p_ts"))
   }
 
+  /** Streaming twin of q_event_window_join — the full shape, not just the
+    * join: purchases LEFT-OUTER joined to same-user clicks in the hour
+    * AFTER the purchase, then aggregated to a per-purchase click count.
+    * This chains two stateful operators (time-interval outer join →
+    * windowed aggregation), the combination Spark's watermark propagation
+    * exists for: the join's unmatched left rows can only emit once the
+    * click watermark passes p_ts + 1 h, so the downstream aggregation's
+    * effective watermark is delayed by the interval automatically and
+    * append mode still seals each (window, event_id) group exactly once.
+    *
+    * Scale posture: join state is (watermark + 1 h) × per-user events on
+    * each side, sharded by user_id; aggregation state is one counter per
+    * in-horizon purchase. The window(p_ts, 1 h) group key exists solely
+    * to give the aggregate an event-time column to seal on — event_id is
+    * unique, so it does not change the counts.
+    */
+  def purchaseClickCounts(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") > col("p_ts") &&
+          col("c_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      .groupBy(window(col("p_ts"), "1 hour"), col("event_id"))
+      .agg(count(col("c_ts")).as("clicks_1h"))
+      .select(col("event_id"), col("clicks_1h"))
+  }
+
   /** Stream-static enrichment join: the event stream against the customer
     * dimension (the standard fact-stream × dim-table shape). The static
     * side is broadcast per micro-batch — stateless, no watermark needed,

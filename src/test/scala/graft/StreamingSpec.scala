@@ -12,6 +12,23 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.sf0001
 
+  /** FileStreamSource orders files by modification time; back-to-back
+    * writes can collide at millisecond granularity, which would let a
+    * far-future sentinel batch run FIRST and advance the watermark past
+    * every real event. Force `later`'s data files strictly after
+    * `earlier`'s so batch order is deterministic.
+    */
+  private def forceLaterMtime(earlier: String, later: String): Unit = {
+    import java.nio.file.{Files, Paths, FileVisitOption}
+    import java.nio.file.attribute.FileTime
+    val f0Max = Files.walk(Paths.get(earlier), FileVisitOption.FOLLOW_LINKS)
+      .filter(Files.isRegularFile(_))
+      .mapToLong(p => Files.getLastModifiedTime(p).toMillis).max.orElse(0L)
+    Files.walk(Paths.get(later), FileVisitOption.FOLLOW_LINKS)
+      .filter(Files.isRegularFile(_))
+      .forEach(p => Files.setLastModifiedTime(p, FileTime.fromMillis(f0Max + 60000L)))
+  }
+
   test("streaming tumbling window == batch q_time_window counts") {
     val stream = Streams.tumblingCounts(Streams.eventsStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("win")
@@ -66,6 +83,36 @@ class StreamingSpec extends AnyFunSuite {
         col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("e_ts") <= col("p_ts")).count()
     assert(spark.table("ssj").count() === batch)
+  }
+
+  test("purchase-click interval join + aggregation twin == batch q_event_window_join") {
+    // the chained-stateful shape: time-interval LEFT-OUTER join followed
+    // by a windowed aggregation, sealed by a far-future sentinel carrying
+    // BOTH a purchase and a click (the global watermark is the min over
+    // sides, so both must advance for unmatched-left emission + sealing)
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val staged = java.nio.file.Files.createTempDirectory("graft-pcj").toString
+    base.coalesce(1).write.parquet(s"$staged/f0.parquet")
+    val maxUs = base.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val farUs = maxUs + 10L * 3600 * 1000 * 1000
+    spark.createDataFrame(Seq((-1L, -1L, "purchase", farUs), (-1L, -2L, "click", farUs)))
+      .toDF("user_id", "event_id", "event_type", "ts_us")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("ts_us")).as("ts"))
+      .coalesce(1).write.parquet(s"$staged/f1.parquet")
+    forceLaterMtime(s"$staged/f0.parquet", s"$staged/f1.parquet")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$staged/f0.parquet").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$staged/*.parquet")
+    val q = graft.streaming.Streams.purchaseClickCounts(stream)
+      .writeStream.format("memory").queryName("pcj").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("pcj").filter(col("event_id") >= 0)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("clicks_1h")).toMap
+    val want = Registry.byName("q_event_window_join").build(spark, dir)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("clicks_1h")).toMap
+    assert(got === want)
   }
 
   test("durable parquet sink with checkpoint restarts cleanly") {
@@ -160,22 +207,7 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
         org.apache.spark.sql.functions.timestamp_micros(col("ts_us")).as("ts"))
       .coalesce(1).write.parquet(s"$staged/f1.parquet")
-    // FileStreamSource orders files by modification time; f0 and f1 are
-    // written back-to-back and their mtimes can collide at millisecond
-    // granularity, which would let the far-future sentinel batch run
-    // FIRST and advance the watermark past every real event. Force the
-    // sentinel's data files strictly later so batch order is
-    // deterministic: f0's real events always precede the sealer.
-    locally {
-      import java.nio.file.{Files, Paths, FileVisitOption}
-      import java.nio.file.attribute.FileTime
-      val f0Max = Files.walk(Paths.get(s"$staged/f0.parquet"), FileVisitOption.FOLLOW_LINKS)
-        .filter(Files.isRegularFile(_))
-        .mapToLong(p => Files.getLastModifiedTime(p).toMillis).max.orElse(0L)
-      Files.walk(Paths.get(s"$staged/f1.parquet"), FileVisitOption.FOLLOW_LINKS)
-        .filter(Files.isRegularFile(_))
-        .forEach(p => Files.setLastModifiedTime(p, FileTime.fromMillis(f0Max + 60000L)))
-    }
+    forceLaterMtime(s"$staged/f0.parquet", s"$staged/f1.parquet")
     val stream = spark.readStream.schema(base.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$staged/*.parquet")
       .withWatermark("ts", "1 hour")
