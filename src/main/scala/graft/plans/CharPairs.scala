@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,9 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * text, skipping pairs containing the space separator. Code points, not
   * UTF-16 units, to match Spark's and DuckDB's character-based
   * `substring`/`substr` on any plane.
+  *
+  * Codegen follows TokenStats: the row-level orchestration stays inside
+  * whole-stage codegen and pays one virtual `compute` call per row with
+  * the tight loop inside — so a projection containing this scan no
+  * longer breaks the fused pipeline the way the CodegenFallback version
+  * did.
   */
-case class CharPairs(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class CharPairs(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -31,8 +36,14 @@ case class CharPairs(child: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_pairs"
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Public so the generated code can call it (one virtual call per row,
+    * tight loop inside).
+    */
+  def compute(input: UTF8String): GenericArrayData = {
+    val s = input.toString
     val cps = s.codePoints().toArray
     if (cps.length < 2) new GenericArrayData(Array.empty[Any])
     else {
@@ -53,6 +64,11 @@ case class CharPairs(child: Expression)
       new GenericArrayData(java.util.Arrays.copyOf(
         out.asInstanceOf[Array[AnyRef]], n).asInstanceOf[Array[Any]])
     }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charPairs", this, classOf[CharPairs].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharPairs =
