@@ -326,18 +326,26 @@ object DedupQueries {
   private val minhashRecall = Q(
     "q_minhash_recall",
     (spark, dir) => {
-      // cached: the shingle relation feeds the df aggregate, both sides of
-      // the rare-posting self-join, the exact-Jaccard verify, and the LSH
-      // generator (~6 consumers); the candidate set feeds the hit join and
-      // its own count. Released by the harness post-query.
-      val sh = graft.Caches.persisted(shingleRel(spark, dir))
-      val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      // cached ONCE, pre-partitioned on the shingle hash, with the df
+      // count attached colocated: the df aggregate, the df attach-join,
+      // the rare/common split (now plain filters) and BOTH sides of the
+      // rare-posting self-join all consume hashpartitioning(sh) straight
+      // from the cache — one upfront exchange instead of one per
+      // consumer (the q_graph_jaccard exchange-collapse pattern; the
+      // session pins canChangeCachedPlanOutputPartitioning=true so the
+      // cached partitioning is honored). Released by the harness
+      // post-query.
+      val shd = graft.Caches.persisted {
+        val sh0 = shingleRel(spark, dir).repartition(col("sh"))
+        val dfc = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        sh0.join(dfc, "sh")
+      }
+      val sh = shd.select(col("doc_id"), col("sh"))
       // df >= 2 is semantics-free (a shingle in one document pairs with
       // nobody) but drops the discovery self-join input from ALL postings
       // to just the shared ones — unique shingles are the overwhelming
       // majority of posting mass, same reason q_cosine_pairs bounds 2..50
-      val rare = sh.join(
-        df.filter(col("df").between(2, 50)).select(col("sh")), "sh")
+      val rare = shd.filter(col("df").between(2, 50))
       // Exact intersection without the pair×postings fan-out: df partitions
       // the shingle space into df=1 (never shared), 2..50 (each shared
       // occurrence is exactly one row of the pair-generating join — so
@@ -353,7 +361,7 @@ object DedupQueries {
           .filter(col("doc_a") < col("doc_b"))
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("i_rare")))
-      val com = sh.join(df.filter(col("df") > 50).select(col("sh")), "sh")
+      val com = shd.filter(col("df") > 50)
       val ic = pr.select(col("doc_a"), col("doc_b"))
         .join(com.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
         .join(com.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
