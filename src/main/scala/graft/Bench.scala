@@ -118,8 +118,13 @@ object Bench {
     }
     val calibAfter = calibrateMs(cpus.toInt)
     val loadAfter = loadavg1m()
+    // The BASELINE.md adjudication, executed rather than re-derived by
+    // readers: ambient tax from the markers, and the quiet-equivalent
+    // total/per-query numbers rounds are actually compared on.
+    val tax = Calibration.taxFactor(calibBefore, calibAfter)
     val calib = s""""calib_before_ms":$calibBefore,"calib_after_ms":$calibAfter,""" +
-      s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter"""
+      s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
+      f""""tax_factor":$tax%.3f"""
     val results = selected.map { case (name, _) =>
       val ts = samples(name).sorted
       name -> (if (ts.isEmpty) -1.0 else ts(ts.size / 2))
@@ -150,7 +155,9 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"metric":"queries_chunk","part":${i + 1},"queries":$cq}""")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},$calib}""")
+    val adjTotal = total / tax
+    val n = math.max(1, results.size)
+    println(f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},$calib,"adjusted_total":$adjTotal%.3f,"raw_s_per_q":${total / n}%.3f,"adjusted_s_per_q":${adjTotal / n}%.3f}""")
     spark.stop()
   }
 }

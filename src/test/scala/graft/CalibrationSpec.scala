@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The BASELINE.md load-marker adjudication as executable checks — the
+  * protocol a future judge applies to BENCH_r{N}.json markers is ONE
+  * function here, not prose to re-derive.
+  */
+class CalibrationSpec extends AnyFunSuite {
+
+  test("quiet markers mean no tax (clamped at 1.0, never a speedup credit)") {
+    assert(Calibration.taxFactor(500, 500) === 1.0)
+    assert(Calibration.taxFactor(450, 460) === 1.0)
+    assert(Calibration.taxFactor(0, 0) === 1.0)
+  }
+
+  test("the round-8 markers reproduce the round-8 verdict's adjudication") {
+    // BENCH_r08: calib 669/622 ms, total 118.155 s / 211 queries. The
+    // verdict read this as a ~1.2-1.3x ambient tax and ~92-95 s
+    // quiet-equivalent (~0.45 s/q); the executable protocol must land in
+    // the same band.
+    val tax = Calibration.taxFactor(669, 622)
+    assert(tax > 1.2 && tax < 1.35, s"tax=$tax")
+    val adj = Calibration.adjustedTotal(118.155, 669, 622)
+    assert(adj > 88.0 && adj < 96.0, s"adjusted=$adj")
+    val m = Calibration.Markers(669, 622, 4.41, 4.91, 118.155, 211)
+    assert(m.adjustedSecPerQuery > 0.41 && m.adjustedSecPerQuery < 0.46)
+    val (lo, hi) = m.taxBounds
+    assert(lo < tax && tax < hi)
+    assert(lo > 1.1 && hi < 1.45, s"bounds=($lo,$hi)")
+  }
+
+  test("adjusted never exceeds raw and scales linearly with the markers") {
+    for (c <- Seq(460L, 500L, 650L, 1000L, 2000L)) {
+      val adj = Calibration.adjustedTotal(100.0, c, c)
+      assert(adj <= 100.0 + 1e-9)
+      if (c >= 500L) assert(math.abs(adj - 100.0 * 500.0 / c) < 1e-9)
+    }
+  }
+
+  test("parseSidecar reads the repo's real bench sidecar") {
+    val path = java.nio.file.Paths.get("bench_per_query.json")
+    assume(java.nio.file.Files.exists(path))
+    val m = Calibration.parseSidecar(
+      new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
+    assert(m.calibBeforeMs > 0 && m.calibAfterMs > 0)
+    assert(m.totalSec > 0 && m.nQueries > 100)
+    assert(m.tax >= 1.0)
+    assert(m.adjustedTotalSec <= m.totalSec + 1e-9)
+    assert(m.rawSecPerQuery >= m.adjustedSecPerQuery)
+  }
+
+  test("parseSidecar fails loudly on a sidecar missing markers") {
+    intercept[IllegalArgumentException] {
+      Calibration.parseSidecar("""{"total": 5.0, "queries": {}}""")
+    }
+  }
+}
