@@ -57,17 +57,30 @@ object DedupQueries {
     java.lang.Long.parseLong(hex.take(15), 16)
   }
 
-  /** LSH candidate pairs (doc_a < doc_b) from a (doc_id, sh) shingle
-    * relation: 16 XOR-minhashes in one partial-aggregated groupBy, 4 bands
-    * of 4, bucket self-join on (band, signature).
+  /** 16-hash XOR-minhash signatures per doc: (doc_id, mh0..mh15) in one
+    * partial-aggregated groupBy over the shingle relation.
     */
-  private[graft] def minhashCandidates(sh: DataFrame): DataFrame = {
+  private[graft] def minhashSigs(sh: DataFrame): DataFrame = {
     val x = graft.functions.Portable.hash60(col("sh"))
     val mhCols = minhashSeeds.zipWithIndex.map { case (k, i) =>
       min(col("x").bitwiseXOR(lit(k))).as(s"mh$i")
     }
-    val sigs = sh.select(col("doc_id"), x.as("x"))
+    sh.select(col("doc_id"), x.as("x"))
       .groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+  }
+
+  /** LSH candidate pairs (doc_a < doc_b) from a (doc_id, sh) shingle
+    * relation: 16 XOR-minhashes ([[minhashSigs]]), 4 bands
+    * of 4, bucket self-join on (band, signature).
+    */
+  private[graft] def minhashCandidates(sh: DataFrame): DataFrame =
+    minhashCandidatesFromSigs(minhashSigs(sh))
+
+  /** The banding + bucket self-join over an already-computed signature
+    * relation — split out so calibration queries can share one signature
+    * pass between the candidate generator and the estimator.
+    */
+  private[graft] def minhashCandidatesFromSigs(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until 4).map(b =>
       concat_ws(",", (0 until 4).map(i => col(s"mh${b * 4 + i}").cast("string")): _*).as(s"b$b"))
     val bands = sigs.select(col("doc_id") +: bandCols: _*)
@@ -691,6 +704,90 @@ object DedupQueries {
                       * 10000 + 0.5) / 10000 END AS leak_rate
              FROM st CROSS JOIN lk"""))
 
+  /** MinHash estimator calibration — the third leg of the dedup quality
+    * gates (recall: does LSH find the true pairs; precision: are the
+    * found pairs true; THIS: is the signature-estimated Jaccard itself
+    * accurate enough to threshold on). Over every LSH candidate pair:
+    * the estimator matches/16 (the fraction of agreeing minhashes — its
+    * expectation IS the Jaccard) against the exact shingle-set Jaccard,
+    * reported per exact-Jaccard decile bucket as pair count, mean
+    * estimate and mean absolute error — the table that tells an operator
+    * whether 16 hashes suffice or the signature must widen.
+    *
+    * Determinism: all three statistics ride integer funnels — match
+    * counts are 0..16 integers, the exact Jaccard enters as its
+    * 4-decimal integer m = floor(j·10⁴ + 0.5), the per-pair absolute
+    * error is the INTEGER |cnt·10⁴ − 16·m| (× 16·10⁴ of the true error),
+    * and only the final per-bucket divisions touch doubles — no float
+    * summation-order knife edges (the q_dsir_weights rule). The decile
+    * bucket is integer arithmetic on m for the same reason.
+    *
+    * Scale posture: one signature pass shared with the candidate
+    * generator ([[minhashCandidatesFromSigs]]), pair space LSH-bounded,
+    * signature join keyed on doc_id (uniform), 10-row output.
+    */
+  private val minhashEstError = Q(
+    "q_minhash_est_error",
+    (spark, dir) => {
+      val sh = graft.Caches.persisted(shingleRel(spark, dir))
+      val sigs = graft.Caches.persisted(minhashSigs(sh))
+      val cand = minhashCandidatesFromSigs(sigs)
+      val matchCnt = (0 until 16)
+        .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = cand
+        .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"), matchCnt.cast("long").as("cnt"))
+      val exact = jaccardOf(cand, sh)
+      est.join(exact, Seq("doc_a", "doc_b"))
+        .select(col("cnt"),
+          floor(col("jaccard") * 10000 + 0.5).cast("long").as("m"))
+        .select(col("cnt"), col("m"),
+          least(lit(9L), expr("m div 1000")).cast("int").as("bucket"),
+          abs(col("cnt") * 10000L - lit(16L) * col("m")).as("err_u"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+          sum(col("cnt")).as("sc"), sum(col("err_u")).as("se"))
+        .select(col("bucket"), col("n_pairs"),
+          pround(col("sc").cast("double") / (col("n_pairs") * 16).cast("double"), 4)
+            .as("mean_est"),
+          pround(col("se").cast("double") / (col("n_pairs") * 160000L).cast("double"), 4)
+            .as("mean_abs_err"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH $minhashCandCte,
+             sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+                       FROM cand c
+                       JOIN sh x ON x.doc_id = c.doc_a
+                       JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+                       GROUP BY c.doc_a, c.doc_b),
+             j AS (SELECT i.doc_a, i.doc_b,
+                     CAST(FLOOR((CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i))
+                       * 10000 + 0.5) AS BIGINT) AS m
+                   FROM inter i
+                   JOIN sizes sa ON sa.doc_id = i.doc_a
+                   JOIN sizes sb ON sb.doc_id = i.doc_b),
+             est AS (SELECT c.doc_a, c.doc_b,
+                       ${(0 until 16).map(i =>
+                         s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+                         .mkString(" + ")} AS cnt
+                     FROM cand c
+                     JOIN mh a ON a.doc_id = c.doc_a
+                     JOIN mh b ON b.doc_id = c.doc_b),
+             p AS (SELECT e.cnt, j.m,
+                     LEAST(9, j.m // 1000) AS bucket,
+                     ABS(e.cnt * 10000 - 16 * j.m) AS err_u
+                   FROM est e JOIN j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b)
+             SELECT CAST(bucket AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               FLOOR((CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) * 16 AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS mean_est,
+               FLOOR((CAST(SUM(err_u) AS DOUBLE) / CAST(COUNT(*) * 160000 AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS mean_abs_err
+             FROM p GROUP BY bucket ORDER BY bucket"""))
+
   /** Corpus surgery — the WRITE side of span dedup (Lee et al.'s
     * ExactSubstr deduplication *removes* one copy of each duplicated
     * span and emits the cleaned corpus; PAPERS.md dedup line). Reuses
@@ -879,5 +976,6 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupContainment, minhashRecall, chunkDedup, dupRatioBySource,
-    minhashPrecision, spanDedup, spanLeakage, simhashHamming, spanScrub)
+    minhashPrecision, spanDedup, spanLeakage, simhashHamming, spanScrub,
+    minhashEstError)
 }

@@ -121,5 +121,135 @@ object IvfQueries {
             JOIN embeddings b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
             ORDER BY cos DESC, vec_a, vec_b LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(knnIvf, dedupEmbedLsh)
+  /** IVF tuning curve — recall@10 as a function of nprobe (how many of
+    * the nearest clusters the probe searches: 1, 2, 4), the measurement
+    * every IVF deployment runs before picking its latency/recall
+    * operating point (q_knn_ivf is the nprobe=1 column of this table;
+    * q_ann_recall audits the LSH index the same way). Per nprobe:
+    * candidates scanned, hits against the q_knn_brute top-10, recall.
+    *
+    * Scale posture: assignment is the q_knn_ivf shape (10-row broadcast
+    * centroid table, per-vec_id ranking window); the candidate relation
+    * (clusters ranked ≤ 4 by the probe) is cached once and consumed by
+    * three TakeOrdered(10) heads — per-partition top-k merges, never a
+    * global sort — plus one bounded census; the nprobe expansion is a
+    * 3-row broadcast. The only unpartitioned window ranks the 10-row
+    * centroid relation.
+    */
+  private val ivfRecallSweep = Q(
+    "q_ivf_recall_sweep",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "embeddings")
+      val cents = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      val assign = e.crossJoin(cents)
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          VectorOps.cosine(col("embedding"), col("cemb")).as("ccos"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+      val probeVec = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p")))
+      val prank = broadcast(cents.crossJoin(probeVec)
+        .select(col("cid"), VectorOps.cosine(col("cemb"), col("p")).as("pcos"))
+        .withColumn("prank",
+          row_number().over(Window.orderBy(col("pcos").desc, col("cid"))))
+        .select(col("cid"), col("prank")))
+      val candCos = graft.Caches.persisted(
+        assign.filter(col("vec_id") =!= 0)
+          .join(prank, col("cluster") === col("cid"))
+          .filter(col("prank") <= 4)
+          .crossJoin(probeVec)
+          .select(col("vec_id"), col("prank"),
+            pround(VectorOps.cosine(col("embedding"), col("p")), 4).as("cos")))
+      val brute = e.filter(col("vec_id") =!= 0)
+        .crossJoin(probeVec)
+        .select(col("vec_id"),
+          pround(VectorOps.cosine(col("embedding"), col("p")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+      val tops = Seq(1, 2, 4).map { k =>
+        candCos.filter(col("prank") <= k)
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+          .select(lit(k).as("nprobe"), col("vec_id"))
+      }.reduce(_ unionAll _)
+      val nprobes = spark.range(3)
+        .select(when(col("id") === 0, 1).when(col("id") === 1, 2).otherwise(4)
+          .as("nprobe"))
+      // per-prank counts first (≤ 4 rows), then the 3-row sweep LEFT-joins
+      // them — so every nprobe row survives even when a cluster is empty
+      // (the oracle's VALUES-driven LEFT JOIN shape)
+      val prankCounts = candCos.groupBy(col("prank")).agg(count(lit(1)).as("c"))
+      val nCand = nprobes.join(broadcast(prankCounts),
+          col("prank") <= col("nprobe"), "left")
+        .groupBy(col("nprobe"))
+        .agg(coalesce(sum(col("c")), lit(0L)).cast("bigint").as("n_cand"))
+      val hits = tops
+        .join(brute.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .groupBy(col("nprobe")).agg(count(lit(1)).cast("bigint").as("hits"))
+      val k = broadcast(brute.agg(count(lit(1)).cast("bigint").as("k")))
+      nCand.join(hits, Seq("nprobe"), "left")
+        .crossJoin(k)
+        .select(col("nprobe"), col("n_cand"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          // empty-corpus guard (k = 0): the q_minhash_recall NULL rule
+          when(col("k") === 0, lit(null).cast("double"))
+            .otherwise(pround(coalesce(col("hits"), lit(0L)).cast("double") /
+              col("k").cast("double"), 4)).as("recall"))
+        .orderBy(col("nprobe"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cemb FROM e WHERE vec_id < 10),
+            scored AS (SELECT e.vec_id, c.cid,
+                         list_cosine_similarity(e.v, c.cemb) AS ccos
+                       FROM e CROSS JOIN cents c),
+            assign AS (SELECT vec_id, cid AS cluster FROM (
+                         SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ccos DESC, cid) AS rn
+                         FROM scored)
+                       WHERE rn = 1),
+            pv AS (SELECT v FROM e WHERE vec_id = 0),
+            prank AS (SELECT cid,
+                        row_number() OVER (ORDER BY pcos DESC, cid) AS prank
+                      FROM (SELECT c.cid,
+                              list_cosine_similarity(c.cemb, pv.v) AS pcos
+                            FROM cents c, pv)),
+            cand AS (SELECT x.vec_id, p.prank,
+                       FLOOR((list_cosine_similarity(x.v, pv.v)) * 10000 + 0.5) / 10000 AS cos
+                     FROM e x
+                     JOIN assign a ON a.vec_id = x.vec_id
+                     JOIN prank p ON p.cid = a.cluster, pv
+                     WHERE p.prank <= 4 AND x.vec_id <> 0),
+            t1 AS (SELECT 1 AS nprobe, vec_id FROM cand WHERE prank <= 1
+                   ORDER BY cos DESC, vec_id LIMIT 10),
+            t2 AS (SELECT 2 AS nprobe, vec_id FROM cand WHERE prank <= 2
+                   ORDER BY cos DESC, vec_id LIMIT 10),
+            t4 AS (SELECT 4 AS nprobe, vec_id FROM cand WHERE prank <= 4
+                   ORDER BY cos DESC, vec_id LIMIT 10),
+            tops AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2
+                     UNION ALL SELECT * FROM t4),
+            brute AS (SELECT x.vec_id,
+                        FLOOR((list_cosine_similarity(x.v, pv.v)) * 10000 + 0.5) / 10000 AS cos
+                      FROM e x, pv WHERE x.vec_id <> 0
+                      ORDER BY cos DESC, x.vec_id LIMIT 10),
+            kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM brute),
+            nc AS (SELECT n.nprobe, CAST(COUNT(c.vec_id) AS BIGINT) AS n_cand
+                   FROM (VALUES (1), (2), (4)) AS n(nprobe)
+                   LEFT JOIN cand c ON c.prank <= n.nprobe
+                   GROUP BY n.nprobe),
+            h AS (SELECT t.nprobe, CAST(COUNT(*) AS BIGINT) AS hits
+                  FROM tops t
+                  WHERE t.vec_id IN (SELECT vec_id FROM brute)
+                  GROUP BY t.nprobe)
+            SELECT nc.nprobe, nc.n_cand, COALESCE(h.hits, 0) AS hits,
+              CASE WHEN kk.k = 0 THEN NULL
+                   ELSE FLOOR((CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(kk.k AS DOUBLE))
+                     * 10000 + 0.5) / 10000 END AS recall
+            FROM nc LEFT JOIN h ON h.nprobe = nc.nprobe CROSS JOIN kk
+            ORDER BY nc.nprobe"""))
+
+  val all: Seq[Q] = Seq(knnIvf, dedupEmbedLsh, ivfRecallSweep)
 }

@@ -567,6 +567,24 @@ class PlanSpec extends AnyFunSuite {
       s"approx score needs a partial (map-side) sum:\n$plan")
   }
 
+  test("q_minhash_est_error reuses the persisted signature/shingle relations, no cartesian") {
+    val plan = executedPlan("q_minhash_est_error")
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 3,
+      s"signature + shingle caches must be reused across consumers:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair space must stay LSH-candidate-bounded:\n$plan")
+  }
+
+  test("q_ivf_recall_sweep takes three bounded heads over the cached candidates") {
+    val plan = executedPlan("q_ivf_recall_sweep")
+    assert("TakeOrderedAndProject\\(limit=10".r.findAllIn(plan).size >= 4,
+      s"expected 3 sweep heads + the brute head, all bounded:\n$plan")
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 3,
+      s"candidate relation must be cache-reused by the heads:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"every join side here is broadcast-sized:\n$plan")
+  }
+
   test("q_bpe_merge2 broadcasts the 1-row winning pair and takes the head without a sort") {
     val plan = executedPlan("q_bpe_merge2")
     assert(plan.contains("BroadcastNestedLoopJoin"),

@@ -25,6 +25,11 @@ class Round9PropertiesSpec extends AnyFunSuite {
     java.lang.Long.parseLong(hex.take(15), 16)
   }
 
+  private def pround(x: Double, scale: Int): Double = {
+    val f = math.pow(10, scale)
+    math.floor(x * f + 0.5) / f
+  }
+
   private def md5hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -146,6 +151,75 @@ class Round9PropertiesSpec extends AnyFunSuite {
     val row = run("q_knn_pq").head
     assert(row.getAs[Int]("k") === brute10.size)
     assert(row.getAs[Int]("hits") === hits)
+  }
+
+  test("q_minhash_est_error equals the naive estimator-vs-exact calibration") {
+    val shingleSets: Map[Long, Set[String]] = docs.map { case (id, text) =>
+      id -> tokens(text).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val sigs: Map[Long, Seq[Long]] = shingleSets.collect {
+      case (id, sh) if sh.nonEmpty =>
+        val xs = sh.map(md5hash60)
+        id -> operators.DedupQueries.minhashSeeds.map(k => xs.map(_ ^ k).min)
+    }
+    val rows = naiveCandidates.toSeq.map { case (a, b) =>
+      val sa = shingleSets(a); val sb = shingleSets(b)
+      val inter = (sa & sb).size
+      val j = inter.toDouble / (sa.size + sb.size - inter)
+      val m = math.floor(j * 10000 + 0.5).toLong
+      val cnt = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toLong
+      (math.min(9L, m / 1000L).toInt, cnt, math.abs(cnt * 10000L - 16L * m))
+    }
+    val want = rows.groupBy(_._1).toSeq.map { case (bucket, g) =>
+      val n = g.size.toLong
+      (bucket, n,
+        pround(g.map(_._2).sum.toDouble / (n * 16).toDouble, 4),
+        pround(g.map(_._3).sum.toDouble / (n * 160000L).toDouble, 4))
+    }.sortBy(_._1)
+    val got = run("q_minhash_est_error").map(r => (r.getAs[Int]("bucket"),
+      r.getAs[Long]("n_pairs"), r.getAs[Double]("mean_est"),
+      r.getAs[Double]("mean_abs_err")))
+    assert(got.toSeq === want)
+  }
+
+  test("q_ivf_recall_sweep equals the naive nprobe sweep and is monotone") {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toSeq.sortBy(_._1)
+    def rawCos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0d; var na = 0d; var nb = 0d; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def cos4(a: Array[Double], b: Array[Double]): Double =
+      math.floor(rawCos(a, b) * 10000 + 0.5) / 10000
+    val cents = vecs.filter(_._1 < 10)
+    val assign = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, c) => (cid, rawCos(v, c)) }
+        .sortBy { case (cid, cc) => (-cc, cid) }.head._1
+    }.toMap
+    val probe = vecs.find(_._1 == 0L).get._2
+    val prank = cents.map { case (cid, c) => (cid, rawCos(c, probe)) }
+      .sortBy { case (cid, cc) => (-cc, cid) }.map(_._1).zipWithIndex
+      .map { case (cid, i) => cid -> (i + 1) }.toMap
+    val cand = vecs.filter(v => v._1 != 0L && prank(assign(v._1)) <= 4)
+      .map { case (id, v) => (id, prank(assign(id)), cos4(v, probe)) }
+    val brute10 = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos4(v, probe)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val want = Seq(1, 2, 4).map { k =>
+      val sub = cand.filter(_._2 <= k)
+      val top = sub.sortBy { case (id, _, c) => (-c, id) }.take(10).map(_._1)
+      (k, sub.size.toLong, top.count(brute10).toLong,
+        pround(top.count(brute10).toDouble / brute10.size, 4))
+    }
+    val got = run("q_ivf_recall_sweep").map(r => (r.getAs[Int]("nprobe"),
+      r.getAs[Long]("n_cand"), r.getAs[Long]("hits"), r.getAs[Double]("recall")))
+    assert(got.toSeq === want)
+    // the sweep is monotone: more probed clusters never lose recall
+    assert(got.map(_._4).toSeq === got.map(_._4).toSeq.sorted)
+    assert(got.map(_._2).toSeq === got.map(_._2).toSeq.sorted)
   }
 
   test("q_span_scrub never removes more tokens than the document has") {
