@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,15 +14,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * w -> w <> '')` — but those higher-order functions evaluate interpreted,
   * one boxed expression-tree walk per element. This expression does the
   * whole per-document loop in compiled Scala (measured ~4x on the shingle
-  * pipelines). Eval-only (CodegenFallback): one virtual call per row, loop
-  * inside.
+  * pipelines). Codegen follows TokenStats/CharPairs: one virtual
+  * `compute` call per row from inside whole-stage codegen, so the
+  * containing projection stays fused instead of falling back to the
+  * interpreted path for the whole stage.
   *
   * Semantics: split on single space, drop empty tokens, join n consecutive
   * tokens with a space; distinct preserves first occurrence (matching
   * array_distinct). Fewer than n tokens → empty array.
   */
 case class WordNGrams(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "n must be >= 1")
 
@@ -34,8 +36,14 @@ case class WordNGrams(child: Expression, n: Int, distinct: Boolean)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
 
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Public so the generated code can call it (one virtual call per row,
+    * tight loop inside).
+    */
+  def compute(input: UTF8String): GenericArrayData = {
+    val words = input.toString
       .split(' ').filter(_.nonEmpty)
     if (words.length < n) new GenericArrayData(Array.empty[Any])
     else {
@@ -72,6 +80,11 @@ case class WordNGrams(child: Expression, n: Int, distinct: Boolean)
         }
       new GenericArrayData(out)
     }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordNGrams", this, classOf[WordNGrams].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordNGrams =
