@@ -788,6 +788,112 @@ object DedupQueries {
                  * 10000 + 0.5) / 10000 AS mean_abs_err
              FROM p GROUP BY bucket ORDER BY bucket"""))
 
+  /** LSH band-configuration sweep — the (b, r) knob itself, measured.
+    * The 16 minhashes support three band shapes: (2 bands × 8 rows)
+    * strict, (4 × 4) the production default, (8 × 2) loose; a pair is a
+    * candidate iff it agrees on EVERY minhash of some band, so the
+    * candidate sets NEST — a (4,4) band agreement implies both its
+    * (8,2) sub-bands agree: C(2,8) ⊆ C(4,4) ⊆ C(8,2), and the loose
+    * config IS the union. The report is the empirical S-curve every
+    * LSH deployment tunes on: per (b, r, exact-Jaccard decile bucket),
+    * candidates found and the share of the union's pairs in that bucket
+    * — strict configs should vanish at low Jaccard and converge to 1.0
+    * at high Jaccard.
+    *
+    * The sweep runs on a FIXED 500-doc calibration sample (doc_id <
+    * 500, the q_simhash_hamming precedent): the loose (8,2) arm is
+    * near-quadratic on a shared-vocabulary corpus BY CONSTRUCTION
+    * (that explosion is exactly what the curve is measuring), and
+    * (b, r) tuning is a sample statistic in production anyway — the
+    * chosen config then runs corpus-wide.
+    */
+  private val lshBandSweep = Q(
+    "q_lsh_band_sweep",
+    (spark, dir) => {
+      val sh = graft.Caches.persisted(
+        shingleRel(spark, dir).filter(col("doc_id") < 500))
+      val sigs = graft.Caches.persisted(minhashSigs(sh))
+      def candsFor(b: Int, r: Int): DataFrame = {
+        val bandCols = (0 until b).map(i =>
+          concat_ws(",", (0 until r).map(j => col(s"mh${i * r + j}").cast("string")): _*)
+            .as(s"b$i"))
+        val stacked = sigs.select(col("doc_id") +: bandCols: _*)
+          .selectExpr("doc_id",
+            s"stack($b, ${(0 until b).map(i => s"$i, b$i").mkString(", ")}) AS (band, sig)")
+        stacked.as("a")
+          .join(stacked.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+      }
+      val configs = Seq((2, 8), (4, 4), (8, 2))
+      val tagged = configs.map { case (b, r) =>
+        candsFor(b, r).select(lit(b).as("b"), lit(r).as("r"),
+          col("doc_a"), col("doc_b"))
+      }.reduce(_ unionAll _)
+      // the union of all three candidate sets IS the loose config
+      val jac = graft.Caches.persisted(
+        jaccardOf(candsFor(8, 2), sh)
+          .select(col("doc_a"), col("doc_b"),
+            floor(col("jaccard") * 10000 + 0.5).cast("long").as("m"))
+          .select(col("doc_a"), col("doc_b"),
+            least(lit(9L), expr("m div 1000")).cast("int").as("bucket")))
+      val tot = jac.groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("bigint").as("n_union"))
+      tagged.join(jac, Seq("doc_a", "doc_b"))
+        .groupBy(col("b"), col("r"), col("bucket"))
+        .agg(count(lit(1)).cast("bigint").as("n_cand"))
+        .join(tot, "bucket")
+        .select(col("b"), col("r"), col("bucket"), col("n_cand"), col("n_union"),
+          pround(col("n_cand").cast("double") / col("n_union").cast("double"), 4)
+            .as("share"))
+        .orderBy(col("b"), col("bucket"))
+    },
+    Some({
+      val win = "(SELECT * FROM documents WHERE doc_id < 500)"
+      def bandSql(b: Int, r: Int): String = (0 until b).map { i =>
+        val sig = (i * r until i * r + r).map(k => s"CAST(mh$k AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $i AS band, $sig AS sig FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH ${minhashCandCteFrom(win)},
+          b28 AS (${bandSql(2, 8)}),
+          c28 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM b28 a JOIN b28 b
+                    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+          b82 AS (${bandSql(8, 2)}),
+          c82 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM b82 a JOIN b82 b
+                    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+          tagged AS (SELECT 2 AS b, 8 AS r, doc_a, doc_b FROM c28
+                     UNION ALL SELECT 4, 4, doc_a, doc_b FROM cand
+                     UNION ALL SELECT 8, 2, doc_a, doc_b FROM c82),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+                    FROM c82 c
+                    JOIN sh x ON x.doc_id = c.doc_a
+                    JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+                    GROUP BY c.doc_a, c.doc_b),
+          jac AS (SELECT i.doc_a, i.doc_b,
+                    LEAST(9, CAST(FLOOR((CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i))
+                      * 10000 + 0.5) AS BIGINT) // 1000) AS bucket
+                  FROM inter i
+                  JOIN sizes sa ON sa.doc_id = i.doc_a
+                  JOIN sizes sb ON sb.doc_id = i.doc_b),
+          tot AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_union
+                  FROM jac GROUP BY bucket),
+          found AS (SELECT t.b, t.r, j.bucket, CAST(COUNT(*) AS BIGINT) AS n_cand
+                    FROM tagged t
+                    JOIN jac j ON j.doc_a = t.doc_a AND j.doc_b = t.doc_b
+                    GROUP BY t.b, t.r, j.bucket)
+          SELECT f.b, f.r, CAST(f.bucket AS INT) AS bucket, f.n_cand, tot.n_union,
+            FLOOR((CAST(f.n_cand AS DOUBLE) / CAST(tot.n_union AS DOUBLE))
+              * 10000 + 0.5) / 10000 AS share
+          FROM found f JOIN tot ON tot.bucket = f.bucket
+          ORDER BY f.b, f.bucket"""
+    }))
+
   /** Corpus surgery — the WRITE side of span dedup (Lee et al.'s
     * ExactSubstr deduplication *removes* one copy of each duplicated
     * span and emits the cleaned corpus; PAPERS.md dedup line). Reuses
@@ -977,5 +1083,5 @@ object DedupQueries {
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupContainment, minhashRecall, chunkDedup, dupRatioBySource,
     minhashPrecision, spanDedup, spanLeakage, simhashHamming, spanScrub,
-    minhashEstError)
+    minhashEstError, lshBandSweep)
 }

@@ -214,5 +214,77 @@ object KMeans {
               CAST(SUM(e2pico) AS BIGINT) AS sq_err_pico
             FROM s GROUP BY d, amax ORDER BY d"""))
 
-  val all: Seq[Q] = Seq(kmeansAssign, clusterPurity, embedQuantize)
+  /** Simplified (centroid-based) silhouette — the geometry-only
+    * clustering quality gate next to the label-based q_cluster_purity:
+    * per vector, a = cosine distance to its OWN centroid, b = distance
+    * to the nearest OTHER centroid, s = (b − a)/max(a, b); since the own
+    * centroid is the argmax-cosine one, a ≤ b always and
+    * s = (a_cos − b_cos)/(1 − b_cos) from the top-2 scored centroids.
+    * The centroid-based variant costs O(k) per point (the full
+    * silhouette's O(n) per point is the textbook reason it never runs at
+    * corpus scale). Reported per cluster: members and mean s.
+    *
+    * Determinism: per-row s rides the raw-cosine doubles both engines
+    * compute identically (the q_knn_ivf assignment-ranking precedent),
+    * floored to integer µunits BEFORE the per-cluster mean so the
+    * aggregate is exact integer arithmetic (the q_dsir_weights rule).
+    *
+    * Scale posture: one broadcast 10-row centroid table, one
+    * per-vec_id ranking window (partitioned), one bounded aggregate —
+    * no pairwise anything.
+    */
+  private val silhouette = Q(
+    "q_silhouette",
+    (spark, dir) => {
+      import graft.functions.Portable.pround
+      val e = Tables(spark, dir, "embeddings")
+      val cents = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      val scored = e.crossJoin(cents)
+        .select(col("vec_id"), col("cid"),
+          VectorOps.cosine(col("embedding"), col("cemb")).as("ccos"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") <= 2)
+      val ab = scored.groupBy(col("vec_id"))
+        .agg(max(when(col("rn") === 1, col("cid"))).as("cluster"),
+          max(when(col("rn") === 1, col("ccos"))).as("a_cos"),
+          max(when(col("rn") === 2, col("ccos"))).as("b_cos"))
+        .filter(col("b_cos").isNotNull)
+      ab.select(col("cluster"),
+          when(lit(1d) - col("b_cos") === 0d, lit(0L)).otherwise(
+            floor(((col("a_cos") - col("b_cos")) / (lit(1d) - col("b_cos")))
+              * 1e6d).cast("long")).as("s_u"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).cast("bigint").as("n_members"),
+          pround(sum(col("s_u")).cast("double") /
+            (count(lit(1)) * 1000000L).cast("double"), 4).as("mean_sil"))
+        .orderBy(col("cluster"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cemb FROM e WHERE vec_id < 10),
+            scored AS (SELECT e.vec_id, c.cid,
+                         list_cosine_similarity(e.v, c.cemb) AS ccos
+                       FROM e CROSS JOIN cents c),
+            r AS (SELECT vec_id, cid, ccos,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY ccos DESC, cid) AS rn
+                  FROM scored),
+            ab AS (SELECT vec_id,
+                     MAX(CASE WHEN rn = 1 THEN cid END) AS cluster,
+                     MAX(CASE WHEN rn = 1 THEN ccos END) AS a_cos,
+                     MAX(CASE WHEN rn = 2 THEN ccos END) AS b_cos
+                   FROM r WHERE rn <= 2 GROUP BY vec_id),
+            s AS (SELECT cluster,
+                    CASE WHEN 1 - b_cos = 0 THEN 0
+                         ELSE CAST(FLOOR(((a_cos - b_cos) / (1 - b_cos))
+                           * 1000000) AS BIGINT) END AS s_u
+                  FROM ab WHERE b_cos IS NOT NULL)
+            SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+              FLOOR((CAST(SUM(s_u) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE))
+                * 10000 + 0.5) / 10000 AS mean_sil
+            FROM s GROUP BY cluster ORDER BY cluster"""))
+
+  val all: Seq[Q] = Seq(kmeansAssign, clusterPurity, embedQuantize, silhouette)
 }

@@ -585,6 +585,25 @@ class PlanSpec extends AnyFunSuite {
       s"every join side here is broadcast-sized:\n$plan")
   }
 
+  test("q_silhouette ranks centroids in a per-vector window and aggregates bounded") {
+    val plan = executedPlan("q_silhouette")
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val parted = "windowspecdefinition\\(vec_id".r.findAllIn(plan).size
+    assert(specs > 0 && specs == parted,
+      s"the ranking window must partition by vec_id:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 10-row centroid table must broadcast:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("q_lsh_band_sweep reuses the persisted signature relation across all band joins") {
+    val plan = executedPlan("q_lsh_band_sweep")
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 4,
+      s"one signature pass must feed every banded join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"candidates must come from banded equi-joins:\n$plan")
+  }
+
   test("q_bpe_merge2 broadcasts the 1-row winning pair and takes the head without a sort") {
     val plan = executedPlan("q_bpe_merge2")
     assert(plan.contains("BroadcastNestedLoopJoin"),

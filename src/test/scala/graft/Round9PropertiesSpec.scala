@@ -182,18 +182,22 @@ class Round9PropertiesSpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
-  test("q_ivf_recall_sweep equals the naive nprobe sweep and is monotone") {
-    val vecs = Tables(spark, dir, "embeddings")
+  private lazy val vecs: Seq[(Long, Array[Double])] =
+    Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
       .toSeq.sortBy(_._1)
-    def rawCos(a: Array[Double], b: Array[Double]): Double = {
-      var dp = 0d; var na = 0d; var nb = 0d; var i = 0
-      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dp / (math.sqrt(na) * math.sqrt(nb))
-    }
-    def cos4(a: Array[Double], b: Array[Double]): Double =
-      math.floor(rawCos(a, b) * 10000 + 0.5) / 10000
+
+  private def rawCos(a: Array[Double], b: Array[Double]): Double = {
+    var dp = 0d; var na = 0d; var nb = 0d; var i = 0
+    while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dp / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def cos4(a: Array[Double], b: Array[Double]): Double =
+    math.floor(rawCos(a, b) * 10000 + 0.5) / 10000
+
+  test("q_ivf_recall_sweep equals the naive nprobe sweep and is monotone") {
     val cents = vecs.filter(_._1 < 10)
     val assign = vecs.map { case (id, v) =>
       id -> cents.map { case (cid, c) => (cid, rawCos(v, c)) }
@@ -220,6 +224,71 @@ class Round9PropertiesSpec extends AnyFunSuite {
     // the sweep is monotone: more probed clusters never lose recall
     assert(got.map(_._4).toSeq === got.map(_._4).toSeq.sorted)
     assert(got.map(_._2).toSeq === got.map(_._2).toSeq.sorted)
+  }
+
+  test("q_silhouette equals the naive centroid-based silhouette") {
+    val cents = vecs.filter(_._1 < 10)
+    val rows = vecs.map { case (id, v) =>
+      val scored = cents.map { case (cid, c) => (cid, rawCos(v, c)) }
+        .sortBy { case (cid, cc) => (-cc, cid) }
+      val (cl, aCos) = scored.head
+      val bCos = scored(1)._2
+      val su = if (1d - bCos == 0d) 0L
+               else math.floor((aCos - bCos) / (1d - bCos) * 1e6d).toLong
+      (cl, su)
+    }
+    val want = rows.groupBy(_._1).toSeq.map { case (cl, g) =>
+      (cl, g.size.toLong, pround(g.map(_._2).sum.toDouble / (g.size * 1000000L), 4))
+    }.sortBy(_._1)
+    val got = run("q_silhouette").map(r => (r.getAs[Long]("cluster"),
+      r.getAs[Long]("n_members"), r.getAs[Double]("mean_sil")))
+    assert(got.toSeq === want)
+  }
+
+  test("q_lsh_band_sweep equals the naive (b,r) sweep and the configs nest") {
+    val window = docs.filter(_._1 < 500)
+    val sigs: Map[Long, Seq[Long]] = window.flatMap { case (id, text) =>
+      val sh = tokens(text).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      if (sh.isEmpty) None
+      else {
+        val xs = sh.map(md5hash60)
+        Some(id -> operators.DedupQueries.minhashSeeds.map(k => xs.map(_ ^ k).min))
+      }
+    }.toMap
+    def candsFor(b: Int, r: Int): Set[(Long, Long)] = {
+      val buckets = for {
+        (id, mh) <- sigs.toSeq
+        band <- 0 until b
+      } yield (band, mh.slice(band * r, band * r + r).mkString(",")) -> id
+      buckets.groupBy(_._1).values.flatMap { g =>
+        val ids = g.map(_._2).sorted
+        for (a <- ids; bb <- ids if a < bb) yield (a, bb)
+      }.toSet
+    }
+    val c28 = candsFor(2, 8); val c44 = candsFor(4, 4); val c82 = candsFor(8, 2)
+    assert(c28.subsetOf(c44) && c44.subsetOf(c82),
+      "band-agreement candidate sets must nest strict within loose")
+    val shingleSets = window.map { case (id, text) =>
+      id -> tokens(text).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    def bucketOf(a: Long, b: Long): Int = {
+      val sa = shingleSets(a); val sb = shingleSets(b)
+      val inter = (sa & sb).size
+      val m = math.floor(inter.toDouble / (sa.size + sb.size - inter) * 10000 + 0.5).toLong
+      math.min(9L, m / 1000L).toInt
+    }
+    val jac = c82.toSeq.map { case (a, b) => ((a, b), bucketOf(a, b)) }.toMap
+    val tot = jac.values.groupBy(identity).map { case (bk, g) => bk -> g.size.toLong }
+    val want = Seq((2, 8, c28), (4, 4, c44), (8, 2, c82)).flatMap { case (b, r, cs) =>
+      cs.toSeq.map(jac).groupBy(identity).toSeq.map { case (bk, g) =>
+        (b, r, bk, g.size.toLong, tot(bk),
+          pround(g.size.toDouble / tot(bk), 4))
+      }
+    }.sortBy(t => (t._1, t._3))
+    val got = run("q_lsh_band_sweep").map(r => (r.getAs[Int]("b"),
+      r.getAs[Int]("r"), r.getAs[Int]("bucket"), r.getAs[Long]("n_cand"),
+      r.getAs[Long]("n_union"), r.getAs[Double]("share")))
+    assert(got.toSeq === want)
   }
 
   test("q_span_scrub never removes more tokens than the document has") {
