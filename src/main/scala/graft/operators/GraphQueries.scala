@@ -618,6 +618,103 @@ object GraphQueries {
                END AS assortativity
              FROM s"""))
 
+  /** Per-node (local) clustering coefficient distribution over the
+    * co-purchase graph — the node-level companion to q_triangle_count's
+    * single global coefficient: c(v) = 2·T(v)/(deg(v)·(deg(v)−1)) for
+    * deg ≥ 2, reported as a decile histogram with per-bucket means (the
+    * ego-network-density profile community-detection pipelines
+    * threshold on). Per-node triangle counts come from the SAME
+    * degree-oriented sorted-adjacency intersection as the global count
+    * — each (a, b, c) triangle is exploded once and credited to its
+    * three corners — so the wedge relation is never materialized and
+    * per-edge state stays bounded by the orientation's O(√m) out-degree
+    * cap.
+    *
+    * Determinism: c(v) is the INTEGER (2·T·10⁶) div (deg·(deg−1)) —
+    * exact integer division in both engines — and per-bucket means
+    * divide integer sums once at the end (the q_dsir_weights rule).
+    */
+  private val localClustering = Q(
+    "q_local_clustering",
+    (spark, dir) => {
+      import graft.functions.Portable.pround
+      val op = Caches.persisted(Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
+      val pairs = op.join(op.withColumnRenamed("p", "q"), "o")
+        .filter(col("p") < col("q"))
+        .select(col("p").as("u"), col("q").as("v")).distinct()
+      val e = Caches.persisted(pairs)
+      val deg = Caches.persisted(
+        e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg")))
+      val withDeg = Caches.persisted(e
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("a"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("b")))
+      val adj = Caches.persisted(withDeg.groupBy(col("a"))
+        .agg(sort_array(collect_list(col("b"))).as("nbrs")))
+      // one intersection pass, cached as narrow (a, b, c) triangle rows
+      // (3 longs per triangle); the three corner-credit scans then read
+      // the cache instead of re-running the adj joins + intersections
+      val triNodes = Caches.persisted(withDeg
+        .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
+        .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"), "left")
+        .select(col("a"), col("b"),
+          explode(array_intersect(col("na"),
+            coalesce(col("nb"), array().cast("array<bigint>")))).as("c")))
+      val perNode = triNodes.select(col("a").as("node"))
+        .unionAll(triNodes.select(col("b").as("node")))
+        .unionAll(triNodes.select(col("c").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("t"))
+      deg.filter(col("deg") >= 2)
+        .join(perNode, Seq("node"), "left")
+        .select(coalesce(col("t"), lit(0L)).as("t"), col("deg"))
+        .select(expr("(2 * t * 1000000) div (deg * (deg - 1))").as("c_u"))
+        .select(least(lit(9L), expr("c_u div 100000")).cast("int").as("bucket"),
+          col("c_u"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("bigint").as("n_nodes"),
+          pround(sum(col("c_u")).cast("double") /
+            (count(lit(1)) * 1000000L).cast("double"), 4).as("mean_c"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                      SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                    GROUP BY node),
+            o AS (SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+                           THEN u ELSE v END AS a,
+                    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+                      THEN v ELSE u END AS b
+                  FROM e
+                  JOIN deg d1 ON d1.node = e.u
+                  JOIN deg d2 ON d2.node = e.v),
+            tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                    FROM o e1 JOIN o e2 ON e1.b = e2.a
+                    JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+            pern AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+                       SELECT a AS node FROM tri
+                       UNION ALL SELECT b FROM tri
+                       UNION ALL SELECT c FROM tri)
+                     GROUP BY node),
+            cu AS (SELECT (2 * COALESCE(p.t, 0) * 1000000)
+                     // (d.deg * (d.deg - 1)) AS c_u
+                   FROM deg d LEFT JOIN pern p ON p.node = d.node
+                   WHERE d.deg >= 2)
+            SELECT CAST(LEAST(9, c_u // 100000) AS INT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_nodes,
+              FLOOR((CAST(SUM(c_u) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE))
+                * 10000 + 0.5) / 10000 AS mean_c
+            FROM cu GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(ccDedup, graphDegree, pageRank, triangleCount,
-    kcore, graphJaccard, assortativity)
+    kcore, graphJaccard, assortativity, localClustering)
 }

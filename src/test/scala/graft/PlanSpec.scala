@@ -604,6 +604,13 @@ class PlanSpec extends AnyFunSuite {
       s"candidates must come from banded equi-joins:\n$plan")
   }
 
+  test("q_local_clustering reuses the cached triangle rows for all three corner credits") {
+    val plan = executedPlan("q_local_clustering")
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 4,
+      s"edge/adjacency/triangle caches must be reused:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q_bpe_merge2 broadcasts the 1-row winning pair and takes the head without a sort") {
     val plan = executedPlan("q_bpe_merge2")
     assert(plan.contains("BroadcastNestedLoopJoin"),

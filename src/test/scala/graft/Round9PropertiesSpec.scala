@@ -291,6 +291,33 @@ class Round9PropertiesSpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
+  test("q_local_clustering equals the naive per-node coefficient histogram") {
+    val op = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges: Set[(Long, Long)] = op.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+    }.toSet
+    val nbrs = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set())
+    edges.foreach { case (u, v) => nbrs(u) += v; nbrs(v) += u }
+    val cus = nbrs.toSeq.collect { case (v, ns) if ns.size >= 2 =>
+      val sorted = ns.toSeq.sorted
+      var t = 0L
+      for (i <- sorted.indices; j <- (i + 1) until sorted.size)
+        if (edges((sorted(i), sorted(j)))) t += 1
+      val d = ns.size.toLong
+      (2L * t * 1000000L) / (d * (d - 1L))
+    }
+    val want = cus.groupBy(cu => math.min(9L, cu / 100000L).toInt).toSeq
+      .map { case (bk, g) =>
+        (bk, g.size.toLong, pround(g.sum.toDouble / (g.size * 1000000L), 4))
+      }.sortBy(_._1)
+    val got = run("q_local_clustering").map(r => (r.getAs[Int]("bucket"),
+      r.getAs[Long]("n_nodes"), r.getAs[Double]("mean_c")))
+    assert(got.toSeq === want)
+  }
+
   test("q_span_scrub never removes more tokens than the document has") {
     run("q_span_scrub").foreach { r =>
       assert(r.getAs[Long]("n_removed") <= r.getAs[Long]("n_tokens"))
