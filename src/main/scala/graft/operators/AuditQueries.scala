@@ -510,6 +510,74 @@ object AuditQueries {
               FLOOR((CAST(SUM(i) AS DOUBLE) / 1e12) * 10000 + 0.5) / 10000 AS jsd
             FROM terms GROUP BY source ORDER BY source"""))
 
+  /** Referential-integrity audit — the foreign-key orphan census every
+    * warehouse ingestion gate runs before anything downstream is
+    * trusted: for each FK edge of the schema (orders→customer,
+    * lineitem→orders, lineitem→part, lineitem→supplier), total rows,
+    * rows whose key has no parent, and the orphan rate. Healthy
+    * pipelines report four zero rows; the query exists for the day they
+    * don't.
+    *
+    * Scale posture: four LEFT-ANTI joins keyed on the FK (each the
+    * standard broadcast-or-shuffle key join — the parent key side is
+    * dim-sized for 3 of 4 edges), each reduced to one count before the
+    * 4-row union. Nothing wide, nothing collected.
+    */
+  private val fkOrphans = Q(
+    "q_fk_orphans",
+    (spark, dir) => {
+      def edge(name: String, child: org.apache.spark.sql.DataFrame, fk: String,
+          parent: org.apache.spark.sql.DataFrame, pk: String) = {
+        val total = child.agg(count(lit(1)).cast("bigint").as("n_rows"))
+        val orph = child.join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+          .agg(count(lit(1)).cast("bigint").as("n_orphans"))
+        total.crossJoin(broadcast(orph))
+          .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"),
+            when(col("n_rows") === 0, lit(null).cast("double"))
+              .otherwise(pround(col("n_orphans").cast("double") /
+                col("n_rows").cast("double"), 4)).as("orphan_rate"))
+      }
+      val o = Tables(spark, dir, "orders")
+      val l = Tables(spark, dir, "lineitem")
+      Seq(
+        edge("orders->customer", o, "o_custkey",
+          Tables(spark, dir, "customer"), "c_custkey"),
+        edge("lineitem->orders", l, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem->part", l, "l_partkey",
+          Tables(spark, dir, "part"), "p_partkey"),
+        edge("lineitem->supplier", l, "l_suppkey",
+          Tables(spark, dir, "supplier"), "s_suppkey"))
+        .reduce(_ unionAll _)
+        .orderBy(col("fk_edge"))
+    },
+    Some("""WITH e1 AS (SELECT 'orders->customer' AS fk_edge,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                        WHERE c.c_custkey = o.o_custkey)) AS n_orphans),
+            e2 AS (SELECT 'lineitem->orders',
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                      WHERE NOT EXISTS (SELECT 1 FROM orders oo
+                                        WHERE oo.o_orderkey = l.l_orderkey))),
+            e3 AS (SELECT 'lineitem->part',
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                      WHERE NOT EXISTS (SELECT 1 FROM part p
+                                        WHERE p.p_partkey = l.l_partkey))),
+            e4 AS (SELECT 'lineitem->supplier',
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                      WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                        WHERE s.s_suppkey = l.l_suppkey))),
+            u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+                  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)
+            SELECT fk_edge, n_rows, n_orphans,
+              CASE WHEN n_rows = 0 THEN NULL
+                   ELSE FLOOR((CAST(n_orphans AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                     * 10000 + 0.5) / 10000 END AS orphan_rate
+            FROM u ORDER BY fk_edge"""))
+
   val all: Seq[Q] = Seq(spearman, iqrOutlier, benford, cusum, dauStickiness,
-    splitLeakage, cramersV, hhi, jsDivergence)
+    splitLeakage, cramersV, hhi, jsDivergence, fkOrphans)
 }

@@ -1200,10 +1200,73 @@ object TextQueries {
             SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM f GROUP BY s1, s2 ORDER BY cnt DESC, s1, s2 LIMIT 10"""))
 
+  /** N-gram novelty decay — per-document share of word-3-grams this
+    * document is the FIRST to use (first = lowest doc_id, the corpus'
+    * arrival-order proxy), aggregated over doc_id deciles: the curve
+    * that answers "how fast does a growing corpus stop contributing new
+    * content" — the saturation measurement crawl scheduling and
+    * dedup-budget planning read (novelty near zero means more of the
+    * same; a flat high curve means the source keeps paying).
+    *
+    * Determinism: first-use is MIN(doc_id) per shingle (exact); per-doc
+    * novelty is the INTEGER (n_novel·10⁶) div n_shingles; the decile is
+    * integer arithmetic on doc_id against the broadcast max; per-bucket
+    * means divide integer sums once (the q_dsir_weights rule).
+    *
+    * Scale posture: one shingle pass, one MIN aggregate keyed on the
+    * shingle (uniform content hash), one join back on the same key, one
+    * bounded 10-row report. Nothing pairwise, no windows.
+    */
+  private val ngramNovelty = Q(
+    "q_ngram_novelty",
+    (spark, dir) => {
+      val sh = Caches.persisted(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextOps.distinctWordNGrams(col("text"), 3)).as("sh")))
+      val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+      val perDoc = sh.join(first, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"),
+          expr("(n_novel * 1000000) div n_sh").as("nov_u"))
+      val mx = broadcast(
+        Tables(spark, dir, "documents").agg(max(col("doc_id")).as("mx")))
+      perDoc.crossJoin(mx)
+        .select(expr("least(9, (doc_id * 10) div (mx + 1))").cast("int").as("decile"),
+          col("nov_u"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          pround(sum(col("nov_u")).cast("double") /
+            (count(lit(1)) * 1000000L).cast("double"), 4).as("mean_novelty"))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+                            list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+                   FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+                   WHERE len(ws) >= 3),
+            first AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),
+            perdoc AS (SELECT s.doc_id,
+                         (SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                           * 1000000) // COUNT(*) AS nov_u
+                       FROM sh s JOIN first f ON f.sh = s.sh
+                       GROUP BY s.doc_id),
+            mx AS (SELECT MAX(doc_id) AS mx FROM documents)
+            SELECT CAST(LEAST(9, (p.doc_id * 10) // (mx.mx + 1)) AS INT) AS decile,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              FLOOR((CAST(SUM(p.nov_u) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE))
+                * 10000 + 0.5) / 10000 AS mean_novelty
+            FROM perdoc p CROSS JOIN mx
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
     tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm,
     repetitionFilter, zipfStats, lmPerplexity, charEntropy, ngramCoverage,
     piiRedact, vocabCoverage, pmiCollocations, bm25, cosinePairs, probeScan,
     ccnetBucket, bpePairs, knBigram, nucleusVocab, tokenizerFertility, langMix,
-    freqOfFreq, bpeMerge2, goodTuring)
+    freqOfFreq, bpeMerge2, goodTuring, ngramNovelty)
 }

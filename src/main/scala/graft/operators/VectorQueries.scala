@@ -512,6 +512,61 @@ object VectorQueries {
                      * 10000 + 0.5) / 10000 END AS recall
             FROM brute LEFT JOIN rr ON brute.vec_id = rr.vec_id"""))
 
+  /** Hard-negative mining — the contrastive-training data prep step
+    * (retrieval/embedding trainers sample negatives that are SIMILAR but
+    * not top matches; random negatives are too easy and top-k are
+    * presumed positives): for each of the 5 probe vectors (vec_id 0–4),
+    * the rank-11..30 cosine band over the corpus. This brute arm is the
+    * exact baseline; at index scale the same band comes off
+    * q_knn_ivf/q_knn_pq's shortlist, identical downstream shape.
+    *
+    * Scale posture: five bounded TakeOrdered(30) heads (per-partition
+    * top-k merges over one probe-broadcast scan each — never a global
+    * sort); the rank window runs over the 150-row union only.
+    */
+  private val hardNegatives = Q(
+    "q_hard_negatives",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(spark, dir, "embeddings")
+      val heads = (0L until 5L).map { p =>
+        val probe = broadcast(e.filter(col("vec_id") === p)
+          .select(col("embedding").as("pv")))
+        e.filter(col("vec_id") =!= p)
+          .crossJoin(probe)
+          .select(lit(p).as("probe_id"), col("vec_id"),
+            pround(VectorOps.cosine(col("embedding"), col("pv")), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(30)
+      }.reduce(_ unionAll _)
+      val byProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      heads.withColumn("rank", row_number().over(byProbe))
+        .filter(col("rank") > 10)
+        .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    Some({
+      val arms = (0 until 5).map { p =>
+        s"""h$p AS (SELECT $p AS probe_id, e.vec_id,
+                      FLOOR((list_cosine_similarity(e.v, pv.v)) * 10000 + 0.5) / 10000 AS cos
+                    FROM e, (SELECT v FROM e WHERE vec_id = $p) pv
+                    WHERE e.vec_id <> $p
+                    ORDER BY cos DESC, e.vec_id LIMIT 30)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          $arms,
+          u AS (SELECT * FROM h0 UNION ALL SELECT * FROM h1 UNION ALL SELECT * FROM h2
+                UNION ALL SELECT * FROM h3 UNION ALL SELECT * FROM h4),
+          r AS (SELECT probe_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY cos DESC, vec_id) AS rank
+                FROM u)
+          SELECT CAST(probe_id AS BIGINT) AS probe_id, CAST(rank AS INT) AS rank,
+            vec_id, cos
+          FROM r WHERE rank > 10 ORDER BY probe_id, rank"""
+    }))
+
   val all: Seq[Q] = Seq(arrayFuncs, knnBrute, knnLsh, dedupEmbed, embedCentroid,
-    knnJoin, annRecall, dedupSemantic, knnPq)
+    knnJoin, annRecall, dedupSemantic, knnPq, hardNegatives)
 }

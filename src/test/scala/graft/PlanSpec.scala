@@ -611,6 +611,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q_ngram_novelty is two shingle-keyed aggregates, no window anywhere") {
+    val plan = executedPlan("q_ngram_novelty")
+    assert(!plan.contains("Window"), s"novelty needs no window:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_hard_negatives takes five bounded heads, never a global sort") {
+    val plan = executedPlan("q_hard_negatives")
+    assert("TakeOrderedAndProject\\(limit=30".r.findAllIn(plan).size >= 5,
+      s"each probe's band must be a bounded head:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_fk_orphans anti-joins every FK edge") {
+    val plan = executedPlan("q_fk_orphans")
+    assert("LeftAnti".r.findAllIn(plan).size >= 4,
+      s"all four edges must be anti-joins:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
   test("q_bpe_merge2 broadcasts the 1-row winning pair and takes the head without a sort") {
     val plan = executedPlan("q_bpe_merge2")
     assert(plan.contains("BroadcastNestedLoopJoin"),

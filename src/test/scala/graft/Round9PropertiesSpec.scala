@@ -318,6 +318,64 @@ class Round9PropertiesSpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
+  test("q_ngram_novelty equals the naive first-use census") {
+    val allDocs = Tables(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val mx = allDocs.max
+    val shingleSets = docs.map { case (id, text) =>
+      id -> tokens(text).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val firstUse = shingleSets.flatMap { case (id, sh) => sh.map(_ -> id) }
+      .groupBy(_._1).map { case (sh, g) => sh -> g.map(_._2).min }
+    val perDoc = shingleSets.map { case (id, sh) =>
+      val novel = sh.count(s => firstUse(s) == id)
+      (id, (novel.toLong * 1000000L) / sh.size)
+    }
+    val want = perDoc.groupBy { case (id, _) =>
+      math.min(9L, id * 10 / (mx + 1)).toInt
+    }.toSeq.map { case (d, g) =>
+      (d, g.size.toLong, pround(g.map(_._2).sum.toDouble / (g.size * 1000000L), 4))
+    }.sortBy(_._1)
+    val got = run("q_ngram_novelty").map(r => (r.getAs[Int]("decile"),
+      r.getAs[Long]("n_docs"), r.getAs[Double]("mean_novelty")))
+    assert(got.toSeq === want)
+  }
+
+  test("q_hard_negatives equals the naive rank-11..30 band per probe") {
+    val want = (0L until 5L).flatMap { p =>
+      val probe = vecs.find(_._1 == p).get._2
+      vecs.filter(_._1 != p)
+        .map { case (id, v) => (id, cos4(v, probe)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .zipWithIndex.map { case ((id, c), i) => (p, i + 1, id, c) }
+        .filter { case (_, rank, _, _) => rank > 10 && rank <= 30 }
+    }
+    val got = run("q_hard_negatives").map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Int]("rank"), r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    assert(got.toSeq === want)
+  }
+
+  test("q_fk_orphans equals the naive key-set audit (and is all-zero on this fixture)") {
+    def keys(t: String, c: String): Set[Long] =
+      Tables(spark, dir, t).select(col(c)).collect().map(_.getLong(0)).toSet
+    def fks(t: String, c: String): Seq[Long] =
+      Tables(spark, dir, t).select(col(c)).collect().map(_.getLong(0)).toSeq
+    val edges = Seq(
+      ("orders->customer", fks("orders", "o_custkey"), keys("customer", "c_custkey")),
+      ("lineitem->orders", fks("lineitem", "l_orderkey"), keys("orders", "o_orderkey")),
+      ("lineitem->part", fks("lineitem", "l_partkey"), keys("part", "p_partkey")),
+      ("lineitem->supplier", fks("lineitem", "l_suppkey"), keys("supplier", "s_suppkey")))
+    val want = edges.map { case (name, fk, pk) =>
+      val orph = fk.count(k => !pk(k)).toLong
+      (name, fk.size.toLong, orph, pround(orph.toDouble / fk.size, 4))
+    }.sortBy(_._1)
+    val got = run("q_fk_orphans").map(r => (r.getAs[String]("fk_edge"),
+      r.getAs[Long]("n_rows"), r.getAs[Long]("n_orphans"),
+      r.getAs[Double]("orphan_rate")))
+    assert(got.toSeq === want)
+    assert(got.forall(_._3 == 0L), "the driver fixture must be referentially intact")
+  }
+
   test("q_span_scrub never removes more tokens than the document has") {
     run("q_span_scrub").foreach { r =>
       assert(r.getAs[Long]("n_removed") <= r.getAs[Long]("n_tokens"))
