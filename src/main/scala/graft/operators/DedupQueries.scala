@@ -894,6 +894,50 @@ object DedupQueries {
           ORDER BY f.b, f.bucket"""
     }))
 
+  /** Boilerplate-prefix census — the C4-style cleaning signal span and
+    * chunk dedup both miss: crawled corpora repeat DOCUMENT OPENINGS
+    * (navigation headers, cookie banners, license preambles) far more
+    * often than whole documents, so the top duplicated 8-token prefixes
+    * are the boilerplate-removal worklist. Reported: the top-10 prefixes
+    * by document count with their corpus share.
+    *
+    * Scale posture: one prefix projection (native tokenizer, first 8
+    * tokens), one count keyed on the prefix string (uniform content
+    * key), one TakeOrdered(10) head, one broadcast 1-row total. The
+    * whole-corpus shuffle carries one 8-token string per document.
+    */
+  private val boilerplatePrefix = Q(
+    "q_boilerplate_prefix",
+    (spark, dir) => {
+      val pre = Tables(spark, dir, "documents")
+        .select(TextOps.wordsNative(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 8)
+        .select(array_join(slice(col("ws"), 1, 8), " ").as("prefix"))
+      val tot = broadcast(pre.agg(count(lit(1)).cast("bigint").as("n_total")))
+      pre.groupBy(col("prefix"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"))
+        .orderBy(col("n_docs").desc, col("prefix"))
+        .limit(10)
+        .crossJoin(tot)
+        .select(col("prefix"), col("n_docs"), col("n_total"),
+          pround(col("n_docs").cast("double") / col("n_total").cast("double"), 4)
+            .as("share"))
+        .orderBy(col("n_docs").desc, col("prefix"))
+    },
+    Some("""WITH toks AS (SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                          FROM documents),
+            pre AS (SELECT array_to_string(ws[1:8], ' ') AS prefix
+                    FROM toks WHERE len(ws) >= 8),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM pre),
+            top AS (SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs
+                    FROM pre GROUP BY prefix
+                    ORDER BY n_docs DESC, prefix LIMIT 10)
+            SELECT prefix, n_docs, n_total,
+              FLOOR((CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))
+                * 10000 + 0.5) / 10000 AS share
+            FROM top CROSS JOIN tot
+            ORDER BY n_docs DESC, prefix"""))
+
   /** Corpus surgery — the WRITE side of span dedup (Lee et al.'s
     * ExactSubstr deduplication *removes* one copy of each duplicated
     * span and emits the cleaned corpus; PAPERS.md dedup line). Reuses
@@ -1083,5 +1127,5 @@ object DedupQueries {
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupContainment, minhashRecall, chunkDedup, dupRatioBySource,
     minhashPrecision, spanDedup, spanLeakage, simhashHamming, spanScrub,
-    minhashEstError, lshBandSweep)
+    minhashEstError, lshBandSweep, boilerplatePrefix)
 }

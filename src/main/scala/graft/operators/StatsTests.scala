@@ -378,6 +378,85 @@ object StatsTests {
                 * 10000 + 0.5) / 10000 AS theil_norm
             FROM s"""))
 
+  /** Bootstrap confidence interval for the mean order value — the
+    * uncertainty quantification a single mean never carries, via the
+    * Poisson bootstrap (Chamandy et al.'s "Estimating Uncertainty for
+    * Massive Data Streams" shape, the resampler that works in one
+    * distributed pass): each of the 100 resamples weights every row by
+    * an INDEPENDENT Poisson(1) draw — here derived deterministically
+    * from the portable hash of (resample, orderkey), with the Poisson
+    * CDF encoded as fixed integer µthresholds (367879/735758/919698/
+    * 981011, tail collapsed to w = 4) so both engines draw bit-identical
+    * weights — then the per-resample weighted means are ranked and the
+    * nearest-rank 2.5%/97.5% pair is the CI.
+    *
+    * Scale posture: the resample grid is a 100-row broadcast; the one
+    * corpus-sized relation is rows × 100 with IMMEDIATE partial
+    * aggregation to 100 (sum_wx, sum_w) pairs (map-side combine does the
+    * collapse); the ranking window runs over 100 rows. Exact integer
+    * cents throughout; doubles appear only in the final divisions.
+    */
+  private val bootstrapCi = Q(
+    "q_bootstrap_ci",
+    (spark, dir) => {
+      import graft.functions.Portable.hash60
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val bs = broadcast(spark.range(100).select(col("id").as("b")))
+      val weighted = o.crossJoin(bs)
+        .select(col("b"), col("cents"),
+          (hash60(concat(lit("bs"), col("b").cast("string"), lit("-"),
+            col("k").cast("string"))) % 1000000L).as("u"))
+        .select(col("b"), col("cents"),
+          when(col("u") < 367879L, 0L).when(col("u") < 735758L, 1L)
+            .when(col("u") < 919698L, 2L).when(col("u") < 981011L, 3L)
+            .otherwise(4L).as("w"))
+      val means = weighted.groupBy(col("b"))
+        .agg(sum(col("w") * col("cents")).as("swx"), sum(col("w")).as("sw"))
+        .filter(col("sw") > 0)
+        .select(col("b"),
+          (col("swx").cast("double") / col("sw").cast("double")).as("m"))
+      // 100-row bounded relation: the unpartitioned rank window is fine
+      val ranked = means
+        .withColumn("rn", row_number().over(Window.orderBy(col("m"), col("b"))))
+      val lo = ranked.filter(col("rn") === 3).select((col("m") / 100d).as("lo"))
+      val hi = ranked.filter(col("rn") === 98).select((col("m") / 100d).as("hi"))
+      o.agg((sum(col("cents")).cast("double") / count(lit(1)).cast("double") / 100d)
+          .as("mean"))
+        .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(pround(col("mean"), 4).as("mean"),
+          pround(col("lo"), 4).as("ci_lo"), pround(col("hi"), 4).as("ci_hi"),
+          lit(100).as("n_resamples"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey AS k,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                   FROM orders),
+            grid AS (SELECT b FROM UNNEST(generate_series(0, 99)) AS t(b)),
+            wtd AS (SELECT b, cents,
+                      CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+                           WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+                           ELSE 4 END AS w
+                    FROM (SELECT g.b AS b, o.cents AS cents,
+                            CAST('0x' || substr(md5('bs' || CAST(g.b AS VARCHAR)
+                              || '-' || CAST(o.k AS VARCHAR)), 1, 15) AS BIGINT)
+                              % 1000000 AS u
+                          FROM o CROSS JOIN grid g)),
+            means AS (SELECT b,
+                        CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+                      FROM wtd GROUP BY b HAVING SUM(w) > 0),
+            ranked AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means),
+            lo AS (SELECT m / 100 AS lo FROM ranked WHERE rn = 3),
+            hi AS (SELECT m / 100 AS hi FROM ranked WHERE rn = 98),
+            pt AS (SELECT CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100 AS mean
+                   FROM o)
+            SELECT FLOOR(mean * 10000 + 0.5) / 10000 AS mean,
+              FLOOR(lo * 10000 + 0.5) / 10000 AS ci_lo,
+              FLOOR(hi * 10000 + 0.5) / 10000 AS ci_hi,
+              100 AS n_resamples
+            FROM pt CROSS JOIN lo CROSS JOIN hi"""))
+
   val all: Seq[Q] = Seq(mannWhitney, ksTest, chi2, paretoShare, percentileRank,
-    kendallTau, theilIndex)
+    kendallTau, theilIndex, bootstrapCi)
 }

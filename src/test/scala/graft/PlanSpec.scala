@@ -632,6 +632,22 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
   }
 
+  test("q_boilerplate_prefix takes one bounded head over a prefix-keyed count") {
+    val plan = executedPlan("q_boilerplate_prefix")
+    assert(plan.contains("TakeOrderedAndProject(limit=10"),
+      s"the top-10 must be a bounded head:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q_bootstrap_ci collapses the resample grid map-side (partial aggregation)") {
+    val plan = executedPlan("q_bootstrap_ci")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"the rows x 100 relation must partial-aggregate before any exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the grid and the 1-row CI relations must broadcast:\n$plan")
+  }
+
   test("q_bpe_merge2 broadcasts the 1-row winning pair and takes the head without a sort") {
     val plan = executedPlan("q_bpe_merge2")
     assert(plan.contains("BroadcastNestedLoopJoin"),

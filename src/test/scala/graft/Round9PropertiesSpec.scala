@@ -376,6 +376,44 @@ class Round9PropertiesSpec extends AnyFunSuite {
     assert(got.forall(_._3 == 0L), "the driver fixture must be referentially intact")
   }
 
+  test("q_boilerplate_prefix equals the naive prefix census") {
+    val pres = docs.map { case (_, text) => tokens(text) }
+      .filter(_.size >= 8).map(_.take(8).mkString(" "))
+    val total = pres.size.toLong
+    val want = pres.groupBy(identity).toSeq
+      .map { case (p, g) => (p, g.size.toLong) }
+      .sortBy { case (p, n) => (-n, p) }.take(10)
+      .map { case (p, n) => (p, n, total, pround(n.toDouble / total, 4)) }
+    val got = run("q_boilerplate_prefix").map(r => (r.getAs[String]("prefix"),
+      r.getAs[Long]("n_docs"), r.getAs[Long]("n_total"), r.getAs[Double]("share")))
+    assert(got.toSeq === want)
+  }
+
+  test("q_bootstrap_ci equals the naive Poisson-bootstrap replay and brackets the mean") {
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    def w(b: Long, k: Long): Long = {
+      val u = md5hash60(s"bs$b-$k") % 1000000L
+      if (u < 367879L) 0L else if (u < 735758L) 1L
+      else if (u < 919698L) 2L else if (u < 981011L) 3L else 4L
+    }
+    val means = (0L until 100L).map { b =>
+      val (swx, sw) = orders.foldLeft((0L, 0L)) { case ((x, s), (k, c)) =>
+        val wi = w(b, k); (x + wi * c, s + wi)
+      }
+      (b, swx.toDouble / sw.toDouble)
+    }.sortBy { case (b, m) => (m, b) }
+    val lo = pround(means(2)._2 / 100d, 4)
+    val hi = pround(means(97)._2 / 100d, 4)
+    val mean = pround(orders.map(_._2).sum.toDouble / orders.size / 100d, 4)
+    val row = run("q_bootstrap_ci").head
+    assert(row.getAs[Double]("mean") === mean)
+    assert(row.getAs[Double]("ci_lo") === lo)
+    assert(row.getAs[Double]("ci_hi") === hi)
+    assert(lo <= mean && mean <= hi, "the 95% CI must bracket the point estimate")
+  }
+
   test("q_span_scrub never removes more tokens than the document has") {
     run("q_span_scrub").foreach { r =>
       assert(r.getAs[Long]("n_removed") <= r.getAs[Long]("n_tokens"))
