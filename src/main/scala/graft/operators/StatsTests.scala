@@ -383,49 +383,71 @@ object StatsTests {
     * Poisson bootstrap (Chamandy et al.'s "Estimating Uncertainty for
     * Massive Data Streams" shape, the resampler that works in one
     * distributed pass): each of the 100 resamples weights every row by
-    * an INDEPENDENT Poisson(1) draw — here derived deterministically
-    * from the portable hash of (resample, orderkey), with the Poisson
-    * CDF encoded as fixed integer µthresholds (367879/735758/919698/
-    * 981011, tail collapsed to w = 4) so both engines draw bit-identical
-    * weights — then the per-resample weighted means are ranked and the
-    * nearest-rank 2.5%/97.5% pair is the CI.
+    * an INDEPENDENT Poisson(1) draw — derived deterministically from
+    * the portable md5 of (orderkey, hash-group): each 128-bit digest
+    * yields EIGHT independent 16-bit uniforms (4 hex chars each), so a
+    * row pays 13 hashes for its 100 draws instead of 100 (measured 7×
+    * on the whole query); the Poisson CDF is encoded as fixed 16-bit
+    * integer thresholds (24111/48223/60281/64299, tail collapsed to
+    * w = 4) so both engines draw bit-identical weights. The
+    * per-resample weighted means are ranked and the nearest-rank
+    * 2.5%/97.5% pair is the CI.
     *
-    * Scale posture: the resample grid is a 100-row broadcast; the one
-    * corpus-sized relation is rows × 100 with IMMEDIATE partial
-    * aggregation to 100 (sum_wx, sum_w) pairs (map-side combine does the
-    * collapse); the ranking window runs over 100 rows. Exact integer
-    * cents throughout; doubles appear only in the final divisions.
+    * Scale posture: the hash-group and chunk grids are 13- and 8-row
+    * broadcasts; the corpus-sized relation peaks at rows × 13 digests
+    * and rows × 100 draws that partial-aggregate map-side to 100
+    * (sum_wx, sum_w) integer pairs; the ranking window runs over 100
+    * rows. Exact integer cents throughout; doubles appear only in the
+    * final divisions.
     */
   private val bootstrapCi = Q(
     "q_bootstrap_ci",
     (spark, dir) => {
-      import graft.functions.Portable.hash60
       import org.apache.spark.sql.expressions.Window
       val o = Tables(spark, dir, "orders")
         .select(col("o_orderkey").as("k"),
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-      val bs = broadcast(spark.range(100).select(col("id").as("b")))
-      val weighted = o.crossJoin(bs)
-        .select(col("b"), col("cents"),
-          (hash60(concat(lit("bs"), col("b").cast("string"), lit("-"),
-            col("k").cast("string"))) % 1000000L).as("u"))
-        .select(col("b"), col("cents"),
-          when(col("u") < 367879L, 0L).when(col("u") < 735758L, 1L)
-            .when(col("u") < 919698L, 2L).when(col("u") < 981011L, 3L)
-            .otherwise(4L).as("w"))
-      val means = weighted.groupBy(col("b"))
-        .agg(sum(col("w") * col("cents")).as("swx"), sum(col("w")).as("sw"))
+      // ONE projection computes the row's 13 digests as an array, cached
+      // so CollapseProject can never inline the md5s into the 100 weight
+      // expressions below (measured: inlining recomputes digests per
+      // draw and the whole saving vanishes). The repartition matters at
+      // SMALL input: orders at sf0.1 is one ~5 MB parquet split, and
+      // without it the whole 15M-draw aggregate runs on ONE core
+      // (measured 6-8 s; ~1 s spread) — at real scale the input has
+      // splits and the exchange is a no-op-sized spread of a tiny
+      // relation.
+      val withArr = Caches.persisted(o.repartition(
+          spark.sessionState.conf.numShufflePartitions)
+        .select(col("cents"),
+          array((0 until 13).map(g =>
+            md5(concat(lit(s"bs$g-"), col("k").cast("string")))): _*).as("hs")))
+      // ALL 100 resamples aggregate as 200 COLUMNS of one no-key
+      // aggregate — the corpus relation is never row-expanded (the
+      // rows×100 draw relation of the naive form was the measured
+      // bottleneck: ~14 s vs ~1 s); the 1×200 result stacks to 100 rows
+      val aggCols = (0 until 100).flatMap { b =>
+        val g = b / 8; val c = b % 8
+        val u = expr(
+          s"cast(conv(substring(element_at(hs, ${g + 1}), ${c * 4 + 1}, 4), 16, 10) as bigint)")
+        val w = when(u < 24111L, 0L).when(u < 48223L, 1L)
+          .when(u < 60281L, 2L).when(u < 64299L, 3L).otherwise(4L)
+        Seq(sum(w * col("cents")).as(s"swx$b"), sum(w).as(s"sw$b"))
+      }
+      val means = withArr.agg(aggCols.head, aggCols.tail: _*)
+        .selectExpr(s"stack(100, ${(0 until 100).map(b => s"$b, swx$b, sw$b").mkString(", ")}) AS (b, swx, sw)")
         .filter(col("sw") > 0)
         .select(col("b"),
           (col("swx").cast("double") / col("sw").cast("double")).as("m"))
-      // 100-row bounded relation: the unpartitioned rank window is fine
-      val ranked = means
+      // 100-row bounded relation: the unpartitioned rank window is fine;
+      // both CI bounds come from ONE conditional aggregation so the
+      // resample subtree executes once, not once per bound
+      val ci = means
         .withColumn("rn", row_number().over(Window.orderBy(col("m"), col("b"))))
-      val lo = ranked.filter(col("rn") === 3).select((col("m") / 100d).as("lo"))
-      val hi = ranked.filter(col("rn") === 98).select((col("m") / 100d).as("hi"))
+        .agg(max(when(col("rn") === 3, col("m") / 100d)).as("lo"),
+          max(when(col("rn") === 98, col("m") / 100d)).as("hi"))
       o.agg((sum(col("cents")).cast("double") / count(lit(1)).cast("double") / 100d)
           .as("mean"))
-        .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .crossJoin(broadcast(ci))
         .select(pround(col("mean"), 4).as("mean"),
           pround(col("lo"), 4).as("ci_lo"), pround(col("hi"), 4).as("ci_hi"),
           lit(100).as("n_resamples"))
@@ -433,16 +455,18 @@ object StatsTests {
     Some("""WITH o AS (SELECT o_orderkey AS k,
                      CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                    FROM orders),
-            grid AS (SELECT b FROM UNNEST(generate_series(0, 99)) AS t(b)),
+            hashed AS (SELECT o.cents, t.g,
+                         md5('bs' || CAST(t.g AS VARCHAR) || '-'
+                           || CAST(o.k AS VARCHAR)) AS hx
+                       FROM o, UNNEST(generate_series(0, 12)) AS t(g)),
             wtd AS (SELECT b, cents,
-                      CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
-                           WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+                      CASE WHEN u < 24111 THEN 0 WHEN u < 48223 THEN 1
+                           WHEN u < 60281 THEN 2 WHEN u < 64299 THEN 3
                            ELSE 4 END AS w
-                    FROM (SELECT g.b AS b, o.cents AS cents,
-                            CAST('0x' || substr(md5('bs' || CAST(g.b AS VARCHAR)
-                              || '-' || CAST(o.k AS VARCHAR)), 1, 15) AS BIGINT)
-                              % 1000000 AS u
-                          FROM o CROSS JOIN grid g)),
+                    FROM (SELECT h.g * 8 + t.c AS b, h.cents,
+                            CAST('0x' || substr(h.hx, t.c * 4 + 1, 4) AS BIGINT) AS u
+                          FROM hashed h, UNNEST(generate_series(0, 7)) AS t(c))
+                    WHERE b < 100),
             means AS (SELECT b,
                         CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
                       FROM wtd GROUP BY b HAVING SUM(w) > 0),

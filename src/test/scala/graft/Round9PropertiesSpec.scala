@@ -394,9 +394,11 @@ class Round9PropertiesSpec extends AnyFunSuite {
       .select(col("o_orderkey"), col("o_totalprice")).collect()
       .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
     def w(b: Long, k: Long): Long = {
-      val u = md5hash60(s"bs$b-$k") % 1000000L
-      if (u < 367879L) 0L else if (u < 735758L) 1L
-      else if (u < 919698L) 2L else if (u < 981011L) 3L else 4L
+      val g = b / 8; val c = (b % 8).toInt
+      val hx = md5hex(s"bs$g-$k")
+      val u = java.lang.Long.parseLong(hx.substring(c * 4, c * 4 + 4), 16)
+      if (u < 24111L) 0L else if (u < 48223L) 1L
+      else if (u < 60281L) 2L else if (u < 64299L) 3L else 4L
     }
     val means = (0L until 100L).map { b =>
       val (swx, sw) = orders.foldLeft((0L, 0L)) { case ((x, s), (k, c)) =>
