@@ -67,7 +67,12 @@ object Bench {
     // The reference engine is fully in-memory (its only source is a
     // caller-materialized vector); cache the input tables for parity.
     // Spark's CacheManager substitutes the InMemoryRelation into every
-    // query that scans the same file.
+    // query that scans the same file. NOT pre-spread: a measured
+    // experiment (r9) caching every table repartitioned to local[N]
+    // made the two image codecs 4-5x faster but taxed the other 200+
+    // queries ~0.3 s each in stage/task overhead (suite 113.6 -> 159 s)
+    // — the spread belongs INSIDE the few compute-bound queries, not on
+    // every cached scan.
     Tables.names.foreach { n =>
       try Tables(spark, sfDir, n).cache().count()
       catch { case _: Throwable => () }

@@ -20,6 +20,24 @@ object Tables {
       case n        => spark.read.parquet(s"$sfDir/$n.parquet")
     }
 
+  /** Spread a relation across the session's shuffle parallelism WHEN the
+    * source gave it fewer splits — the small-unsplittable-file fix for
+    * compute-bound scans: the driver fixtures are single-row-group
+    * parquet, so Spark cannot split them, and without this a heavy
+    * per-row scan stage (image/audio codecs, the bootstrap's 100-draw
+    * projection) runs on ONE core regardless of local[N]. At production
+    * scale inputs have thousands of row groups and `parts >= target`
+    * makes this a no-op — the exchange only exists where the input is
+    * pathologically under-split. Use ONLY under genuinely compute-bound
+    * scans: a measured r9 experiment spreading EVERY cached table cost
+    * the 200+ cheap queries ~0.3 s each in task overhead.
+    */
+  def spreadIfUnderSplit(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    else df
+  }
+
   /** Driver-generated events.parquet has shipped `ts` in two vintages:
     * TIMESTAMP(NANOS), which Spark's vectorized reader rejects — read nanos
     * as a raw long (legacy flag) and truncate to microseconds, the identical

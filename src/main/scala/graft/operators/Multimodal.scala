@@ -190,8 +190,10 @@ object Multimodal {
     "q_image_decode",
     (spark, dir) => {
       import spark.implicits._
-      val recs = Tables(spark, dir, "documents")
-        .select(col("doc_id")).as[Long]
+      // spread the unsplittable single-row-group source: the codec is
+      // compute-bound per row, so one input split would serialize it
+      val recs = Tables.spreadIfUnderSplit(
+        Tables(spark, dir, "documents").select(col("doc_id"))).as[Long]
         .mapPartitions(_.map(id => MediaRecord(id, "image", makePng(id))))(
           Encoders.product[MediaRecord])
       recs.mapPartitions(_.map { r =>
@@ -256,8 +258,10 @@ object Multimodal {
     "q_audio_decode",
     (spark, dir) => {
       import spark.implicits._
-      val recs = Tables(spark, dir, "documents")
-        .select(col("doc_id")).as[Long]
+      // spread the unsplittable single-row-group source: the codec is
+      // compute-bound per row, so one input split would serialize it
+      val recs = Tables.spreadIfUnderSplit(
+        Tables(spark, dir, "documents").select(col("doc_id"))).as[Long]
         .mapPartitions(_.map(id => MediaRecord(id, "audio", makeWav(id))))(
           Encoders.product[MediaRecord])
       recs.mapPartitions(_.map { r =>
@@ -304,8 +308,10 @@ object Multimodal {
     "q_image_resize",
     (spark, dir) => {
       import spark.implicits._
-      val recs = Tables(spark, dir, "documents")
-        .select(col("doc_id")).as[Long]
+      // spread the unsplittable single-row-group source: the codec is
+      // compute-bound per row, so one input split would serialize it
+      val recs = Tables.spreadIfUnderSplit(
+        Tables(spark, dir, "documents").select(col("doc_id"))).as[Long]
         .mapPartitions(_.map(id => MediaRecord(id, "image", makePng(id))))(
           Encoders.product[MediaRecord])
       recs.mapPartitions(_.map { r =>

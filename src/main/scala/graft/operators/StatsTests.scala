@@ -410,14 +410,12 @@ object StatsTests {
       // ONE projection computes the row's 13 digests as an array, cached
       // so CollapseProject can never inline the md5s into the 100 weight
       // expressions below (measured: inlining recomputes digests per
-      // draw and the whole saving vanishes). The repartition matters at
-      // SMALL input: orders at sf0.1 is one ~5 MB parquet split, and
-      // without it the whole 15M-draw aggregate runs on ONE core
-      // (measured 6-8 s; ~1 s spread) — at real scale the input has
-      // splits and the exchange is a no-op-sized spread of a tiny
-      // relation.
-      val withArr = Caches.persisted(o.repartition(
-          spark.sessionState.conf.numShufflePartitions)
+      // draw and the whole saving vanishes). The spread matters at
+      // SMALL input: orders at sf0.1 is one unsplittable parquet split,
+      // and without it the whole 15M-draw aggregate runs on ONE core
+      // (measured 6-8 s; ~1 s spread) — Tables.spreadIfUnderSplit is a
+      // no-op once the input has real splits.
+      val withArr = Caches.persisted(Tables.spreadIfUnderSplit(o)
         .select(col("cents"),
           array((0 until 13).map(g =>
             md5(concat(lit(s"bs$g-"), col("k").cast("string")))): _*).as("hs")))
