@@ -148,6 +148,51 @@ object SqlQueries {
       Some(text))
   }
 
+  /** The engine's native expressions exercised through their SQL surface
+    * — the path a SQL-only user of the library takes:
+    * `GraftExtensions.register` injects `token_stats` / `cosine_sim`
+    * into the session catalog and this query runs them from
+    * `spark.sql(...)` text over temp views (plus the NativeTextRewrite
+    * optimizer rule riding the same injection). The report: the 10
+    * longest documents (by the native token census) that have an
+    * embedding, with their cosine to the probe vector — i.e. both
+    * custom functions land in one declared, oracle-gated plan rather
+    * than only in unit tests.
+    *
+    * Scale posture: one document scan through the codegen'd native
+    * expressions, one key equi-join to embeddings, a broadcast 1-row
+    * probe, one TakeOrdered(10) head.
+    */
+  private val sqlNativeFuncs = Q(
+    "q_sql_native_funcs",
+    (spark, dir) => {
+      graft.plans.GraftExtensions.register(spark)
+      Tables(spark, dir, "documents").createOrReplaceTempView("g_docs")
+      Tables(spark, dir, "embeddings").createOrReplaceTempView("g_emb")
+      spark.sql("""
+        SELECT d.doc_id,
+          token_stats(d.text).n_tokens AS n_tokens,
+          FLOOR(cosine_sim(e.embedding, p.embedding) * 10000 + 0.5) / 10000
+            AS cos_probe
+        FROM g_docs d
+        JOIN g_emb e ON e.vec_id = d.doc_id
+        CROSS JOIN (SELECT embedding FROM g_emb WHERE vec_id = 0) p
+        ORDER BY n_tokens DESC, d.doc_id
+        LIMIT 10""")
+    },
+    Some("""WITH p AS (SELECT CAST(embedding AS DOUBLE[]) AS pv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT d.doc_id,
+              CAST(len(list_filter(string_split(d.text, ' '), w -> w <> ''))
+                AS BIGINT) AS n_tokens,
+              FLOOR(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv)
+                * 10000 + 0.5) / 10000 AS cos_probe
+            FROM documents d
+            JOIN embeddings e ON e.vec_id = d.doc_id
+            CROSS JOIN p
+            ORDER BY n_tokens DESC, d.doc_id
+            LIMIT 10"""))
+
   val all: Seq[Q] = Seq(corrScalar, existsSql, cteSql, posexplodeSql, recursiveSql,
-    lateralJoin)
+    lateralJoin, sqlNativeFuncs)
 }

@@ -648,6 +648,15 @@ class PlanSpec extends AnyFunSuite {
       s"the grid and the 1-row CI relations must broadcast:\n$plan")
   }
 
+  test("q_sql_native_funcs runs the NATIVE expressions from SQL text") {
+    val plan = executedPlan("q_sql_native_funcs")
+    assert(plan.contains("token_stats"),
+      s"the SQL surface must resolve to the native token_stats scan:\n$plan")
+    assert(plan.contains("cosine_sim"),
+      s"the SQL surface must resolve to the native cosine expression:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected bounded head:\n$plan")
+  }
+
   test("q_bpe_merge2 broadcasts the 1-row winning pair and takes the head without a sort") {
     val plan = executedPlan("q_bpe_merge2")
     assert(plan.contains("BroadcastNestedLoopJoin"),

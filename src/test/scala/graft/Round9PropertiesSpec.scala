@@ -416,6 +416,17 @@ class Round9PropertiesSpec extends AnyFunSuite {
     assert(lo <= mean && mean <= hi, "the 95% CI must bracket the point estimate")
   }
 
+  test("q_sql_native_funcs equals the naive token-count/cosine head") {
+    val probe = vecs.find(_._1 == 0L).get._2
+    val byId = vecs.toMap
+    val want = docs.collect { case (id, text) if byId.contains(id) =>
+      (id, tokens(text).size.toLong, cos4(byId(id), probe))
+    }.sortBy { case (id, n, _) => (-n, id) }.take(10)
+    val got = run("q_sql_native_funcs").map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("n_tokens"), r.getAs[Double]("cos_probe")))
+    assert(got.toSeq === want)
+  }
+
   test("q_span_scrub never removes more tokens than the document has") {
     run("q_span_scrub").foreach { r =>
       assert(r.getAs[Long]("n_removed") <= r.getAs[Long]("n_tokens"))
