@@ -64,6 +64,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Session-wide extension surface (ADVICE r9): the injected SQL
+    // functions + NativeTextRewrite rule are registered at construction,
+    // so every query plans under the same session state rather than
+    // order-dependently after q_sql_native_funcs happens to run.
+    graft.plans.GraftExtensions.register(spark)
     // The reference engine is fully in-memory (its only source is a
     // caller-materialized vector); cache the input tables for parity.
     // Spark's CacheManager substitutes the InMemoryRelation into every
@@ -89,12 +94,34 @@ object Bench {
     // instead of all three samples of whichever query it lands on (the
     // r5 pathology: q_pagerank's median read 43 s while the identical
     // plan ran 4 s in a quieter window).
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Per-query pressure telemetry (round-9 verdict item 3): in local mode
+    // the executors ARE this JVM, so process-wide JVM GC time and process
+    // CPU time bracket each timed pass exactly — no async listener-bus
+    // drain races. The per-query deltas let the adjudicator localize
+    // in-suite pressure (GC/cache ordering) the way taxFactor localizes
+    // host steal: a query whose in-suite sample carries high gc_ms is
+    // paying ambient heap pressure, not a plan regression. On a cluster
+    // the same fields would ride the listener's task-metrics jvmGCTime.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def cpuMs(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1000000L
+        case _ => -1L
+      }
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+      val gc0 = gcMs(); val cpu0 = cpuMs()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val t = (System.nanoTime() - t0) / 1e9
+      val gc = gcMs() - gc0
+      val cpu = if (cpu0 < 0) -1L else cpuMs() - cpu0
       Caches.releaseAll() // outside the timed span: harness cost, not query cost
-      t
+      (t, gc, cpu)
     }
     // Warm-up failures are logged and swallowed, never disqualifying: a
     // transient host-contention burst during warm-up must not zero out a
@@ -110,7 +137,7 @@ object Bench {
     // suite itself never pollutes the gauge).
     val loadBefore = loadavg1m()
     val calibBefore = calibrateMs(cpus.toInt)
-    val samples = scala.collection.mutable.Map[String, List[Double]]()
+    val samples = scala.collection.mutable.Map[String, List[(Double, Long, Long)]]()
       .withDefaultValue(Nil)
     // A timed-pass failure skips only that sample; the median is taken
     // over whatever samples succeeded. -1.0 only when ALL passes failed.
@@ -127,16 +154,20 @@ object Bench {
     // readers: ambient tax from the markers, and the quiet-equivalent
     // total/per-query numbers rounds are actually compared on.
     val tax = Calibration.taxFactor(calibBefore, calibAfter)
+    // quiet_ms makes the one-sided clamp auditable off this VM: the tax is
+    // mean(markers)/quiet_ms clamped at 1.0, so a reader with a different
+    // quiet floor can recompute it from the emitted markers.
     val calib = s""""calib_before_ms":$calibBefore,"calib_after_ms":$calibAfter,""" +
+      s""""quiet_ms":${Calibration.QuietCenterMs},""" +
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
       f""""tax_factor":$tax%.3f"""
     val results = selected.map { case (name, _) =>
-      val ts = samples(name).sorted
-      name -> (if (ts.isEmpty) -1.0 else ts(ts.size / 2))
+      val ts = samples(name).sortBy(_._1)
+      name -> (if (ts.isEmpty) (-1.0, -1L, -1L) else ts(ts.size / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v) if v._1 >= 0 => v._1 }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$calib}""")
     // The harness keeps only the tail of stdout; with 160+ queries the full
     // line above outgrows that window (BENCH_r05 preserved 64 of 162
@@ -147,16 +178,25 @@ object Bench {
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
       "/root/repo/bench_per_query.json")
     try {
-      val body = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      // gc_ms / cpu_ms carry the MEDIAN sample's pressure reading (the
+      // same sample the reported seconds come from), so an in-suite vs
+      // isolated gap adjudicates from the sidecar: high gc_ms says heap
+      // pressure from suite ordering, cpu_ms ≈ wall×cores says the time
+      // was real compute, cpu_ms ≪ wall×cores says scheduling/IO waits.
+      val gcs = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
+        .mkString(",\"gc_ms\":{", ",", "}")
+      val cpus2 = results.map { case (k, v) => s"\"" + k + "\":" + v._3 }
+        .mkString(",\"cpu_ms\":{", ",", "}")
+      val body = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
         .mkString("{\"sf\":\"" + sfDir + "\",\"unit\":\"sec\",\"total\":" + total +
-          "," + calib + ",\"queries\":{", ",", "}}")
+          "," + calib + ",\"queries\":{", ",", "}" + gcs + cpus2 + "}")
       java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
         body.getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
     results.grouped(25).zipWithIndex.foreach { case (chunk, i) =>
-      val cq = chunk.map { case (k, v) => s"\"" + k + "\":" + v }
+      val cq = chunk.map { case (k, v) => s"\"" + k + "\":" + v._1 }
         .mkString("{", ",", "}")
       println(s"""{"metric":"queries_chunk","part":${i + 1},"queries":$cq}""")
     }

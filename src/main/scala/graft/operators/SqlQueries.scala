@@ -166,6 +166,9 @@ object SqlQueries {
   private val sqlNativeFuncs = Q(
     "q_sql_native_funcs",
     (spark, dir) => {
+      // Idempotent re-register for standalone sessions; every engine main
+      // (Bench/Verify/TestSpark/tools) now registers at construction, so
+      // in-suite this is a no-op and plans are order-independent (ADVICE r9)
       graft.plans.GraftExtensions.register(spark)
       Tables(spark, dir, "documents").createOrReplaceTempView("g_docs")
       Tables(spark, dir, "embeddings").createOrReplaceTempView("g_emb")

@@ -1200,6 +1200,92 @@ object TextQueries {
             SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM f GROUP BY s1, s2 ORDER BY cnt DESC, s1, s2 LIMIT 10"""))
 
+  /** BPE tokenizer training, the full loop — q_bpe_pairs is round 1's
+    * census and q_bpe_merge2 the single iterative step; THIS is the
+    * vocabulary construction they build toward: 4 merge rounds, each
+    * censusing adjacent space-free symbol pairs over the current corpus
+    * (the codegen'd CharPairs scan), picking the most frequent pair
+    * (count DESC, pair ASC — binary-identical tiebreak in both engines),
+    * merging it corpus-wide into the atomic sentinel chr(round) via the
+    * non-regex left-to-right `replace`, and recording the merge table
+    * row (rank, merged string fully expanded, census count at selection
+    * time) — exactly the merges.txt a BPE trainer emits.
+    *
+    * Driver-side state is the 1-row winner per round (the KMeans
+    * bounded-model-state convention; the build executes those 4 tiny
+    * jobs at plan time — the Registry's documented cache-materializing
+    * convention). Each round's merged corpus is persisted so round r
+    * censuses one linear pass, not the whole replace chain from parquet.
+    * Sentinels chr(1..4) cannot collide with the printable corpus. At
+    * 100 TB each round is one codegen'd scan + one hash aggregate + one
+    * broadcast-scalar replace pass — the textbook distributed-BPE shape
+    * (vocabulary rounds are inherently sequential; parallelism lives
+    * inside each census).
+    *
+    * The oracle replays the identical 4 rounds as unrolled CTEs
+    * (q_recursive_sql precedent), rendering each winner by expanding
+    * earlier sentinels with nested replace.
+    */
+  private val bpeTrain = Q(
+    "q_bpe_train",
+    (spark, dir) => {
+      import spark.implicits._
+      val rounds = 4
+      var cur = Tables(spark, dir, "documents").select(col("text").as("t"))
+      var exps = Map.empty[Char, String] // sentinel -> fully-rendered expansion
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+      var dry = false
+      for (r <- 1 to rounds if !dry) {
+        val top = cur.select(explode(TextOps.charPairs(col("t"))).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("pair")).limit(1).collect()
+        if (top.isEmpty) dry = true
+        else {
+          val mp = top(0).getString(0)
+          val rendered = mp.flatMap(ch => exps.getOrElse(ch, ch.toString))
+          merges += ((r, rendered, top(0).getLong(1)))
+          exps += (r.toChar -> rendered)
+          cur = graft.Caches.persisted(
+            cur.select(org.apache.spark.sql.functions
+              .replace(col("t"), lit(mp), lit(r.toChar.toString)).as("t")))
+        }
+      }
+      merges.toSeq.toDF("rank", "pair", "cnt")
+        .select(col("rank").cast("int").as("rank"), col("pair"),
+          col("cnt").cast("bigint").as("cnt"))
+        .orderBy(col("rank"))
+    },
+    Some {
+      def census(src: String, p: String): String =
+        s"""$p AS (SELECT substr(t, i, 2) AS pair
+                   FROM $src, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+                   WHERE NOT contains(substr(t, i, 2), ' '))"""
+      def winner(p: String, w: String): String =
+        s"""$w AS (SELECT pair AS mp, CAST(c AS BIGINT) AS c FROM (
+                     SELECT pair, COUNT(*) AS c FROM $p GROUP BY pair
+                     ORDER BY c DESC, pair LIMIT 1))"""
+      // fully-rendered expansion of round r's winner: expand sentinels
+      // chr(r-1)..chr(1) with their own (already-rendered) expansions
+      def expSql(r: Int): String =
+        (r - 1 to 1 by -1).foldLeft(s"w$r.mp") { (acc, k) =>
+          s"replace($acc, chr($k), ${expSql(k)})"
+        }
+      val cte = new StringBuilder("WITH t0 AS (SELECT text AS t FROM documents)")
+      for (r <- 1 to 4) {
+        cte.append(", ").append(census(s"t${r - 1}", s"p$r"))
+        cte.append(", ").append(winner(s"p$r", s"w$r"))
+        if (r < 4)
+          cte.append(s", t$r AS (SELECT replace(t${r - 1}.t, w$r.mp, chr($r)) AS t " +
+            s"FROM t${r - 1}, w$r)")
+      }
+      val rows = (1 to 4).map { r =>
+        val from = (1 to r).map(k => s"w$k").mkString(", ")
+        s"SELECT $r AS rank, ${expSql(r)} AS pair, w$r.c AS cnt FROM $from"
+      }.mkString(" UNION ALL ")
+      s"""$cte, sel AS ($rows)
+          SELECT CAST(rank AS INT) AS rank, pair, cnt FROM sel ORDER BY rank"""
+    })
+
   /** N-gram novelty decay — per-document share of word-3-grams this
     * document is the FIRST to use (first = lowest doc_id, the corpus'
     * arrival-order proxy), aggregated over doc_id deciles: the curve
@@ -1268,5 +1354,5 @@ object TextQueries {
     repetitionFilter, zipfStats, lmPerplexity, charEntropy, ngramCoverage,
     piiRedact, vocabCoverage, pmiCollocations, bm25, cosinePairs, probeScan,
     ccnetBucket, bpePairs, knBigram, nucleusVocab, tokenizerFertility, langMix,
-    freqOfFreq, bpeMerge2, goodTuring, ngramNovelty)
+    freqOfFreq, bpeMerge2, goodTuring, ngramNovelty, bpeTrain)
 }

@@ -480,7 +480,7 @@ object VectorQueries {
     },
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             x AS (SELECT vec_id, t.d, v[t.d] AS x
-                  FROM e, UNNEST(generate_series(1, 64)) AS t(d)),
+                  FROM e, UNNEST(generate_series(1, len(v))) AS t(d)),
             cal AS (SELECT d, MAX(ABS(x)) AS amax FROM x GROUP BY d),
             qz AS (SELECT x.vec_id, x.d, cal.amax,
                      CASE WHEN cal.amax = 0 THEN 0

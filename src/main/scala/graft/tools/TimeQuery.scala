@@ -21,6 +21,7 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark) // uniform session surface (ADVICE r9)
     // SPARK_GRAFT_CACHE_TABLES=1 reproduces Bench's cached-table session
     // (plan shapes can differ: InMemoryRelation stats vs file stats)
     if (sys.env.get("SPARK_GRAFT_CACHE_TABLES").contains("1"))

@@ -55,4 +55,37 @@ class CalibrationSpec extends AnyFunSuite {
       Calibration.parseSidecar("""{"total": 5.0, "queries": {}}""")
     }
   }
+
+  test("r10 telemetry sidecar: scalars anchored before queries, nQ not " +
+    "tripled by gc_ms/cpu_ms, per-query metrics parse") {
+    val json = """{"sf":"/x","unit":"sec","total":3.5,
+      "calib_before_ms":510,"calib_after_ms":530,"quiet_ms":500.0,
+      "loadavg_before":4.0,"loadavg_after":4.2,"tax_factor":1.040,
+      "queries":{"q_a_one":1.5,"q_b_two":2.0},
+      "gc_ms":{"q_a_one":120,"q_b_two":7},
+      "cpu_ms":{"q_a_one":4400,"q_b_two":900}}"""
+    val m = Calibration.parseSidecar(json)
+    assert(m.nQueries === 2, s"gc_ms/cpu_ms keys must not inflate nQ: ${m.nQueries}")
+    assert(m.calibBeforeMs === 510 && m.totalSec === 3.5)
+    val gc = Calibration.parseQueryMetric(json, "gc_ms")
+    assert(gc === Map("q_a_one" -> 120.0, "q_b_two" -> 7.0))
+    val cpu = Calibration.parseQueryMetric(json, "cpu_ms")
+    assert(cpu("q_a_one") === 4400.0)
+    val secs = Calibration.parseQueryMetric(json, "queries")
+    assert(secs("q_b_two") === 2.0)
+    // sidecars without telemetry (r9 and earlier) parse to empty, not throw
+    assert(Calibration.parseQueryMetric("""{"total":1.0,"queries":{"q_a":1.0}}""",
+      "gc_ms") === Map.empty)
+  }
+
+  // A marker-named query key inside "queries" must not be read as a marker:
+  // the scalar scan is anchored to the prefix (ADVICE r9).
+  test("scalar markers never collide with query entries") {
+    val json = """{"total":9.0,"calib_before_ms":500,"calib_after_ms":500,
+      "loadavg_before":1.0,"loadavg_after":1.0,
+      "queries":{"q_total":7.0,"q_calib_before_ms":2.0}}"""
+    val m = Calibration.parseSidecar(json)
+    assert(m.totalSec === 9.0 && m.calibBeforeMs === 500)
+    assert(m.nQueries === 2)
+  }
 }

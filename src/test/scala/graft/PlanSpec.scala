@@ -664,4 +664,52 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-10 head:\n$plan")
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("q_span_dedup_global reuses ONE cached shingle-partitioned relation on both join sides") {
+    val plan = executedPlan("q_span_dedup_global")
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"both self-join sides must read the one persisted rare-posting relation:\n$plan")
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val parted = "windowspecdefinition\\(doc_a".r.findAllIn(plan).size
+    assert(specs > 0 && specs == parted,
+      s"run-merge must partition by the pair, found $specs/$parted:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair space must stay rare-anchor-bounded, never doc x doc:\n$plan")
+    Caches.releaseAll()
+  }
+
+  test("q_span_scrub_global anti-joins removed positions off the global runs") {
+    val plan = executedPlan("q_span_scrub_global")
+    assert(plan.contains("LeftAnti"),
+      s"survivors must come from a (doc_id, pos) anti-join:\n$plan")
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val parted = "windowspecdefinition\\(doc_a".r.findAllIn(plan).size
+    assert(specs > 0 && specs == parted,
+      s"run-merge must partition by the pair:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_bpe_train's declared output is the bounded driver-side merge table") {
+    // the 4 per-round censuses execute at build time (Registry's
+    // documented cache-materializing convention); the declared result is
+    // the 4-row merge table — a local relation, nothing distributed left
+    val plan = executedPlan("q_bpe_train")
+    assert(plan.contains("LocalTableScan") || plan.contains("localtablescan"),
+      s"merge table must be bounded local model state:\n$plan")
+    Caches.releaseAll()
+  }
+
+  test("q_video_frames decodes partition-wise with the under-split spread, no shuffle joins") {
+    val plan = executedPlan("q_video_frames")
+    assert(plan.contains("MapPartitions"),
+      s"codec must run in the mapPartitions seam:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_mr_topdocs partial-aggregates the bounded top-3 buffer map-side (O5 combiner)") {
+    val plan = executedPlan("q_mr_topdocs")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"the Aggregator buffer must combine before the shuffle:\n$plan")
+  }
 }

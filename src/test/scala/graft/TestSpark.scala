@@ -24,5 +24,9 @@ object TestSpark {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  // Session-wide extension surface (ADVICE r9): registered at construction
+  // so suite plans never depend on which spec touched the catalog first.
+  plans.GraftExtensions.register(spark)
+
   val sf0001 = "/root/testdata/sf0.001"
 }
