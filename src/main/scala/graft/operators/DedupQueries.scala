@@ -1201,6 +1201,85 @@ object DedupQueries {
              LEFT JOIN sc ON sc.doc_id = nr.doc_id
              ORDER BY nr.doc_id"""))
 
+  /** Span-detector coverage audit — the capability-gap MEASUREMENT for
+    * the global detector: of all document pairs carrying a ≥ 5-token
+    * duplicated run, how many does each detector arm see. n_global_only
+    * is the count of pairs the LSH-bounded detector (q_span_dedup)
+    * structurally cannot find — duplicated spans between documents whose
+    * whole-doc Jaccard never bands them together (37 global vs 24 LSH
+    * pairs at sf0.01); n_lsh_only counts pairs whose runs the global
+    * rare-anchor path fragments (df > 50 boilerplate interiors — the
+    * documented bound, 0 on these fixtures). One bounded full-outer join
+    * of two pair sets, 1-row output: the dashboard row that says whether
+    * LSH-bounded span dedup is leaving duplicate mass on the table.
+    */
+  private val spanCoverage = Q(
+    "q_span_coverage",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val lshPairs = pairSpanRuns(posShingleRelOf(docs),
+        minhashCandidates(shingleRelOf(docs)))
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .withColumn("l", lit(1))
+      val globalPairs = globalSpanRuns(docs)
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .withColumn("g", lit(1))
+      lshPairs.join(globalPairs, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+          count(col("l")).cast("bigint").as("n_lsh"),
+          count(col("g")).cast("bigint").as("n_global"),
+          sum(when(col("l").isNotNull && col("g").isNotNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_both"),
+          sum(when(col("l").isNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_global_only"),
+          sum(when(col("g").isNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_lsh_only"))
+    },
+    Some(s"""WITH $minhashCandCte,
+             pps AS (SELECT doc_id, i - 1 AS pos,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+                     FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+                     WHERE len(ws) >= 3),
+             lm AS (SELECT c.doc_a, c.doc_b, a.pos - b.pos AS diag, a.pos AS i
+                    FROM cand c
+                    JOIN pps a ON a.doc_id = c.doc_a
+                    JOIN pps b ON b.doc_id = c.doc_b AND b.sh = a.sh),
+             lr AS (SELECT doc_a, doc_b, diag,
+                      i - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                        ORDER BY i) AS grp
+                    FROM lm),
+             lpairs AS (SELECT DISTINCT doc_a, doc_b FROM
+                          (SELECT doc_a, doc_b FROM lr
+                           GROUP BY doc_a, doc_b, diag, grp
+                           HAVING COUNT(*) + 2 >= 5)),
+             gdf AS (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM pps GROUP BY sh),
+             rps AS (SELECT p.doc_id, p.pos, p.sh FROM pps p JOIN gdf ON gdf.sh = p.sh
+                     WHERE gdf.df BETWEEN 2 AND 50),
+             gm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.pos - b.pos AS diag, a.pos AS i
+                    FROM rps a JOIN rps b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+             gr AS (SELECT doc_a, doc_b, diag,
+                      i - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                        ORDER BY i) AS grp
+                    FROM gm),
+             gpairs AS (SELECT DISTINCT doc_a, doc_b FROM
+                          (SELECT doc_a, doc_b FROM gr
+                           GROUP BY doc_a, doc_b, diag, grp
+                           HAVING COUNT(*) + 2 >= 5)),
+             j AS (SELECT l.doc_a AS la, g.doc_a AS ga
+                   FROM lpairs l FULL OUTER JOIN gpairs g
+                     ON g.doc_a = l.doc_a AND g.doc_b = l.doc_b)
+             SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(la) AS BIGINT) AS n_lsh,
+               CAST(COUNT(ga) AS BIGINT) AS n_global,
+               CAST(SUM(CASE WHEN la IS NOT NULL AND ga IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+               CAST(SUM(CASE WHEN la IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_global_only,
+               CAST(SUM(CASE WHEN ga IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_lsh_only
+             FROM j"""))
+
   /** SimHash Hamming near-dup join — the pigeonhole multi-index of Manku
     * et al., "Detecting Near-Duplicates for Web Crawling" (WWW'07;
     * PAPERS.md dedup line): split the 32-bit signature (all 32 md5 hex
@@ -1283,5 +1362,5 @@ object DedupQueries {
     dedupContainment, minhashRecall, chunkDedup, dupRatioBySource,
     minhashPrecision, spanDedup, spanLeakage, simhashHamming, spanScrub,
     minhashEstError, lshBandSweep, boilerplatePrefix, spanDedupGlobal,
-    spanScrubGlobal)
+    spanScrubGlobal, spanCoverage)
 }

@@ -1226,65 +1226,149 @@ object TextQueries {
     * (q_recursive_sql precedent), rendering each winner by expanding
     * earlier sentinels with nested replace.
     */
+  /** The 4-round trainer loop itself: per round, (raw winning pair —
+    * possibly containing earlier sentinels — its census count, and its
+    * fully-rendered expansion). Shared by q_bpe_train (the merge table)
+    * and q_bpe_encode (applying the merges).
+    */
+  private[graft] def bpeWinners(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rounds: Int = 4): Seq[(String, Long, String)] = {
+    var cur = Tables(spark, dir, "documents").select(col("text").as("t"))
+    var exps = Map.empty[Char, String] // sentinel -> fully-rendered expansion
+    val merges = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+    var dry = false
+    for (r <- 1 to rounds if !dry) {
+      val top = cur.select(explode(TextOps.charPairs(col("t"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val mp = top(0).getString(0)
+        val rendered = mp.flatMap(ch => exps.getOrElse(ch, ch.toString))
+        merges += ((mp, top(0).getLong(1), rendered))
+        exps += (r.toChar -> rendered)
+        cur = graft.Caches.persisted(
+          cur.select(org.apache.spark.sql.functions
+            .replace(col("t"), lit(mp), lit(r.toChar.toString)).as("t")))
+      }
+    }
+    merges.toSeq
+  }
+
   private val bpeTrain = Q(
     "q_bpe_train",
     (spark, dir) => {
       import spark.implicits._
-      val rounds = 4
-      var cur = Tables(spark, dir, "documents").select(col("text").as("t"))
-      var exps = Map.empty[Char, String] // sentinel -> fully-rendered expansion
-      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
-      var dry = false
-      for (r <- 1 to rounds if !dry) {
-        val top = cur.select(explode(TextOps.charPairs(col("t"))).as("pair"))
-          .groupBy(col("pair")).agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("pair")).limit(1).collect()
-        if (top.isEmpty) dry = true
-        else {
-          val mp = top(0).getString(0)
-          val rendered = mp.flatMap(ch => exps.getOrElse(ch, ch.toString))
-          merges += ((r, rendered, top(0).getLong(1)))
-          exps += (r.toChar -> rendered)
-          cur = graft.Caches.persisted(
-            cur.select(org.apache.spark.sql.functions
-              .replace(col("t"), lit(mp), lit(r.toChar.toString)).as("t")))
-        }
-      }
-      merges.toSeq.toDF("rank", "pair", "cnt")
+      bpeWinners(spark, dir).zipWithIndex
+        .map { case ((_, c, rendered), i) => (i + 1, rendered, c) }
+        .toDF("rank", "pair", "cnt")
         .select(col("rank").cast("int").as("rank"), col("pair"),
           col("cnt").cast("bigint").as("cnt"))
         .orderBy(col("rank"))
     },
     Some {
-      def census(src: String, p: String): String =
-        s"""$p AS (SELECT substr(t, i, 2) AS pair
-                   FROM $src, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
-                   WHERE NOT contains(substr(t, i, 2), ' '))"""
-      def winner(p: String, w: String): String =
-        s"""$w AS (SELECT pair AS mp, CAST(c AS BIGINT) AS c FROM (
-                     SELECT pair, COUNT(*) AS c FROM $p GROUP BY pair
-                     ORDER BY c DESC, pair LIMIT 1))"""
-      // fully-rendered expansion of round r's winner: expand sentinels
-      // chr(r-1)..chr(1) with their own (already-rendered) expansions
-      def expSql(r: Int): String =
-        (r - 1 to 1 by -1).foldLeft(s"w$r.mp") { (acc, k) =>
-          s"replace($acc, chr($k), ${expSql(k)})"
-        }
-      val cte = new StringBuilder("WITH t0 AS (SELECT text AS t FROM documents)")
-      for (r <- 1 to 4) {
-        cte.append(", ").append(census(s"t${r - 1}", s"p$r"))
-        cte.append(", ").append(winner(s"p$r", s"w$r"))
-        if (r < 4)
-          cte.append(s", t$r AS (SELECT replace(t${r - 1}.t, w$r.mp, chr($r)) AS t " +
-            s"FROM t${r - 1}, w$r)")
-      }
       val rows = (1 to 4).map { r =>
         val from = (1 to r).map(k => s"w$k").mkString(", ")
-        s"SELECT $r AS rank, ${expSql(r)} AS pair, w$r.c AS cnt FROM $from"
+        s"SELECT $r AS rank, ${bpeExpSql(r)} AS pair, w$r.c AS cnt FROM $from"
       }.mkString(" UNION ALL ")
-      s"""$cte, sel AS ($rows)
+      s"""${bpeRoundsCte(carrySource = false, materializeLast = false)},
+          sel AS ($rows)
           SELECT CAST(rank AS INT) AS rank, pair, cnt FROM sel ORDER BY rank"""
     })
+
+  /** Oracle CTE chain for the 4 BPE rounds: t0..t{3|4} (merged corpora),
+    * p1..p4 (pair censuses), w1..w4 (winners). `carrySource` threads the
+    * source column through the t CTEs (q_bpe_encode's per-source report);
+    * `materializeLast` emits t4 (the fully-merged corpus) for consumers
+    * that read it.
+    */
+  private def bpeRoundsCte(carrySource: Boolean, materializeLast: Boolean): String = {
+    val srcCol = if (carrySource) "source, " else ""
+    def census(src: String, p: String): String =
+      s"""$p AS (SELECT substr(t, i, 2) AS pair
+                 FROM $src, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+                 WHERE NOT contains(substr(t, i, 2), ' '))"""
+    def winner(p: String, w: String): String =
+      s"""$w AS (SELECT pair AS mp, CAST(c AS BIGINT) AS c FROM (
+                   SELECT pair, COUNT(*) AS c FROM $p GROUP BY pair
+                   ORDER BY c DESC, pair LIMIT 1))"""
+    val cte = new StringBuilder(
+      s"WITH t0 AS (SELECT ${srcCol}text AS t FROM documents)")
+    for (r <- 1 to 4) {
+      cte.append(", ").append(census(s"t${r - 1}", s"p$r"))
+      cte.append(", ").append(winner(s"p$r", s"w$r"))
+      if (r < 4 || materializeLast)
+        cte.append(s", t$r AS (SELECT ${srcCol}replace(t${r - 1}.t, w$r.mp, " +
+          s"chr($r)) AS t FROM t${r - 1}, w$r)")
+    }
+    cte.toString
+  }
+
+  /** Fully-rendered expansion of round r's winner in SQL: expand
+    * sentinels chr(r-1)..chr(1) with their own (already-rendered)
+    * expansions via nested replace.
+    */
+  private def bpeExpSql(r: Int): String =
+    (r - 1 to 1 by -1).foldLeft(s"w$r.mp") { (acc, k) =>
+      s"replace($acc, chr($k), ${bpeExpSql(k)})"
+    }
+
+  /** BPE applied — the tokenizer-eval leg of training: run the 4-round
+    * trainer ([[bpeWinners]]), apply the merge chain corpus-wide in ONE
+    * projection, and report per source the symbol-stream compression the
+    * learned vocabulary buys (raw space-free symbol count vs post-merge
+    * count; each sentinel is one symbol — exactly how a BPE tokenizer's
+    * token count falls as merges land). The per-source view ranks which
+    * corpus slice the vocabulary serves best — the fertility-by-source
+    * question q_tokenizer_fertility asks for the whitespace tokenizer,
+    * answered for the TRAINED one.
+    *
+    * Scale posture: training is the q_bpe_train loop (sequential rounds,
+    * one linear codegen'd pass each); encoding is one scan applying 4
+    * literal replaces + two length projections; the report is one
+    * partial+final aggregate on source. Degenerate guard: a source with
+    * zero raw symbols reports NULL compression (the 0/0 rule).
+    *
+    * Oracle note: the unrolled t0→t4 cross-join chain assumes all 4
+    * rounds find a winner (any non-trivial corpus does; a corpus with
+    * documents but ZERO adjacent space-free pairs would empty the
+    * chain). Fully-empty inputs degrade to empty on both engines.
+    */
+  private val bpeEncode = Q(
+    "q_bpe_encode",
+    (spark, dir) => {
+      val mps = bpeWinners(spark, dir)
+      val merged = mps.zipWithIndex.foldLeft(col("text")) { case (c, ((mp, _, _), i)) =>
+        org.apache.spark.sql.functions.replace(c, lit(mp), lit((i + 1).toChar.toString))
+      }
+      Tables(spark, dir, "documents")
+        .select(col("source"),
+          length(translate(col("text"), " ", "")).cast("long").as("raw"),
+          length(translate(merged, " ", "")).cast("long").as("bpe"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("raw")).cast("bigint").as("raw_units"),
+          sum(col("bpe")).cast("bigint").as("bpe_units"))
+        .select(col("source"), col("n_docs"), col("raw_units"), col("bpe_units"),
+          when(col("raw_units") === 0, lit(null).cast("double"))
+            .otherwise(pround(col("bpe_units").cast("double") /
+              col("raw_units").cast("double"), 4)).as("compression"))
+        .orderBy(col("source"))
+    },
+    Some(s"""${bpeRoundsCte(carrySource = true, materializeLast = true)},
+             raw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(length(replace(t, ' ', ''))) AS BIGINT) AS raw_units
+                     FROM t0 GROUP BY source),
+             enc AS (SELECT source,
+                       CAST(SUM(length(replace(t, ' ', ''))) AS BIGINT) AS bpe_units
+                     FROM t4 GROUP BY source)
+             SELECT r.source, r.n_docs, r.raw_units, e.bpe_units,
+               CASE WHEN r.raw_units = 0 THEN NULL
+                    ELSE FLOOR((CAST(e.bpe_units AS DOUBLE)
+                      / CAST(r.raw_units AS DOUBLE)) * 10000 + 0.5) / 10000
+               END AS compression
+             FROM raw r JOIN enc e ON e.source = r.source
+             ORDER BY r.source"""))
 
   /** N-gram novelty decay — per-document share of word-3-grams this
     * document is the FIRST to use (first = lowest doc_id, the corpus'
@@ -1354,5 +1438,5 @@ object TextQueries {
     repetitionFilter, zipfStats, lmPerplexity, charEntropy, ngramCoverage,
     piiRedact, vocabCoverage, pmiCollocations, bm25, cosinePairs, probeScan,
     ccnetBucket, bpePairs, knBigram, nucleusVocab, tokenizerFertility, langMix,
-    freqOfFreq, bpeMerge2, goodTuring, ngramNovelty, bpeTrain)
+    freqOfFreq, bpeMerge2, goodTuring, ngramNovelty, bpeTrain, bpeEncode)
 }

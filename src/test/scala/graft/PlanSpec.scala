@@ -712,4 +712,23 @@ class PlanSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
       s"the Aggregator buffer must combine before the shuffle:\n$plan")
   }
+
+  test("q_span_coverage joins the two pair sets without a cartesian, windows pair-partitioned") {
+    val plan = executedPlan("q_span_coverage")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val parted = "windowspecdefinition\\(doc_a".r.findAllIn(plan).size
+    assert(specs > 0 && specs == parted,
+      s"both detectors' run-merges must partition by the pair:\n$plan")
+    Caches.releaseAll()
+  }
+
+  test("q_bpe_encode is one scan with literal replaces and a partial+final source aggregate") {
+    val plan = executedPlan("q_bpe_encode")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"per-source sums must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"encoding is a pure projection chain, no joins:\n$plan")
+    Caches.releaseAll()
+  }
 }

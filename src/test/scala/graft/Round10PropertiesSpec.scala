@@ -223,6 +223,63 @@ class Round10PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_span_coverage is exactly consistent with the two detectors' pair sets") {
+    // both detectors carry their own exact naive replays above / in
+    // Round9PropertiesSpec; the coverage row must be their set algebra
+    val lsh = run("q_span_dedup").map(r => (r.getLong(0), r.getLong(1))).toSet
+    val global = run("q_span_dedup_global").map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run("q_span_coverage")
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n_lsh") === lsh.size.toLong)
+    assert(r.getAs[Long]("n_global") === global.size.toLong)
+    assert(r.getAs[Long]("n_both") === (lsh & global).size.toLong)
+    assert(r.getAs[Long]("n_global_only") === (global -- lsh).size.toLong)
+    assert(r.getAs[Long]("n_lsh_only") === (lsh -- global).size.toLong)
+    assert(r.getAs[Long]("n_pairs") === (lsh | global).size.toLong)
+  }
+
+  private lazy val docsWithSource: Seq[(String, String)] =
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  test("q_bpe_encode equals the naive merge-application per source") {
+    // replay the naive 4-round trainer to get the raw winners in order
+    var corpus = docs.map(_._2)
+    val winners = scala.collection.mutable.ArrayBuffer[String]()
+    for (r <- 1 to 4) {
+      val census = scala.collection.mutable.Map.empty[String, Long]
+      corpus.foreach { t =>
+        var i = 0
+        while (i < t.length - 1) {
+          val p = t.substring(i, i + 2)
+          if (!p.contains(' ')) census.update(p, census.getOrElse(p, 0L) + 1L)
+          i += 1
+        }
+      }
+      val (mp, _) = census.toSeq.minBy { case (p, n) => (-n, p) }
+      winners += mp
+      corpus = corpus.map(_.replace(mp, r.toChar.toString))
+    }
+    def encode(t: String): String =
+      winners.zipWithIndex.foldLeft(t) { case (s, (mp, i)) =>
+        s.replace(mp, (i + 1).toChar.toString)
+      }
+    val want = docsWithSource.groupBy(_._1).toSeq.map { case (src, g) =>
+      val raw = g.map(_._2.count(_ != ' ').toLong).sum
+      val bpe = g.map(d => encode(d._2).count(_ != ' ').toLong).sum
+      (src, g.size.toLong, raw, bpe,
+        if (raw == 0) null else pround(bpe.toDouble / raw, 4))
+    }.sortBy(_._1)
+    val got = run("q_bpe_encode").map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("n_docs"), r.getAs[Long]("raw_units"),
+      r.getAs[Long]("bpe_units"), r.getAs[Any]("compression"))).toSeq
+    assert(got === want)
+    // merging strictly compresses on any corpus with >= 1 merge occurrence
+    got.foreach { case (_, _, raw, bpe, _) => assert(bpe <= raw) }
+  }
+
   test("q_mr_topdocs equals the naive per-word bounded top-3") {
     val perDoc = docs.flatMap { case (id, text) =>
       tokens(text).groupBy(identity).map { case (w, g) => (w, id, g.size.toLong) }
