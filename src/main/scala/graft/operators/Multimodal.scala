@@ -37,6 +37,15 @@ final case class MediaPipelineOut(doc_id: Long, byte_sum: Long, brightness: Doub
   */
 object Multimodal {
 
+  // ImageIO's default ImageInputStream is DISK-cached: every
+  // ImageIO.read/createImageInputStream call creates (and deletes) a temp
+  // FILE. At 50k tiny images per run that is the dominant codec cost and
+  // the source of the in-suite CPU inflation the r10 gc_ms/cpu_ms
+  // telemetry surfaced (≈10 ms CPU per ≤16×14 px image — the decode
+  // itself is microseconds). Memory-cached streams are the standard fix;
+  // the object initializer runs once per executor JVM at first use.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** STUB codec — replace with a real decoder where media libs exist.
     * Deterministic on the payload bytes so the DuckDB oracle can reproduce
     * it arithmetically.
@@ -235,6 +244,26 @@ object Multimodal {
     * images and audio real, only video remains stubbed (no pure-JDK
     * codec exists).
     */
+  // AudioSystem's static entry points re-resolve their SPI providers
+  // through a synchronized JDK-internal registry on EVERY call — with 32
+  // decode threads that lock serializes the whole stage (measured ~1.3
+  // effective cores on the sf1 audio scan; the r10 cpu_ms telemetry is
+  // what surfaced it: 10.9 s CPU under 8.6 s wall on 32 cores). Resolve
+  // the WAV reader/writer ONCE per executor JVM via the public
+  // ServiceLoader SPI and call the providers directly; fall back to the
+  // AudioSystem path if the lookup ever comes back empty.
+  private lazy val wavReader: Option[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.find(_.getClass.getName.toLowerCase.contains("wave"))
+  }
+  private lazy val wavWriter: Option[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.find(_.isFileTypeSupported(
+        javax.sound.sampled.AudioFileFormat.Type.WAVE))
+  }
+
   def makeWav(docId: Long): Array[Byte] = {
     val n = (docId % 400 + 100).toInt
     val bytes = new Array[Byte](n * 2) // 16-bit mono PCM little-endian
@@ -249,8 +278,11 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavWriter match {
+      case Some(w) => w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      case None => javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    }
     bos.toByteArray
   }
 
@@ -265,8 +297,11 @@ object Multimodal {
         .mapPartitions(_.map(id => MediaRecord(id, "audio", makeWav(id))))(
           Encoders.product[MediaRecord])
       recs.mapPartitions(_.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.data))
+        val in = new java.io.ByteArrayInputStream(r.data)
+        val ais = wavReader match {
+          case Some(rd) => rd.getAudioInputStream(in)
+          case None     => javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+        }
         val fmt = ais.getFormat
         val n = ais.getFrameLength.toInt
         val pcm = ais.readAllBytes()
