@@ -715,6 +715,66 @@ object GraphQueries {
                 * 10000 + 0.5) / 10000 AS mean_c
             FROM cu GROUP BY 1 ORDER BY 1"""))
 
+  /** Multi-source BFS levels over the symmetrized trade graph: exact hop
+    * distance from a seed set (customers with custkey < 10) out to 3
+    * hops — the reachability primitive behind "which suppliers are
+    * within N trade hops of these flagged customers" audits. Each hop is
+    * one equi-join of the frontier against the cached edge list (pinned
+    * on src, the q_pagerank layout — the 100 TB side never re-shuffles)
+    * plus a distinct and an anti-join against the visited set; the
+    * frontier and visited relations persist per hop and release with
+    * the query. Level membership is a min-hop property, so the output
+    * is iteration-order independent. Reported bounded: per level the
+    * node count and a node-id checksum (exact integers only).
+    */
+  private val bfsLevels = Q(
+    "q_bfs_levels",
+    (spark, dir) => {
+      val pairs = Caches.persisted(tradeEdges(spark, dir))
+      val edges = Caches.persisted(
+        pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+          .repartition(col("src")))
+      var visited = Caches.persisted(
+        pairs.select(col("a").as("node")).filter(col("node") < 20).distinct()
+          .withColumn("level", lit(0)))
+      var frontier = visited.select(col("node"))
+      for (l <- 1 to 3) {
+        frontier = Caches.persisted(
+          edges.join(frontier, edges("src") === frontier("node"))
+            .select(col("dst").as("node")).distinct()
+            .join(visited.select(col("node").as("v")),
+              col("node") === col("v"), "left_anti"))
+        visited = Caches.persisted(
+          visited.unionAll(frontier.withColumn("level", lit(l))))
+      }
+      visited.groupBy(col("level"))
+        .agg(count(lit(1)).cast("bigint").as("n_nodes"),
+          sum(col("node")).cast("bigint").as("node_sum"))
+        .orderBy(col("level"))
+    },
+    Some(s"""WITH $edgesCte,
+             l0 AS (SELECT DISTINCT a AS node FROM pairs WHERE a < 20),
+             f1 AS (SELECT DISTINCT e.dst AS node FROM edges e
+                    JOIN l0 ON e.src = l0.node
+                    WHERE e.dst NOT IN (SELECT node FROM l0)),
+             f2 AS (SELECT DISTINCT e.dst AS node FROM edges e
+                    JOIN f1 ON e.src = f1.node
+                    WHERE e.dst NOT IN (SELECT node FROM l0
+                                        UNION ALL SELECT node FROM f1)),
+             f3 AS (SELECT DISTINCT e.dst AS node FROM edges e
+                    JOIN f2 ON e.src = f2.node
+                    WHERE e.dst NOT IN (SELECT node FROM l0
+                                        UNION ALL SELECT node FROM f1
+                                        UNION ALL SELECT node FROM f2)),
+             lv AS (SELECT node, 0 AS level FROM l0
+                    UNION ALL SELECT node, 1 FROM f1
+                    UNION ALL SELECT node, 2 FROM f2
+                    UNION ALL SELECT node, 3 FROM f3)
+             SELECT level, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(node) AS BIGINT) AS node_sum
+             FROM lv GROUP BY level ORDER BY level"""))
+
   val all: Seq[Q] = Seq(ccDedup, graphDegree, pageRank, triangleCount,
-    kcore, graphJaccard, assortativity, localClustering)
+    kcore, graphJaccard, assortativity, localClustering, bfsLevels)
 }

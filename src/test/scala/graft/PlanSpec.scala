@@ -731,4 +731,39 @@ class PlanSpec extends AnyFunSuite {
       s"encoding is a pure projection chain, no joins:\n$plan")
     Caches.releaseAll()
   }
+
+  test("q_kmeans_train's per-round assignments broadcast the k centroids and persist once") {
+    // the assignment primitive every round reuses: the k-row centroid
+    // table must BROADCAST into the scoring scan (never shuffle the
+    // embeddings against it) — probed directly, the kcore-probe style
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.operators.KMeans.train(spark, dir, k = 8, iters = 0)
+    val a = graft.operators.KMeans.assign(e, cents)
+    a.collect()
+    val aPlan = a.queryExecution.executedPlan.toString
+    assert(aPlan.contains("BroadcastNestedLoopJoin") || aPlan.contains("BroadcastHashJoin"),
+      s"centroids must broadcast:\n$aPlan")
+    // the declared loop: the three rounds' assignments are persisted —
+    // the final census reads caches, it does not replay the scoring
+    // crossJoin per consumer (the moved join between consecutive cached
+    // assignments is vec_id-keyed and may legitimately shuffle)
+    val plan = executedPlan("q_kmeans_train")
+    assert(plan.contains("InMemoryTableScan"), s"assignments not persisted:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_bfs_levels reads the cached frontier/visited sets, census partial-aggregates") {
+    val plan = executedPlan("q_bfs_levels")
+    // hop expansion ran in its own jobs against the src-pinned edge cache;
+    // the declared census must read persisted level sets
+    assert(plan.contains("InMemoryTableScan"), s"visited set not persisted:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val cut = plan.indexOf("InMemoryRelation")
+    val live = if (cut < 0) plan else plan.substring(0, cut)
+    assert("HashAggregate".r.findAllIn(live).size >= 2,
+      s"census must partial-aggregate:\n$plan")
+    Caches.releaseAll()
+  }
 }

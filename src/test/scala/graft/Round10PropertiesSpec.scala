@@ -295,4 +295,76 @@ class Round10PropertiesSpec extends AnyFunSuite {
       r.getAs[String]("top_docs"))).toSeq
     assert(got === want)
   }
+
+  test("q_kmeans_train equals the naive 3-round Lloyd loop") {
+    val emb: Seq[(Long, Array[Double])] = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var cents: Seq[(Long, Array[Double])] = emb.filter(_._1 < 8).sortBy(_._1)
+    var prev: Map[Long, Long] = null
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Option[Long])]
+    for (i <- 1 to 3) {
+      val a: Map[Long, Long] = emb.map { case (vid, v) =>
+        vid -> cents.map { case (cid, c) => (cid, cos(v, c)) }
+          .minBy { case (cid, s) => (-s, cid) }._1
+      }.toMap
+      val byCluster = a.groupBy(_._2)
+      byCluster.toSeq.sortBy(_._1).foreach { case (c, members) =>
+        val moved =
+          if (prev == null) None
+          else Some(members.count { case (vid, _) => prev(vid) != c }.toLong)
+        want += ((i, c, members.size.toLong, moved))
+      }
+      prev = a
+      if (i < 3) cents = byCluster.toSeq.sortBy(_._1).map { case (cid, members) =>
+        val vs = members.keys.toSeq.sorted.map(vid => emb.find(_._1 == vid).get._2)
+        val dim = vs.head.length
+        val m = new Array[Double](dim)
+        vs.foreach(v => (0 until dim).foreach(d => m(d) += v(d)))
+        (0 until dim).foreach(d => m(d) /= vs.size)
+        cid -> m
+      }
+    }
+    val got = run("q_kmeans_train").map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got === want.toSeq)
+    // convergence is visible: total movement never increases round-over-round
+    val byIter = got.groupBy(_._1).view.mapValues(_.flatMap(_._4).sum).toMap
+    assert(byIter.getOrElse(3, 0L) <= byIter.getOrElse(2, Long.MaxValue))
+  }
+
+  test("q_bfs_levels equals the naive multi-source BFS (min-hop levels)") {
+    def longs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSeq
+    val o = longs(Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
+    val l = longs(Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")))
+    val byOrder = l.groupBy(_._1)
+    val pairs = o.flatMap { case (ok, ck) =>
+      byOrder.getOrElse(ok, Seq.empty).map { case (_, sk) => (ck * 2, sk * 2 + 1) }
+    }.distinct
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    var level = Map.empty[Long, Int]
+    var frontier = pairs.map(_._1).filter(_ < 20).toSet
+    frontier.foreach(n => level += n -> 0)
+    for (lv <- 1 to 3) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)).diff(level.keySet)
+      next.foreach(n => level += n -> lv)
+      frontier = next
+    }
+    val want = level.groupBy(_._2).toSeq.sortBy(_._1).map { case (lv, m) =>
+      (lv, m.size.toLong, m.keys.sum)
+    }
+    val got = run("q_bfs_levels").map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+    // the planted property: seeds are customers, so odd levels are all
+    // supplier nodes and even levels all customer nodes (bipartite graph)
+    assert(level.forall { case (n, lv) => (n % 2 == 0) == (lv % 2 == 0) })
+  }
 }
