@@ -371,6 +371,72 @@ object KMeans {
              LEFT JOIN mv3 ON s.iter = 3 AND s.cluster = mv3.cluster
              ORDER BY s.iter, s.cluster"""))
 
+  /** Cluster-level corpus audit — the SemDeDup-style curation dashboard:
+    * join the trained clustering back to DOCUMENT metadata (vec_id =
+    * doc_id, the established cross-table contract) and report, per
+    * cluster, the document count, mean length, majority language and
+    * source spread. This is the table a curation engineer reads before
+    * deciding per-cluster keep/drop/downsample rates — cluster-blocked
+    * corpus statistics, the reason the k-means trainer exists in a data
+    * pipeline at all.
+    *
+    * Shape: the shared one-iteration trainer (broadcast-k assignment),
+    * one hash join to documents on the id, one partial+final aggregate
+    * per (cluster, lang) + a bounded per-cluster majority window, one
+    * per-cluster rollup. Mean length is an exact integer SUM/COUNT
+    * divided once then portably rounded (no float accumulation).
+    */
+  private val clusterProfile = Q(
+    "q_cluster_profile",
+    (spark, dir) => {
+      import graft.functions.Portable.pround
+      val e = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val c1 = train(spark, dir, k = 8, iters = 1)
+      val d = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val j = assign(e, c1).select(col("vec_id"), col("cluster"))
+        .join(d, col("vec_id") === col("doc_id"))
+      val byLang = j.groupBy(col("cluster"), col("lang"))
+        .agg(count(lit(1)).as("ln"))
+      val topLang = byLang
+        .withColumn("rn", row_number().over(Window.partitionBy(col("cluster"))
+          .orderBy(col("ln").desc, col("lang"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("lang").as("top_lang"), col("ln").as("top_lang_n"))
+      val roll = j.groupBy(col("cluster"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("n_chars").cast("bigint")).as("chars"),
+          countDistinct(col("source")).cast("bigint").as("n_sources"))
+      roll.join(topLang, "cluster")
+        .select(col("cluster"), col("n_docs"),
+          pround(col("chars").cast("double") / col("n_docs").cast("double"), 2)
+            .as("mean_chars"),
+          col("top_lang"), col("top_lang_n").cast("bigint").as("top_lang_n"),
+          col("n_sources"))
+        .orderBy(col("cluster"))
+    },
+    Some(s"""WITH $oneIterAssignCte,
+             j AS (SELECT a2.cluster, d.lang, d.source, d.n_chars
+                   FROM a2 JOIN documents d ON a2.vec_id = d.doc_id),
+             bl AS (SELECT cluster, lang, CAST(COUNT(*) AS BIGINT) AS ln
+                    FROM j GROUP BY cluster, lang),
+             tl AS (SELECT cluster, lang AS top_lang, ln AS top_lang_n FROM (
+                      SELECT cluster, lang, ln,
+                        row_number() OVER (PARTITION BY cluster
+                          ORDER BY ln DESC, lang) AS rn
+                      FROM bl) WHERE rn = 1),
+             roll AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        CAST(SUM(n_chars) AS BIGINT) AS chars,
+                        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+                      FROM j GROUP BY cluster)
+             SELECT r.cluster, r.n_docs,
+               FLOOR((CAST(r.chars AS DOUBLE) / CAST(r.n_docs AS DOUBLE)) * 100 + 0.5)
+                 / 100 AS mean_chars,
+               tl.top_lang, tl.top_lang_n, r.n_sources
+             FROM roll r JOIN tl ON r.cluster = tl.cluster
+             ORDER BY r.cluster"""))
+
   val all: Seq[Q] =
-    Seq(kmeansAssign, clusterPurity, embedQuantize, silhouette, kmeansTrain)
+    Seq(kmeansAssign, clusterPurity, embedQuantize, silhouette, kmeansTrain,
+      clusterProfile)
 }

@@ -754,6 +754,20 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_cluster_profile joins docs without a cartesian, majority window cluster-partitioned") {
+    val plan = executedPlan("q_cluster_profile")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"per-(cluster,lang) counts must partial-aggregate:\n$plan")
+    // every window is key-partitioned: the assignment rank by vec_id, the
+    // majority rank by cluster — never an unpartitioned global window
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val parted = "windowspecdefinition\\((cluster|vec_id)".r.findAllIn(plan).size
+    assert(specs > 0 && specs == parted,
+      s"all windows must be key-partitioned:\n$plan")
+    Caches.releaseAll()
+  }
+
   test("q_bfs_levels reads the cached frontier/visited sets, census partial-aggregates") {
     val plan = executedPlan("q_bfs_levels")
     // hop expansion ran in its own jobs against the src-pinned edge cache;

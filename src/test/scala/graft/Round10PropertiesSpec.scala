@@ -338,6 +338,51 @@ class Round10PropertiesSpec extends AnyFunSuite {
     assert(byIter.getOrElse(3, 0L) <= byIter.getOrElse(2, Long.MaxValue))
   }
 
+  test("q_cluster_profile equals the naive cluster-level document audit") {
+    val emb: Seq[(Long, Array[Double])] = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def assignAll(cents: Seq[(Long, Array[Double])]): Map[Long, Long] =
+      emb.map { case (vid, v) =>
+        vid -> cents.map { case (cid, c) => (cid, cos(v, c)) }
+          .minBy { case (cid, s) => (-s, cid) }._1
+      }.toMap
+    val init = emb.filter(_._1 < 8).sortBy(_._1)
+    val a1 = assignAll(init)
+    val c1 = a1.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, members) =>
+      val vs = members.keys.toSeq.map(vid => emb.find(_._1 == vid).get._2)
+      val dim = vs.head.length
+      val m = new Array[Double](dim)
+      vs.foreach(v => (0 until dim).foreach(d => m(d) += v(d)))
+      (0 until dim).foreach(d => m(d) /= vs.size)
+      cid -> m
+    }
+    val a2 = assignAll(c1)
+    val meta: Map[Long, (String, String, Long)] = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getAs[Number](3).longValue)).toMap
+    val joined = a2.toSeq.flatMap { case (vid, c) =>
+      meta.get(vid).map { case (lang, src, nc) => (c, lang, src, nc) }
+    }
+    val want = joined.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, g) =>
+      val n = g.size.toLong
+      val mean = pround(g.map(_._4).sum.toDouble / n, 2)
+      val (topLang, topN) = g.groupBy(_._2).toSeq
+        .map { case (l, m) => (l, m.size.toLong) }
+        .minBy { case (l, cnt) => (-cnt, l) }
+      (c, n, mean, topLang, topN, g.map(_._3).distinct.size.toLong)
+    }
+    val got = run("q_cluster_profile").map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getString(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want)
+  }
+
   test("q_bfs_levels equals the naive multi-source BFS (min-hop levels)") {
     def longs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
       df.collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSeq
