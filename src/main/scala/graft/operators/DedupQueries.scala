@@ -41,9 +41,16 @@ object DedupQueries {
               FROM documents)
             WHERE rn = 1 ORDER BY doc_id"""))
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, sh). */
+  /** Distinct word-3-gram shingles per doc: (doc_id, sh). Shingling is
+    * compute-bound (codegen'd WordNGrams + explode + md5 funnel), so the
+    * under-split documents scan is spread first — the r10 cpu_ms
+    * telemetry showed the shingle family's census stages serializing on
+    * the fixture's single parquet split (q_minhash_est_error 18.5 s CPU
+    * under 7.1 s wall on 32 cores = ~2.6 effective cores).
+    */
   private def shingleRel(spark: SparkSession, dir: String): DataFrame =
-    shingleRelOf(Tables(spark, dir, "documents"))
+    shingleRelOf(Tables.spreadIfUnderSplit(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("text"))))
 
   /** Same over any (doc_id, text) relation — the global span detector is
     * property-tested on in-memory fixtures through this seam.

@@ -481,11 +481,18 @@ object TextQueries {
   private val ngramCoverage = Q(
     "q_ngram_coverage",
     (spark, dir) => {
-      // consumed twice (document-frequency agg + membership join);
+      // consumed twice (document-frequency agg + membership join), both
+      // keyed on the gram — spread the under-split scan so the codegen'd
+      // 5-gram explode parallelizes (2.6 effective cores before, r10
+      // telemetry), then pre-partition the cache on the gram so ONE
+      // exchange feeds both consumers (the q_minhash_recall collapse);
       // released by the harness's post-query Caches.releaseAll()
-      val dg = Caches.persisted(Tables(spark, dir, "documents")
-        .select(col("doc_id"),
-          explode(TextOps.distinctWordNGrams(col("text"), 5)).as("g")))
+      val dg = Caches.persisted(
+        Tables.spreadIfUnderSplit(Tables(spark, dir, "documents")
+            .select(col("doc_id"), col("text")))
+          .select(col("doc_id"),
+            explode(TextOps.distinctWordNGrams(col("text"), 5)).as("g"))
+          .repartition(col("g")))
       val freq = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
       dg.join(freq, "g")
         .groupBy(col("doc_id"))
@@ -1390,10 +1397,16 @@ object TextQueries {
   private val ngramNovelty = Q(
     "q_ngram_novelty",
     (spark, dir) => {
+      // both consumers key on the shingle: spread the under-split scan
+      // (serial 3-gram explode otherwise — r10 telemetry: 5.8 s CPU under
+      // 4.3 s wall), then pre-partition the cache on sh so one exchange
+      // feeds the MIN aggregate and the join back (q_minhash_recall)
       val sh = Caches.persisted(
-        Tables(spark, dir, "documents")
+        Tables.spreadIfUnderSplit(Tables(spark, dir, "documents")
+            .select(col("doc_id"), col("text")))
           .select(col("doc_id"),
-            explode(TextOps.distinctWordNGrams(col("text"), 3)).as("sh")))
+            explode(TextOps.distinctWordNGrams(col("text"), 3)).as("sh"))
+          .repartition(col("sh")))
       val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
       val perDoc = sh.join(first, "sh")
         .groupBy(col("doc_id"))
