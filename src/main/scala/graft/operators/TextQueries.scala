@@ -1240,7 +1240,12 @@ object TextQueries {
     */
   private[graft] def bpeWinners(spark: org.apache.spark.sql.SparkSession,
       dir: String, rounds: Int = 4): Seq[(String, Long, String)] = {
-    var cur = Tables(spark, dir, "documents").select(col("text").as("t"))
+    // spread the under-split scan once: every round's persisted corpus
+    // inherits this partitioning, so all 4 censuses + the final encode
+    // scan parallelize (serial CharPairs scans otherwise — r10 telemetry:
+    // ~1.3 effective cores across the whole loop)
+    var cur = Tables.spreadIfUnderSplit(
+      Tables(spark, dir, "documents").select(col("text"))).select(col("text").as("t"))
     var exps = Map.empty[Char, String] // sentinel -> fully-rendered expansion
     val merges = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
     var dry = false

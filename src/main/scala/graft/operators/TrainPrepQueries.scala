@@ -546,8 +546,12 @@ object TrainPrepQueries {
       // and the per-doc weights all re-aggregate this bounded relation
       // (≤ 256 rows per doc) instead of re-running the corpus-sized
       // tokenize+explode three times (measured 3x at sf1)
+      // the bigram explode + hash is the compute (r10 telemetry: 24 s CPU
+      // under 5.5 s wall) — spread the under-split scan so the partial
+      // aggregation below it parallelizes
       val dc0 = graft.Caches.persisted(
-        Tables(spark, dir, "documents")
+        Tables.spreadIfUnderSplit(Tables(spark, dir, "documents")
+            .select(col("doc_id"), col("source"), col("lang"), col("text")))
           .select(col("doc_id"), col("source"), col("lang"),
             explode(TextOps.wordNGramsAll(col("text"), 2)).as("g"))
           .select(col("doc_id"), col("source"), col("lang"),
