@@ -461,7 +461,10 @@ object DedupQueries {
     * array) where DuckDB's `generate_series(0, -1)` is empty.
     */
   private def chunkRel(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    // tokenize + 32-token chunk assembly is the compute (r10 telemetry:
+    // ~2.5 effective cores on its consumers) — spread the 1-split scan
+    Tables.spreadIfUnderSplit(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"), TextOps.wordsNative(col("text")).as("ws"))
       .filter(size(col("ws")) > 0)
       .select(col("doc_id"), col("source"),
@@ -631,7 +634,11 @@ object DedupQueries {
       // value-identical to aggregating all runs then demanding max >= 5
       // (pairs whose every run is < 5 vanish either way, and n_spans only
       // ever counted the >= 5 runs)
-      val runs = pairSpanRuns(posShingleRelOf(Tables(spark, dir, "documents")),
+      // positional shingling is the compute: spread the under-split scan
+      // (the shingleRel inside minhashCandidates spreads its own)
+      val runs = pairSpanRuns(
+        posShingleRelOf(Tables.spreadIfUnderSplit(
+          Tables(spark, dir, "documents").select(col("doc_id"), col("text")))),
         minhashCandidates(shingleRel(spark, dir)))
       runs.groupBy(col("doc_a"), col("doc_b"))
         .agg(max(col("span")).cast("bigint").as("longest_span"),
@@ -1068,7 +1075,8 @@ object DedupQueries {
   private val spanScrub = Q(
     "q_span_scrub",
     (spark, dir) => {
-      val docs = Tables(spark, dir, "documents")
+      // one spread scan feeds the positional shingles AND the splice
+      val docs = Tables.spreadIfUnderSplit(Tables(spark, dir, "documents"))
       val runs = pairSpanRuns(posShingleRelOf(docs),
         minhashCandidates(shingleRel(spark, dir)))
       scrubReport(docs, runs)
@@ -1151,7 +1159,8 @@ object DedupQueries {
   private val spanDedupGlobal = Q(
     "q_span_dedup_global",
     (spark, dir) =>
-      globalSpanRuns(Tables(spark, dir, "documents"))
+      globalSpanRuns(Tables.spreadIfUnderSplit(
+          Tables(spark, dir, "documents").select(col("doc_id"), col("text"))))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(max(col("span")).cast("bigint").as("longest_span"),
           count(lit(1)).cast("bigint").as("n_spans"))
@@ -1177,7 +1186,8 @@ object DedupQueries {
   private val spanScrubGlobal = Q(
     "q_span_scrub_global",
     (spark, dir) => {
-      val docs = Tables(spark, dir, "documents")
+      // one spread scan feeds the global detector AND the splice
+      val docs = Tables.spreadIfUnderSplit(Tables(spark, dir, "documents"))
       scrubReport(docs, globalSpanRuns(docs))
     },
     Some(s"""WITH $globalRunsCte,
@@ -1223,7 +1233,9 @@ object DedupQueries {
   private val spanCoverage = Q(
     "q_span_coverage",
     (spark, dir) => {
-      val docs = Tables(spark, dir, "documents")
+      // one spread scan feeds both detector arms' shingle passes
+      val docs = Tables.spreadIfUnderSplit(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
       val lshPairs = pairSpanRuns(posShingleRelOf(docs),
         minhashCandidates(shingleRelOf(docs)))
         .select(col("doc_a"), col("doc_b")).distinct()
