@@ -26,7 +26,9 @@ object TextQueries {
   val charCount = Q(
     "q_char_count",
     (spark, dir) =>
-      Tables(spark, dir, "documents")
+      // the per-char regex explode is the compute — spread the 1-split scan
+      Tables.spreadIfUnderSplit(
+          Tables(spark, dir, "documents").select(col("text")))
         .select(explode(regexp_extract_all(col("text"), lit("(?s)."), lit(0))).as("ch"))
         .filter(col("ch") =!= "")
         .groupBy(col("ch"))
@@ -40,7 +42,8 @@ object TextQueries {
   private val wordCount = Q(
     "q_word_count",
     (spark, dir) =>
-      Tables(spark, dir, "documents")
+      Tables.spreadIfUnderSplit(
+          Tables(spark, dir, "documents").select(col("text")))
         .select(explode(TextOps.wordsNative(lower(col("text")))).as("word"))
         .groupBy(col("word"))
         .agg(count(lit(1)).as("cnt"))
@@ -446,7 +449,8 @@ object TextQueries {
   private val charEntropy = Q(
     "q_char_entropy",
     (spark, dir) =>
-      Tables(spark, dir, "documents")
+      Tables.spreadIfUnderSplit(
+          Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           explode(regexp_extract_all(col("text"), lit("(?s)."), lit(0))).as("ch"))
         .filter(col("ch") =!= "")
