@@ -45,6 +45,29 @@ object Tables {
     else df
   }
 
+  /** Size-gated [[spreadIfUnderSplit]] for map stages whose per-row work
+    * is moderate (n-gram explodes, tokenize+chunk, per-char censuses):
+    * the exchange only pays for itself once each task receives enough
+    * input bytes. Measured both ways in round 10 (SCALE.md): at sf0.1
+    * the unconditional spread REGRESSED the whole text family
+    * ~0.3–0.7 s/query (exchange + 32-task overhead over ~0.7 MB of
+    * text) while at sf1 it won 1.5–4 s/query — 64 KiB/task splits the
+    * two regimes with 10× margin on both sides, cached or not. Codec
+    * scans and digest grids, whose per-row compute dwarfs their bytes,
+    * keep the unconditional variant. Logical stats cost nothing extra
+    * here (`sizeInBytes` is computed on the already-analyzed plan).
+    */
+  def spreadIfUnderSplitAtScale(df: DataFrame,
+      minBytesPerTask: Long = 64L << 10): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sys.env.contains("SPARK_GRAFT_DEBUG_SPREAD"))
+      System.err.println(s"[spreadAtScale] bytes=$bytes target=$target " +
+        s"fire=${bytes >= BigInt(target.toLong) * minBytesPerTask}")
+    if (bytes >= BigInt(target.toLong) * minBytesPerTask) spreadIfUnderSplit(df)
+    else df
+  }
+
   /** Driver-generated events.parquet has shipped `ts` in two vintages:
     * TIMESTAMP(NANOS), which Spark's vectorized reader rejects — read nanos
     * as a raw long (legacy flag) and truncate to microseconds, the identical

@@ -49,7 +49,7 @@ object DedupQueries {
     * under 7.1 s wall on 32 cores = ~2.6 effective cores).
     */
   private def shingleRel(spark: SparkSession, dir: String): DataFrame =
-    shingleRelOf(Tables.spreadIfUnderSplit(
+    shingleRelOf(Tables.spreadIfUnderSplitAtScale(
       Tables(spark, dir, "documents").select(col("doc_id"), col("text"))))
 
   /** Same over any (doc_id, text) relation — the global span detector is
@@ -463,7 +463,7 @@ object DedupQueries {
   private def chunkRel(spark: SparkSession, dir: String): DataFrame =
     // tokenize + 32-token chunk assembly is the compute (r10 telemetry:
     // ~2.5 effective cores on its consumers) — spread the 1-split scan
-    Tables.spreadIfUnderSplit(Tables(spark, dir, "documents")
+    Tables.spreadIfUnderSplitAtScale(Tables(spark, dir, "documents")
         .select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"), TextOps.wordsNative(col("text")).as("ws"))
       .filter(size(col("ws")) > 0)
@@ -637,7 +637,7 @@ object DedupQueries {
       // positional shingling is the compute: spread the under-split scan
       // (the shingleRel inside minhashCandidates spreads its own)
       val runs = pairSpanRuns(
-        posShingleRelOf(Tables.spreadIfUnderSplit(
+        posShingleRelOf(Tables.spreadIfUnderSplitAtScale(
           Tables(spark, dir, "documents").select(col("doc_id"), col("text")))),
         minhashCandidates(shingleRel(spark, dir)))
       runs.groupBy(col("doc_a"), col("doc_b"))
@@ -1076,7 +1076,7 @@ object DedupQueries {
     "q_span_scrub",
     (spark, dir) => {
       // one spread scan feeds the positional shingles AND the splice
-      val docs = Tables.spreadIfUnderSplit(Tables(spark, dir, "documents"))
+      val docs = Tables.spreadIfUnderSplitAtScale(Tables(spark, dir, "documents"))
       val runs = pairSpanRuns(posShingleRelOf(docs),
         minhashCandidates(shingleRel(spark, dir)))
       scrubReport(docs, runs)
@@ -1159,7 +1159,7 @@ object DedupQueries {
   private val spanDedupGlobal = Q(
     "q_span_dedup_global",
     (spark, dir) =>
-      globalSpanRuns(Tables.spreadIfUnderSplit(
+      globalSpanRuns(Tables.spreadIfUnderSplitAtScale(
           Tables(spark, dir, "documents").select(col("doc_id"), col("text"))))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(max(col("span")).cast("bigint").as("longest_span"),
@@ -1187,7 +1187,7 @@ object DedupQueries {
     "q_span_scrub_global",
     (spark, dir) => {
       // one spread scan feeds the global detector AND the splice
-      val docs = Tables.spreadIfUnderSplit(Tables(spark, dir, "documents"))
+      val docs = Tables.spreadIfUnderSplitAtScale(Tables(spark, dir, "documents"))
       scrubReport(docs, globalSpanRuns(docs))
     },
     Some(s"""WITH $globalRunsCte,
@@ -1234,7 +1234,7 @@ object DedupQueries {
     "q_span_coverage",
     (spark, dir) => {
       // one spread scan feeds both detector arms' shingle passes
-      val docs = Tables.spreadIfUnderSplit(
+      val docs = Tables.spreadIfUnderSplitAtScale(
         Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
       val lshPairs = pairSpanRuns(posShingleRelOf(docs),
         minhashCandidates(shingleRelOf(docs)))

@@ -27,7 +27,7 @@ object TextQueries {
     "q_char_count",
     (spark, dir) =>
       // the per-char regex explode is the compute — spread the 1-split scan
-      Tables.spreadIfUnderSplit(
+      Tables.spreadIfUnderSplitAtScale(
           Tables(spark, dir, "documents").select(col("text")))
         .select(explode(regexp_extract_all(col("text"), lit("(?s)."), lit(0))).as("ch"))
         .filter(col("ch") =!= "")
@@ -42,7 +42,7 @@ object TextQueries {
   private val wordCount = Q(
     "q_word_count",
     (spark, dir) =>
-      Tables.spreadIfUnderSplit(
+      Tables.spreadIfUnderSplitAtScale(
           Tables(spark, dir, "documents").select(col("text")))
         .select(explode(TextOps.wordsNative(lower(col("text")))).as("word"))
         .groupBy(col("word"))
@@ -449,7 +449,7 @@ object TextQueries {
   private val charEntropy = Q(
     "q_char_entropy",
     (spark, dir) =>
-      Tables.spreadIfUnderSplit(
+      Tables.spreadIfUnderSplitAtScale(
           Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           explode(regexp_extract_all(col("text"), lit("(?s)."), lit(0))).as("ch"))
@@ -492,7 +492,7 @@ object TextQueries {
       // exchange feeds both consumers (the q_minhash_recall collapse);
       // released by the harness's post-query Caches.releaseAll()
       val dg = Caches.persisted(
-        Tables.spreadIfUnderSplit(Tables(spark, dir, "documents")
+        Tables.spreadIfUnderSplitAtScale(Tables(spark, dir, "documents")
             .select(col("doc_id"), col("text")))
           .select(col("doc_id"),
             explode(TextOps.distinctWordNGrams(col("text"), 5)).as("g"))
@@ -1248,7 +1248,7 @@ object TextQueries {
     // inherits this partitioning, so all 4 censuses + the final encode
     // scan parallelize (serial CharPairs scans otherwise — r10 telemetry:
     // ~1.3 effective cores across the whole loop)
-    var cur = Tables.spreadIfUnderSplit(
+    var cur = Tables.spreadIfUnderSplitAtScale(
       Tables(spark, dir, "documents").select(col("text"))).select(col("text").as("t"))
     var exps = Map.empty[Char, String] // sentinel -> fully-rendered expansion
     val merges = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
@@ -1411,7 +1411,7 @@ object TextQueries {
       // 4.3 s wall), then pre-partition the cache on sh so one exchange
       // feeds the MIN aggregate and the join back (q_minhash_recall)
       val sh = Caches.persisted(
-        Tables.spreadIfUnderSplit(Tables(spark, dir, "documents")
+        Tables.spreadIfUnderSplitAtScale(Tables(spark, dir, "documents")
             .select(col("doc_id"), col("text")))
           .select(col("doc_id"),
             explode(TextOps.distinctWordNGrams(col("text"), 3)).as("sh"))

@@ -550,7 +550,7 @@ object TrainPrepQueries {
       // under 5.5 s wall) — spread the under-split scan so the partial
       // aggregation below it parallelizes
       val dc0 = graft.Caches.persisted(
-        Tables.spreadIfUnderSplit(Tables(spark, dir, "documents")
+        Tables.spreadIfUnderSplitAtScale(Tables(spark, dir, "documents")
             .select(col("doc_id"), col("source"), col("lang"), col("text")))
           .select(col("doc_id"), col("source"), col("lang"),
             explode(TextOps.wordNGramsAll(col("text"), 2)).as("g"))
