@@ -499,6 +499,93 @@ object Multimodal {
                 AS mean_px
             FROM px GROUP BY doc_id, nf, w, h ORDER BY doc_id"""))
 
+  /** Perceptual-hash image dedup — the dedup family's missing modality:
+    * text has MinHash/SimHash/n-gram/exact, embeddings have cosine/LSH,
+    * but raw image bytes had no near-dup operator. Block-mean average
+    * hash (aHash — the pHash family's baseline, same banding role as
+    * SimHash for text): decode the real PNG, partition pixels into a
+    * fixed 4×4 grid by integer floors (bx = x·4/w — no resampling, so
+    * the oracle can replay it exactly), set bit by·4+bx when that
+    * block's mean exceeds the image's global mean. The comparison is
+    * cross-multiplied in exact integers (blockSum·totalCnt >
+    * totalSum·blockCnt) so no division ever touches the hash
+    * (determinism house rule). Images sharing (dims, ahash) are near-dup
+    * candidates; reported as the 10 largest candidate buckets with their
+    * min-doc representative (the dedup-keeper convention).
+    *
+    * Scale posture (100 TB): the hash is one partition-wise codec pass —
+    * raw image bytes never shuffle, only the 8-byte hash + dims move —
+    * and the bucket census is a hash-partitioned groupBy: exactly the
+    * MinHash-LSH banding shape with ahash as the band key, so the same
+    * candidate-pair machinery (and q_cc_dedup's component closure)
+    * composes downstream unchanged.
+    */
+  private val imagePhash = Q(
+    "q_image_phash",
+    (spark, dir) => {
+      import spark.implicits._
+      // spread the unsplittable single-row-group source: the codec is
+      // compute-bound per row, so one input split would serialize it
+      val hashes = Tables.spreadIfUnderSplit(
+        Tables(spark, dir, "documents").select(col("doc_id"))).as[Long]
+        .mapPartitions(_.map { id =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(makePng(id)))
+          val w = img.getWidth; val h = img.getHeight
+          val bs = new Array[Long](16); val bc = new Array[Long](16)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val b = (y * 4 / h) * 4 + (x * 4 / w)
+              bs(b) += img.getRGB(x, y) & 0xff
+              bc(b) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var ts = 0L; var tc = 0L; var i = 0
+          while (i < 16) { ts += bs(i); tc += bc(i); i += 1 }
+          var hash = 0L
+          i = 0
+          while (i < 16) {
+            if (bs(i) * tc > ts * bc(i)) hash |= 1L << i
+            i += 1
+          }
+          (id, w, h, hash)
+        })(Encoders.product[(Long, Int, Int, Long)])
+        .toDF("doc_id", "width", "height", "ahash")
+      hashes.groupBy(col("width"), col("height"), col("ahash"))
+        .agg(count(lit(1)).cast("bigint").as("n_images"),
+          min(col("doc_id")).cast("bigint").as("min_doc"))
+        .orderBy(col("n_images").desc, col("width"), col("height"), col("ahash"))
+        .limit(10)
+    },
+    Some("""WITH dims AS (SELECT doc_id,
+                  CAST(doc_id % 13 + 4 AS INT) AS w,
+                  CAST(doc_id % 11 + 4 AS INT) AS h
+                FROM documents),
+            px AS (SELECT doc_id, w, h,
+                  ((y.i * 4) // h) * 4 + ((x.i * 4) // w) AS b,
+                  (doc_id * 31 + x.i * 7 + y.i * 13) % 256 AS v
+                FROM dims,
+                     UNNEST(generate_series(0, w - 1)) AS x(i),
+                     UNNEST(generate_series(0, h - 1)) AS y(i)),
+            blk AS (SELECT doc_id, w, h, b, SUM(v) AS bs, COUNT(*) AS bc
+                FROM px GROUP BY doc_id, w, h, b),
+            tot AS (SELECT doc_id, SUM(bs) AS ts, SUM(bc) AS tc
+                FROM blk GROUP BY doc_id),
+            hsh AS (SELECT blk.doc_id AS doc_id, w, h,
+                  SUM(CASE WHEN blk.bs * tot.tc > tot.ts * blk.bc
+                           THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS ahash
+                FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+                GROUP BY blk.doc_id, w, h)
+            SELECT w AS width, h AS height, CAST(ahash AS BIGINT) AS ahash,
+              CAST(COUNT(*) AS BIGINT) AS n_images,
+              CAST(MIN(doc_id) AS BIGINT) AS min_doc
+            FROM hsh GROUP BY 1, 2, 3
+            ORDER BY n_images DESC, width, height, ahash LIMIT 10"""))
+
   val all: Seq[Q] = Seq(multimodalDecode, multimodalPipeline, imageDecode,
-    audioDecode, imageResize, videoFrames)
+    audioDecode, imageResize, videoFrames, imagePhash)
 }

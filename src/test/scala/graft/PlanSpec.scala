@@ -713,6 +713,15 @@ class PlanSpec extends AnyFunSuite {
       s"the Aggregator buffer must combine before the shuffle:\n$plan")
   }
 
+  test("q_image_phash hashes in the codec seam, buckets without joins, bounded head") {
+    val plan = executedPlan("q_image_phash")
+    assert(plan.contains("MapPartitions"),
+      s"the codec+hash must run partition-wise:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-10 bucket head must not global-sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("q_span_coverage joins the two pair sets without a cartesian, windows pair-partitioned") {
     val plan = executedPlan("q_span_coverage")
     assert(!plan.contains("CartesianProduct"), plan)

