@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Caches, Q, Tables}
 import graft.functions.VectorOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -436,7 +436,109 @@ object KMeans {
              FROM roll r JOIN tl ON r.cluster = tl.cluster
              ORDER BY r.cluster"""))
 
+  /** Product-quantization codebook TRAINING — the missing leg of the ANN
+    * scale story (q_knn_ivf routes through coarse centroids, q_knn_pq
+    * scores with int8 ADC; real PQ trains per-SUBSPACE codebooks —
+    * Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI'11, PAPERS.md ANN line): split the 64-dim embedding into 4
+    * subspaces of 16 dims, run one trained Lloyd iteration per subspace
+    * (init = the sub-vectors of vec_id<4, assignment by squared-L2 with
+    * ties to the lowest code — no sqrt anywhere), and report the trained
+    * codebook's quality table: per (subspace, code) the member count and
+    * the mean squared quantization error, per-vector µunit-floored
+    * before the sum (the q_dsir_weights funnel — no order-dependent
+    * float accumulation).
+    *
+    * Scale posture: the codebook is 4×4×16 doubles of driver model state
+    * (the KMeans convention); each assignment pass is one broadcast join
+    * (16 codebook rows) + a (subspace, vec_id)-partitioned rank window
+    * over N×16 narrow rows; the sub-vector relation is built once,
+    * persisted, and feeds both assignment passes and the recompute.
+    * Encoding a 100 TB corpus with the trained codebook is the identical
+    * broadcast-join pass with the window output kept instead of
+    * aggregated — 64 bytes/vector → 4 bytes.
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def pqAssign(subs: DataFrame, cb: Seq[(Int, Long, Seq[Double])]): DataFrame = {
+    val spark = subs.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(cb.toDF("s", "cid", "c"))
+    val w = Window.partitionBy(col("s"), col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    subs.join(cdf, "s")
+      .select(col("vec_id"), col("s"), col("sv"), col("cid"),
+        l2sq(col("sv"), col("c")).as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("sv"), col("cid"), col("dist"))
+  }
+
+  private val pqTrain = Q(
+    "q_pq_train",
+    (spark, dir) => {
+      import graft.functions.Portable.pround
+      val e = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // fixture dim = 64 (the oneIterAssignCte convention): 4 subspaces × 16
+      val subStructs = array((0 until 4).map(s =>
+        struct(lit(s).as("s"),
+          expr(s"transform(slice(embedding, ${s * 16 + 1}, 16), x -> cast(x as double))")
+            .as("sv"))): _*)
+      val subs = Caches.persisted(
+        e.select(col("vec_id"), explode(subStructs).as("t"))
+          .select(col("vec_id"), col("t.s").as("s"), col("t.sv").as("sv")))
+      val cb0: Seq[(Int, Long, Seq[Double])] = subs.filter(col("vec_id") < 4)
+        .collect() // 16 sub-vectors — bounded init state
+        .map(r => (r.getInt(1), r.getLong(0), r.getSeq[Double](2)))
+        .toSeq.sortBy(t => (t._1, t._2))
+      val cb1: Seq[(Int, Long, Seq[Double])] = pqAssign(subs, cb0)
+        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("s"), col("cid"), col("d"))
+        .agg(avg(col("x")).as("m"))
+        .collect() // ≤ 4×4×16 rows — model state, bounded
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case ((s, cid), rows) =>
+          (s, cid, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+        }.toSeq.sortBy(t => (t._1, t._2))
+      pqAssign(subs, cb1)
+        .groupBy(col("s"), col("cid"))
+        .agg(count(lit(1)).cast("bigint").as("n_vecs"),
+          sum(floor(col("dist") * 1e6d).cast("long")).as("err_u"))
+        .select(col("s").as("subspace"), col("cid").as("code"), col("n_vecs"),
+          pround(col("err_u").cast("double") /
+            (col("n_vecs") * 1000000L).cast("double"), 4).as("mse"))
+        .orderBy(col("subspace"), col("code"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            sub AS (SELECT vec_id, CAST(s.s AS INT) AS s,
+                  [v[s.s * 16 + i] for i in generate_series(1, 16)] AS sv
+                FROM e, UNNEST(generate_series(0, 3)) AS s(s)),
+            c0 AS (SELECT s, vec_id AS cid, sv AS c FROM sub WHERE vec_id < 4),
+            a1 AS (SELECT vec_id, s, sv, cid FROM (
+                  SELECT sub.vec_id, sub.s, sub.sv, c0.cid,
+                    row_number() OVER (PARTITION BY sub.s, sub.vec_id ORDER BY
+                      list_sum([(sub.sv[i] - c0.c[i]) * (sub.sv[i] - c0.c[i])
+                                for i in generate_series(1, 16)]), c0.cid) AS rn
+                  FROM sub JOIN c0 ON sub.s = c0.s) WHERE rn = 1),
+            m1 AS (SELECT a1.s, a1.cid, t.d, AVG(a1.sv[t.d]) AS md
+                FROM a1, UNNEST(generate_series(1, 16)) AS t(d)
+                GROUP BY a1.s, a1.cid, t.d),
+            c1 AS (SELECT s, cid, list(md ORDER BY d) AS c FROM m1 GROUP BY s, cid),
+            a2 AS (SELECT vec_id, s, cid, dist FROM (
+                  SELECT sub.vec_id, sub.s, c1.cid,
+                    list_sum([(sub.sv[i] - c1.c[i]) * (sub.sv[i] - c1.c[i])
+                              for i in generate_series(1, 16)]) AS dist,
+                    row_number() OVER (PARTITION BY sub.s, sub.vec_id ORDER BY
+                      list_sum([(sub.sv[i] - c1.c[i]) * (sub.sv[i] - c1.c[i])
+                                for i in generate_series(1, 16)]), c1.cid) AS rn
+                  FROM sub JOIN c1 ON sub.s = c1.s) WHERE rn = 1)
+            SELECT s AS subspace, cid AS code, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+              FLOOR((CAST(SUM(CAST(FLOOR(dist * 1000000) AS BIGINT)) AS DOUBLE)
+                / CAST(COUNT(*) * 1000000 AS DOUBLE)) * 10000 + 0.5) / 10000 AS mse
+            FROM a2 GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] =
     Seq(kmeansAssign, clusterPurity, embedQuantize, silhouette, kmeansTrain,
-      clusterProfile)
+      clusterProfile, pqTrain)
 }

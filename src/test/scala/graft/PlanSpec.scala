@@ -722,6 +722,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("q_pq_train broadcasts the codebook (no shuffle join), windows subspace-partitioned") {
+    val plan = executedPlan("q_pq_train")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 16-row codebook must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("q_span_coverage joins the two pair sets without a cartesian, windows pair-partitioned") {
     val plan = executedPlan("q_span_coverage")
     assert(!plan.contains("CartesianProduct"), plan)

@@ -437,4 +437,52 @@ class Round10PropertiesSpec extends AnyFunSuite {
     // hash, so every bucket's members decode to images with equal means
     assert(want.nonEmpty && want.head._4 >= want.last._4)
   }
+
+  test("q_pq_train equals the naive per-subspace Lloyd iteration; training shrinks error") {
+    val emb: Seq[(Long, Array[Double])] = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val subs: Seq[(Long, Int, Array[Double])] = emb.flatMap { case (vid, v) =>
+      (0 until 4).map(s => (vid, s, v.slice(s * 16, s * 16 + 16)))
+    }
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var e = 0d; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); e += d * d; i += 1 }
+      e
+    }
+    def assignAll(cb: Map[Int, Seq[(Long, Array[Double])]]) = subs.map { case (vid, s, sv) =>
+      val (cid, dist) = cb(s).map { case (c, cv) => (c, l2sq(sv, cv)) }
+        .minBy { case (c, d) => (d, c) }
+      (vid, s, cid, dist)
+    }
+    val cb0: Map[Int, Seq[(Long, Array[Double])]] = subs.filter(_._1 < 4)
+      .groupBy(_._2).view.mapValues(_.sortBy(_._1).map(t => (t._1, t._3)).toSeq).toMap
+    val a1 = assignAll(cb0)
+    val cb1: Map[Int, Seq[(Long, Array[Double])]] = a1.groupBy(t => (t._2, t._3))
+      .map { case ((s, cid), members) =>
+        val vs = members.sortBy(_._1).map(t => subs.find(u => u._1 == t._1 && u._2 == s).get._3)
+        val m = new Array[Double](16)
+        vs.foreach(v => (0 until 16).foreach(d => m(d) += v(d)))
+        (0 until 16).foreach(d => m(d) /= vs.size)
+        (s, cid, m)
+      }.toSeq.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._2, t._3)).toSeq).toMap
+    val a2 = assignAll(cb1)
+    val want = a2.groupBy(t => (t._2, t._3)).map { case ((s, cid), members) =>
+      val errU = members.map(t => math.floor(t._4 * 1e6).toLong).sum
+      (s, cid, members.size.toLong,
+        pround(errU.toDouble / (members.size * 1000000L), 4))
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = run("q_pq_train").map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) === want.map(t => (t._1, t._2, t._3)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) < 1e-3, s"mse drift: $g vs $w") }
+    // the Lloyd property: one training iteration never increases total
+    // quantization error within any subspace (it minimizes it per step)
+    val err1 = a1.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val err2 = a2.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    (0 until 4).foreach(s => assert(err2(s) <= err1(s) + 1e-9,
+      s"subspace $s error grew: ${err1(s)} -> ${err2(s)}"))
+  }
 }
