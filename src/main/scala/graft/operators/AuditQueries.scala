@@ -578,6 +578,46 @@ object AuditQueries {
                      * 10000 + 0.5) / 10000 END AS orphan_rate
             FROM u ORDER BY fk_edge"""))
 
+  /** Per-column data profiling — the ANALYZE / stats-collection pass every
+    * warehouse runs before query planning and every pipeline runs on a
+    * new data drop: for each numeric lineitem measure, the row count,
+    * null count, EXACT distinct cardinality, and min/max. One stacked
+    * relation (5 narrow (col_name, v) streams off a single scan) feeding
+    * one hash aggregate — the profile of a 100 TB table is one
+    * partial+final pass per column group, never five separate scans.
+    * min/max are raw parquet doubles (no arithmetic → no rounding rule
+    * needed); counts are exact integers. The distinct count is exact
+    * (count(distinct) expand) — the sketch twin is q_approx_distinct.
+    */
+  private val columnProfile = Q(
+    "q_column_profile",
+    (spark, dir) => {
+      Tables(spark, dir, "lineitem")
+        .select(expr("""stack(5,
+            'l_partkey', cast(l_partkey as double),
+            'l_quantity', l_quantity,
+            'l_extendedprice', l_extendedprice,
+            'l_discount', l_discount,
+            'l_tax', l_tax) as (col_name, v)"""))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          (count(lit(1)) - count(col("v"))).cast("bigint").as("n_null"),
+          countDistinct(col("v")).cast("bigint").as("n_distinct"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy(col("col_name"))
+    },
+    Some("""WITH s AS (
+              SELECT 'l_partkey' AS col_name, CAST(l_partkey AS DOUBLE) AS v FROM lineitem
+              UNION ALL SELECT 'l_quantity', l_quantity FROM lineitem
+              UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+              UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+              UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+            SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+              CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+              MIN(v) AS min_v, MAX(v) AS max_v
+            FROM s GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(spearman, iqrOutlier, benford, cusum, dauStickiness,
-    splitLeakage, cramersV, hhi, jsDivergence, fkOrphans)
+    splitLeakage, cramersV, hhi, jsDivergence, fkOrphans, columnProfile)
 }

@@ -729,6 +729,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("q_column_profile profiles all columns in one scan with partial aggregation") {
+    val plan = executedPlan("q_column_profile")
+    // one stacked scan, not five: exactly one parquet scan of lineitem in
+    // the final plan (the AQE dump repeats it in the Initial Plan section)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalPlan).size === 1,
+      s"the stacked profile must read the table once:\n$plan")
+    assert(plan.contains("partial"), s"expected map-side partial aggregation:\n$plan")
+  }
+
   test("q_span_coverage joins the two pair sets without a cartesian, windows pair-partitioned") {
     val plan = executedPlan("q_span_coverage")
     assert(!plan.contains("CartesianProduct"), plan)

@@ -485,4 +485,23 @@ class Round10PropertiesSpec extends AnyFunSuite {
     (0 until 4).foreach(s => assert(err2(s) <= err1(s) + 1e-9,
       s"subspace $s error grew: ${err1(s)} -> ${err2(s)}"))
   }
+
+  test("q_column_profile equals the naive per-column profile (exact distinct, raw min/max)") {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").cast("double"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .collect()
+    val cols = Seq("l_discount", "l_extendedprice", "l_partkey", "l_quantity", "l_tax")
+    val idx = Map("l_partkey" -> 0, "l_quantity" -> 1, "l_extendedprice" -> 2,
+      "l_discount" -> 3, "l_tax" -> 4)
+    val want = cols.map { c =>
+      val vs = li.map(r => if (r.isNullAt(idx(c))) None else Some(r.getDouble(idx(c))))
+      val present = vs.flatten
+      (c, vs.length.toLong, (vs.length - present.length).toLong,
+        present.distinct.length.toLong, present.min, present.max)
+    }
+    val got = run("q_column_profile").map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === want)
+  }
 }
