@@ -739,6 +739,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial"), s"expected map-side partial aggregation:\n$plan")
   }
 
+  test("q_bucketed_join joins the two bucket layouts with NO exchange on the join key") {
+    val plan = executedPlan("q_bucketed_join").split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), s"expected the co-located merge join:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"both scans must read the stored bucket layout:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey")
+      && !plan.contains("Exchange hashpartitioning(c_custkey"),
+      s"the join must ride the bucket layout, not re-shuffle:\n$plan")
+  }
+
   test("q_span_coverage joins the two pair sets without a cartesian, windows pair-partitioned") {
     val plan = executedPlan("q_span_coverage")
     assert(!plan.contains("CartesianProduct"), plan)

@@ -504,4 +504,21 @@ class Round10PropertiesSpec extends AnyFunSuite {
       r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
     assert(got === want)
   }
+
+  test("q_bucketed_join equals the naive join — the bucket layout changes the plan, not the answer") {
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val seg = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val want = ord.flatMap { case (ck, tp) => seg.get(ck).map(s => (s, tp)) }
+      .groupBy(_._1).map { case (s, rows) =>
+        (s, rows.length.toLong,
+          rows.map(t => math.floor(t._2 * 100 + 0.5).toLong).sum)
+      }.toSeq.sortBy(_._1)
+    val got = run("q_bucketed_join").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
 }
