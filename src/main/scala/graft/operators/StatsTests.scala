@@ -479,6 +479,95 @@ object StatsTests {
               100 AS n_resamples
             FROM pt CROSS JOIN lo CROSS JOIN hi"""))
 
+  /** Welch's unequal-variance two-sample t-test — the parametric twin of
+    * q_mann_whitney over the same two groups (purchase vs click values):
+    * the stats battery had the rank test, KS, χ², ANOVA and the
+    * bootstrap, but not the classic two-sample mean comparison that
+    * doesn't assume equal variances. All moments come from ONE no-key
+    * partial+final aggregate of exact integer cents (value floored to
+    * cents, squares summed as bigint — no order-dependent float
+    * accumulation); means, variances, t and the Welch–Satterthwaite df
+    * are then single closed-form expressions over those integers, so
+    * both engines compute bit-identical doubles (+,−,×,÷,sqrt are
+    * IEEE-exact). n≤1 arms yield NULL (the 0/0 house rule).
+    */
+  private val welchT = Q(
+    "q_welch_t",
+    (spark, dir) => {
+      val base = Tables.events(spark, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(floor(col("value") * 100 + 0.5d).cast("long").as("c"),
+          (col("event_type") === "purchase").as("a"))
+      val s = base.agg(
+        count_if(col("a")).cast("bigint").as("n1"),
+        count_if(!col("a")).cast("bigint").as("n2"),
+        sum(when(col("a"), col("c")).otherwise(0L)).cast("bigint").as("s1"),
+        sum(when(!col("a"), col("c")).otherwise(0L)).cast("bigint").as("s2"),
+        sum(when(col("a"), col("c") * col("c")).otherwise(0L)).cast("bigint").as("q1"),
+        sum(when(!col("a"), col("c") * col("c")).otherwise(0L)).cast("bigint").as("q2"))
+      val v1 = (col("q1").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / col("n1").cast("double")) /
+        (col("n1") - 1).cast("double")
+      val v2 = (col("q2").cast("double") -
+        col("s2").cast("double") * col("s2").cast("double") / col("n2").cast("double")) /
+        (col("n2") - 1).cast("double")
+      val se1 = v1 / col("n1").cast("double")
+      val se2 = v2 / col("n2").cast("double")
+      val ok = col("n1") > 1 && col("n2") > 1
+      s.select(col("n1"), col("n2"),
+        when(col("n1") === 0, lit(null).cast("double"))
+          .otherwise(pround(col("s1").cast("double") / (col("n1") * 100L).cast("double"), 4))
+          .as("mean1"),
+        when(col("n2") === 0, lit(null).cast("double"))
+          .otherwise(pround(col("s2").cast("double") / (col("n2") * 100L).cast("double"), 4))
+          .as("mean2"),
+        when(!ok, lit(null).cast("double")).otherwise(pround(
+          (col("s1").cast("double") / col("n1").cast("double") -
+            col("s2").cast("double") / col("n2").cast("double")) /
+            sqrt(se1 + se2), 4)).as("t_stat"),
+        when(!ok, lit(null).cast("double")).otherwise(pround(
+          (se1 + se2) * (se1 + se2) /
+            (se1 * se1 / (col("n1") - 1).cast("double") +
+              se2 * se2 / (col("n2") - 1).cast("double")), 2)).as("df"))
+    },
+    Some("""WITH base AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+                  event_type = 'purchase' AS a
+                FROM events WHERE event_type IN ('purchase', 'click')),
+            s AS (SELECT CAST(COUNT(*) FILTER (WHERE a) AS BIGINT) AS n1,
+                  CAST(COUNT(*) FILTER (WHERE NOT a) AS BIGINT) AS n2,
+                  CAST(COALESCE(SUM(c) FILTER (WHERE a), 0) AS BIGINT) AS s1,
+                  CAST(COALESCE(SUM(c) FILTER (WHERE NOT a), 0) AS BIGINT) AS s2,
+                  CAST(COALESCE(SUM(c * c) FILTER (WHERE a), 0) AS BIGINT) AS q1,
+                  CAST(COALESCE(SUM(c * c) FILTER (WHERE NOT a), 0) AS BIGINT) AS q2
+                FROM base),
+            v AS (SELECT n1, n2, s1, s2,
+                  (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) AS v1,
+                  (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE) AS v2
+                FROM s)
+            SELECT n1, n2,
+              CASE WHEN n1 = 0 THEN NULL
+                   ELSE FLOOR((CAST(s1 AS DOUBLE) / CAST(n1 * 100 AS DOUBLE))
+                     * 10000 + 0.5) / 10000 END AS mean1,
+              CASE WHEN n2 = 0 THEN NULL
+                   ELSE FLOOR((CAST(s2 AS DOUBLE) / CAST(n2 * 100 AS DOUBLE))
+                     * 10000 + 0.5) / 10000 END AS mean2,
+              CASE WHEN n1 <= 1 OR n2 <= 1 THEN NULL
+                   ELSE FLOOR(((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)))
+                     * 10000 + 0.5) / 10000 END AS t_stat,
+              CASE WHEN n1 <= 1 OR n2 <= 1 THEN NULL
+                   ELSE FLOOR(((v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+                       * (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+                     / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+                         / CAST(n1 - 1 AS DOUBLE)
+                       + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
+                         / CAST(n2 - 1 AS DOUBLE)))
+                     * 100 + 0.5) / 100 END AS df
+            FROM v"""))
+
   val all: Seq[Q] = Seq(mannWhitney, ksTest, chi2, paretoShare, percentileRank,
-    kendallTau, theilIndex, bootstrapCi)
+    kendallTau, theilIndex, bootstrapCi, welchT)
 }

@@ -739,6 +739,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial"), s"expected map-side partial aggregation:\n$plan")
   }
 
+  test("q_welch_t is one partial+final no-key aggregate over a single pushed-filter scan") {
+    val plan = executedPlan("q_welch_t").split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).size === 1, s"one scan:\n$plan")
+    assert(plan.contains("partial"), s"map-side partial aggregation:\n$plan")
+    assert(plan.contains("PushedFilters: [In(event_type"),
+      s"the group filter must reach the scan:\n$plan")
+  }
+
   test("q_bucketed_join joins the two bucket layouts with NO exchange on the join key") {
     val plan = executedPlan("q_bucketed_join").split("== Initial Plan ==").head
     assert(plan.contains("SortMergeJoin"), s"expected the co-located merge join:\n$plan")

@@ -521,4 +521,29 @@ class Round10PropertiesSpec extends AnyFunSuite {
       (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === want)
   }
+
+  test("q_welch_t equals the naive Welch computation from exact cent sums") {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("value"), col("event_type")).collect()
+      .map(r => (math.floor(r.getDouble(0) * 100 + 0.5).toLong,
+        r.getString(1) == "purchase"))
+    val g1 = ev.filter(_._2).map(_._1); val g2 = ev.filterNot(_._2).map(_._1)
+    val (n1, n2) = (g1.length.toLong, g2.length.toLong)
+    val (s1, s2) = (g1.sum, g2.sum)
+    val (q1, q2) = (g1.map(c => c * c).sum, g2.map(c => c * c).sum)
+    val v1 = (q1.toDouble - s1.toDouble * s1.toDouble / n1) / (n1 - 1)
+    val v2 = (q2.toDouble - s2.toDouble * s2.toDouble / n2) / (n2 - 1)
+    val se = v1 / n1 + v2 / n2
+    val t = (s1.toDouble / n1 - s2.toDouble / n2) / math.sqrt(se)
+    val dfW = se * se / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))
+    val r = run("q_welch_t").head
+    assert((r.getLong(0), r.getLong(1)) === ((n1, n2)))
+    assert(r.getDouble(2) === pround(s1.toDouble / (n1 * 100L), 4))
+    assert(r.getDouble(3) === pround(s2.toDouble / (n2 * 100L), 4))
+    assert(r.getDouble(4) === pround(t, 4))
+    assert(r.getDouble(5) === pround(dfW, 2))
+    // Welch df is bounded by min(n1,n2)-1 below and n1+n2-2 above
+    assert(r.getDouble(5) >= math.min(n1, n2) - 1 && r.getDouble(5) <= n1 + n2 - 2)
+  }
 }
