@@ -775,6 +775,161 @@ object GraphQueries {
                CAST(SUM(node) AS BIGINT) AS node_sum
              FROM lv GROUP BY level ORDER BY level"""))
 
+  /** Synchronous MAJORITY-label propagation (2 rounds) over the
+    * symmetrized trade graph, with labels seeded as node ids and new
+    * label = most frequent neighbor label (ties → smallest label id).
+    * This is genuine community detection (Raghavan et al. LPA, see
+    * PAPERS.md graph line) — distinct from q_cc_dedup's hash-MIN
+    * propagation, which computes connected components: majority voting
+    * keeps densely-linked groups together while min-label merges
+    * everything reachable. Fixed round count + the deterministic
+    * tiebreak make the labeling exactly replayable (DuckDB unrolls the
+    * two voting rounds with the same window rank). Output is the
+    * bounded community-size histogram.
+    *
+    * Scale posture (100 TB): each round is one equi-join of the edge
+    * list (cached pinned on dst — the label-lookup key, so the big side
+    * never re-shuffles across rounds) with the node-sized label table,
+    * a (src, lbl) partial+final count, and a per-src rank window —
+    * everything hash-partitioned on node id, no driver graph state.
+    */
+  private val labelProp = Q(
+    "q_label_prop",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Caches.persisted(tradeEdges(spark, dir))
+      val edges = Caches.persisted(
+        pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+          .repartition(col("dst")))
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to 2) {
+        labels = Caches.persisted(
+          edges.join(labels, edges("dst") === labels("node"))
+            .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy(col("src"))
+                .orderBy(col("c").desc, col("lbl").asc)))
+            .filter(col("rk") === 1)
+            .select(col("src").as("node"), col("lbl")))
+        labels.count() // materialize before the next round replans consumers
+      }
+      labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").cast("bigint").as("community_size"))
+        .agg(count(lit(1)).cast("bigint").as("n_communities"))
+        .orderBy(col("community_size"))
+    },
+    Some(s"""WITH $edgesCte,
+             l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+             c1 AS (SELECT e.src AS src, l.lbl AS lbl, COUNT(*) AS c
+                    FROM edges e JOIN l0 l ON e.dst = l.node
+                    GROUP BY e.src, l.lbl),
+             l1 AS (SELECT src AS node, lbl FROM (
+                      SELECT src, lbl, ROW_NUMBER() OVER (
+                        PARTITION BY src ORDER BY c DESC, lbl) AS rk FROM c1)
+                    WHERE rk = 1),
+             c2 AS (SELECT e.src AS src, l.lbl AS lbl, COUNT(*) AS c
+                    FROM edges e JOIN l1 l ON e.dst = l.node
+                    GROUP BY e.src, l.lbl),
+             l2 AS (SELECT src AS node, lbl FROM (
+                      SELECT src, lbl, ROW_NUMBER() OVER (
+                        PARTITION BY src ORDER BY c DESC, lbl) AS rk FROM c2)
+                    WHERE rk = 1),
+             sz AS (SELECT lbl, COUNT(*) AS sz FROM l2 GROUP BY lbl)
+             SELECT CAST(sz AS BIGINT) AS community_size,
+               CAST(COUNT(*) AS BIGINT) AS n_communities
+             FROM sz GROUP BY 1 ORDER BY 1"""))
+
+  /** Newman MODULARITY of the q_label_prop communities — the partition
+    * quality score every community-detection pipeline reports:
+    * Q = e_same/m2 − Σ_c (deg_c/m2)², with m2 the DIRECTED edge count
+    * (= 2m) and e_same the directed edges whose endpoints share a label.
+    * The whole funnel is exact integers — e_same, m2 and Σ deg_c² — and
+    * Q is computed ONCE as (e_same·m2 − Σ deg_c²)/m2², pround(8); at
+    * this scale the products stay far inside BIGINT (m2² ≤ ~10^14 at
+    * sf1), and the doc notes the decimal(38,0) posture for beyond
+    * (q_assortativity precedent).
+    *
+    * Scale posture: two node-keyed joins of the edge list against the
+    * label table (src side, dst side), one degree aggregate, one
+    * community rollup — all hash-partitioned; output is one row.
+    */
+  private val modularity = Q(
+    "q_modularity",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Caches.persisted(tradeEdges(spark, dir))
+      val edges = Caches.persisted(
+        pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+          .repartition(col("dst")))
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to 2) {
+        labels = Caches.persisted(
+          edges.join(labels, edges("dst") === labels("node"))
+            .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy(col("src"))
+                .orderBy(col("c").desc, col("lbl").asc)))
+            .filter(col("rk") === 1)
+            .select(col("src").as("node"), col("lbl")))
+        labels.count()
+      }
+      val lbl = labels
+      val eSame = edges
+        .join(lbl.select(col("node").as("sn"), col("lbl").as("sl")),
+          col("src") === col("sn"))
+        .join(lbl.select(col("node").as("dn"), col("lbl").as("dl")),
+          col("dst") === col("dn"))
+        .filter(col("sl") === col("dl"))
+        .agg(count(lit(1)).as("e_same"))
+      val m2df = edges.agg(count(lit(1)).as("m2"))
+      val sumSq = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .join(lbl, col("src") === col("node"))
+        .groupBy(col("lbl")).agg(sum(col("deg")).as("deg_c"))
+        .agg(sum(col("deg_c") * col("deg_c")).as("sum_sq"))
+      eSame.crossJoin(m2df).crossJoin(sumSq)
+        .select(col("e_same").cast("bigint"), col("m2").cast("bigint"),
+          col("sum_sq").cast("bigint"),
+          graft.functions.Portable.pround(
+            (col("e_same") * col("m2") - col("sum_sq")).cast("double") /
+              (col("m2") * col("m2")).cast("double"), 8).as("modularity"))
+    },
+    Some(s"""WITH $edgesCte,
+             l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+             c1 AS (SELECT e.src AS src, l.lbl AS lbl, COUNT(*) AS c
+                    FROM edges e JOIN l0 l ON e.dst = l.node
+                    GROUP BY e.src, l.lbl),
+             l1 AS (SELECT src AS node, lbl FROM (
+                      SELECT src, lbl, ROW_NUMBER() OVER (
+                        PARTITION BY src ORDER BY c DESC, lbl) AS rk FROM c1)
+                    WHERE rk = 1),
+             c2 AS (SELECT e.src AS src, l.lbl AS lbl, COUNT(*) AS c
+                    FROM edges e JOIN l1 l ON e.dst = l.node
+                    GROUP BY e.src, l.lbl),
+             l2 AS (SELECT src AS node, lbl FROM (
+                      SELECT src, lbl, ROW_NUMBER() OVER (
+                        PARTITION BY src ORDER BY c DESC, lbl) AS rk FROM c2)
+                    WHERE rk = 1),
+             es AS (SELECT CAST(COUNT(*) AS BIGINT) AS e_same
+                    FROM edges e
+                    JOIN l2 s ON e.src = s.node
+                    JOIN l2 d ON e.dst = d.node
+                    WHERE s.lbl = d.lbl),
+             mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
+             dc AS (SELECT l.lbl AS lbl, SUM(deg) AS deg_c FROM
+                      (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src) d
+                    JOIN l2 l ON d.src = l.node GROUP BY l.lbl),
+             sq AS (SELECT CAST(SUM(deg_c * deg_c) AS BIGINT) AS sum_sq FROM dc)
+             SELECT e_same, m2, sum_sq,
+               FLOOR((CAST(e_same * m2 - sum_sq AS DOUBLE) /
+                      CAST(m2 * m2 AS DOUBLE)) * 100000000 + 0.5) / 100000000
+                 AS modularity
+             FROM es, mm, sq"""))
+
   val all: Seq[Q] = Seq(ccDedup, graphDegree, pageRank, triangleCount,
-    kcore, graphJaccard, assortativity, localClustering, bfsLevels)
+    kcore, graphJaccard, assortativity, localClustering, bfsLevels,
+    labelProp, modularity)
 }

@@ -586,6 +586,178 @@ object Multimodal {
             FROM hsh GROUP BY 1, 2, 3
             ORDER BY n_images DESC, width, height, ahash LIMIT 10"""))
 
+  /** Perceptual-hash AUDIO dedup — the last modality without a near-dup
+    * operator (text: MinHash/SimHash/n-gram/exact; embeddings: cosine/LSH;
+    * images: q_image_phash; audio had only q_audio_decode). Energy-envelope
+    * block hash, the audio analog of block-mean aHash: decode the REAL WAV
+    * through the cached SPI reader, partition the sample stream into a
+    * fixed 16-block grid by integer floors (b = i·16/n — no resampling, so
+    * the oracle replays it exactly), accumulate per-block absolute
+    * amplitude, set bit b when that block's mean |amplitude| exceeds the
+    * clip's global mean. The comparison is cross-multiplied in exact
+    * integers (bs·tc > ts·bc) so no division touches the hash (house
+    * rule). Clips sharing a 16-bit envelope hash are near-dup candidates
+    * regardless of length — reported as the 10 largest buckets with their
+    * min-doc representative (the dedup-keeper convention).
+    *
+    * Scale posture (100 TB): one partition-wise codec pass — raw audio
+    * bytes never shuffle, only the 8-byte hash moves — then a
+    * hash-partitioned bucket census: the LSH banding shape with the
+    * envelope hash as band key, composable with q_cc_dedup downstream
+    * exactly like q_image_phash.
+    */
+  private val audioPhash = Q(
+    "q_audio_phash",
+    (spark, dir) => {
+      import spark.implicits._
+      // spread the unsplittable single-row-group source: the codec is
+      // compute-bound per row, so one input split would serialize it
+      val hashes = Tables.spreadIfUnderSplit(
+        Tables(spark, dir, "documents").select(col("doc_id"))).as[Long]
+        .mapPartitions(_.map { id =>
+          val in = new java.io.ByteArrayInputStream(makeWav(id))
+          val ais = wavReader match {
+            case Some(rd) => rd.getAudioInputStream(in)
+            case None     => javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+          }
+          val n = ais.getFrameLength.toInt
+          val pcm = ais.readAllBytes()
+          val bs = new Array[Long](16); val bc = new Array[Long](16)
+          var i = 0
+          while (i < n) {
+            val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+            val b = i * 16 / n
+            bs(b) += math.abs(v)
+            bc(b) += 1
+            i += 1
+          }
+          var ts = 0L; var tc = 0L; var j = 0
+          while (j < 16) { ts += bs(j); tc += bc(j); j += 1 }
+          var hash = 0L
+          j = 0
+          while (j < 16) {
+            if (bs(j) * tc > ts * bc(j)) hash |= 1L << j
+            j += 1
+          }
+          (id, hash)
+        })(Encoders.product[(Long, Long)])
+        .toDF("doc_id", "ahash")
+      hashes.groupBy(col("ahash"))
+        .agg(count(lit(1)).cast("bigint").as("n_clips"),
+          min(col("doc_id")).cast("bigint").as("min_doc"))
+        .orderBy(col("n_clips").desc, col("ahash"))
+        .limit(10)
+    },
+    Some("""WITH dims AS (SELECT doc_id, CAST(doc_id % 400 + 100 AS BIGINT) AS n
+                FROM documents),
+            s AS (SELECT doc_id, n, t.i AS i,
+                  ABS((doc_id * 131 + t.i * 17) % 2001 - 1000) AS a
+                FROM dims, UNNEST(generate_series(0, n - 1)) AS t(i)),
+            blk AS (SELECT doc_id, (i * 16) // n AS b, SUM(a) AS bs, COUNT(*) AS bc
+                FROM s GROUP BY doc_id, (i * 16) // n),
+            tot AS (SELECT doc_id, SUM(bs) AS ts, SUM(bc) AS tc
+                FROM blk GROUP BY doc_id),
+            hsh AS (SELECT blk.doc_id AS doc_id,
+                  SUM(CASE WHEN blk.bs * tot.tc > tot.ts * blk.bc
+                           THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS ahash
+                FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+                GROUP BY blk.doc_id)
+            SELECT CAST(ahash AS BIGINT) AS ahash,
+              CAST(COUNT(*) AS BIGINT) AS n_clips,
+              CAST(MIN(doc_id) AS BIGINT) AS min_doc
+            FROM hsh GROUP BY 1
+            ORDER BY n_clips DESC, ahash LIMIT 10"""))
+
+  /** TEMPORAL perceptual hash for video — the frame-sequence analog of
+    * q_image_phash (which hashes one frame's spatial blocks): decode the
+    * real multi-frame GIF, treat each FRAME as a block of the temporal
+    * grid, set bit f when frame f's mean brightness exceeds the clip's
+    * global mean. Since every frame has the same w·h pixel count the
+    * cross-multiplied integer comparison reduces to fs·nf > ts — still
+    * division-free (house rule). This is how shot-level video dedup works
+    * in production (per-frame signatures → sequence signature); clips
+    * sharing (dims, n_frames, thash) are near-dup candidates, reported as
+    * the 10 largest buckets with their min-doc representative.
+    *
+    * Scale posture (100 TB): one partition-wise codec pass — frame pixels
+    * never shuffle, only the signature row moves — then the same
+    * hash-partitioned banding census as q_image_phash / q_audio_phash;
+    * the three modality hashes compose with the identical downstream
+    * candidate machinery (q_cc_dedup closure, pairwise verify).
+    */
+  private val videoPhash = Q(
+    "q_video_phash",
+    (spark, dir) => {
+      import spark.implicits._
+      // spread the unsplittable single-row-group source: the codec is
+      // compute-bound per row, so one input split would serialize it
+      val hashes = Tables.spreadIfUnderSplit(
+        Tables(spark, dir, "documents").select(col("doc_id"))).as[Long]
+        .mapPartitions(_.map { id =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(makeGif(id)))
+          val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          val fs = new Array[Long](n)
+          var w = 0; var h = 0
+          var f = 0
+          while (f < n) {
+            val img = reader.read(f)
+            w = img.getWidth; h = img.getHeight
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { fs(f) += img.getRGB(x, y) & 0xff; x += 1 }
+              y += 1
+            }
+            f += 1
+          }
+          reader.dispose()
+          var ts = 0L; var j = 0
+          while (j < n) { ts += fs(j); j += 1 }
+          var hash = 0L
+          j = 0
+          while (j < n) {
+            if (fs(j) * n > ts) hash |= 1L << j
+            j += 1
+          }
+          (id, w, h, n, hash)
+        })(Encoders.product[(Long, Int, Int, Int, Long)])
+        .toDF("doc_id", "width", "height", "n_frames", "thash")
+      hashes.groupBy(col("width"), col("height"), col("n_frames"), col("thash"))
+        .agg(count(lit(1)).cast("bigint").as("n_clips"),
+          min(col("doc_id")).cast("bigint").as("min_doc"))
+        .orderBy(col("n_clips").desc, col("width"), col("height"),
+          col("n_frames"), col("thash"))
+        .limit(10)
+    },
+    Some("""WITH dims AS (SELECT doc_id,
+                  CAST(doc_id % 7 + 4 AS INT) AS w,
+                  CAST(doc_id % 5 + 4 AS INT) AS h,
+                  CAST(doc_id % 5 + 2 AS INT) AS nf
+                FROM documents),
+            px AS (SELECT doc_id, w, h, nf, f.i AS f,
+                  (doc_id * 31 + f.i * 101 + x.i * 7 + y.i * 13) % 256 AS v
+                FROM dims,
+                     UNNEST(generate_series(0, nf - 1)) AS f(i),
+                     UNNEST(generate_series(0, w - 1)) AS x(i),
+                     UNNEST(generate_series(0, h - 1)) AS y(i)),
+            frm AS (SELECT doc_id, w, h, nf, f, SUM(v) AS fs
+                FROM px GROUP BY doc_id, w, h, nf, f),
+            tot AS (SELECT doc_id, SUM(fs) AS ts FROM frm GROUP BY doc_id),
+            hsh AS (SELECT frm.doc_id AS doc_id, w, h, nf,
+                  SUM(CASE WHEN frm.fs * nf > tot.ts
+                           THEN CAST(1 AS BIGINT) << f ELSE 0 END) AS thash
+                FROM frm JOIN tot ON frm.doc_id = tot.doc_id
+                GROUP BY frm.doc_id, w, h, nf)
+            SELECT w AS width, h AS height, nf AS n_frames,
+              CAST(thash AS BIGINT) AS thash,
+              CAST(COUNT(*) AS BIGINT) AS n_clips,
+              CAST(MIN(doc_id) AS BIGINT) AS min_doc
+            FROM hsh GROUP BY 1, 2, 3, 4
+            ORDER BY n_clips DESC, width, height, n_frames, thash LIMIT 10"""))
+
   val all: Seq[Q] = Seq(multimodalDecode, multimodalPipeline, imageDecode,
-    audioDecode, imageResize, videoFrames, imagePhash)
+    audioDecode, imageResize, videoFrames, imagePhash, audioPhash, videoPhash)
 }

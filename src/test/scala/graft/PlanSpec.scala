@@ -812,6 +812,45 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_audio_phash hashes in the codec seam, buckets without joins, bounded head") {
+    val plan = executedPlan("q_audio_phash")
+    assert(plan.contains("MapPartitions"),
+      s"the codec+hash must run partition-wise:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-10 bucket head must not global-sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_video_phash hashes in the codec seam, buckets without joins, bounded head") {
+    val plan = executedPlan("q_video_phash")
+    assert(plan.contains("MapPartitions"),
+      s"the codec+hash must run partition-wise:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-10 bucket head must not global-sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_label_prop census reads the persisted labels, histogram partial-aggregates") {
+    val plan = executedPlan("q_label_prop")
+    // the two voting rounds ran in their own jobs against the dst-pinned
+    // edge cache; the declared census must read the persisted label table
+    assert(plan.contains("InMemoryTableScan"), s"labels not persisted:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val cut = plan.indexOf("InMemoryRelation")
+    val live = if (cut < 0) plan else plan.substring(0, cut)
+    assert("HashAggregate".r.findAllIn(live).size >= 2,
+      s"size histogram must partial-aggregate:\n$plan")
+    Caches.releaseAll()
+  }
+
+  test("q_modularity reads persisted labels, never a cartesian on the edge joins") {
+    val plan = executedPlan("q_modularity")
+    assert(plan.contains("InMemoryTableScan"), s"labels not persisted:\n$plan")
+    // the only nested-loop joins are the three 1-row scalar composes
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_bfs_levels reads the cached frontier/visited sets, census partial-aggregates") {
     val plan = executedPlan("q_bfs_levels")
     // hop expansion ran in its own jobs against the src-pinned edge cache;

@@ -546,4 +546,88 @@ class Round10PropertiesSpec extends AnyFunSuite {
     // Welch df is bounded by min(n1,n2)-1 below and n1+n2-2 above
     assert(r.getDouble(5) >= math.min(n1, n2) - 1 && r.getDouble(5) <= n1 + n2 - 2)
   }
+
+  test("q_audio_phash equals the naive envelope-hash bucket census") {
+    val want = docs.map(_._1).map { id =>
+      val n = (id % 400 + 100).toInt
+      val bs = new Array[Long](16); val bc = new Array[Long](16)
+      for (i <- 0 until n) {
+        val a = math.abs((id * 131 + i * 17) % 2001 - 1000)
+        bs(i * 16 / n) += a; bc(i * 16 / n) += 1
+      }
+      val ts = bs.sum; val tc = bc.sum
+      (0 until 16).map(j => if (bs(j) * tc > ts * bc(j)) 1L << j else 0L).sum -> id
+    }.groupBy(_._1).map { case (h, xs) => (h, xs.length.toLong, xs.map(_._2).min) }
+      .toSeq.sortBy(t => (-t._2, t._1)).take(10)
+    val got = run("q_audio_phash").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
+  test("q_video_phash equals the naive temporal-hash bucket census") {
+    val want = docs.map(_._1).map { id =>
+      val w = (id % 7 + 4).toInt; val h = (id % 5 + 4).toInt
+      val nf = (id % 5 + 2).toInt
+      val fs = Array.tabulate(nf) { f =>
+        (for (x <- 0 until w; y <- 0 until h)
+          yield (id * 31 + f * 101 + x * 7 + y * 13) % 256).sum
+      }
+      val ts = fs.sum
+      val th = (0 until nf).map(f => if (fs(f) * nf > ts) 1L << f else 0L).sum
+      ((w, h, nf, th), id)
+    }.groupBy(_._1).map { case ((w, h, nf, th), xs) =>
+      (w, h, nf, th, xs.length.toLong, xs.map(_._2).min)
+    }.toSeq.sortBy(t => (-t._5, t._1, t._2, t._3, t._4)).take(10)
+    val got = run("q_video_phash").map(r =>
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want)
+  }
+
+  /** Shared naive 2-round majority LPA over the symmetrized trade graph. */
+  private lazy val naiveLpa: (Seq[(Long, Long)], Map[Long, Long]) = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val l = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = l.flatMap { case (ok, sk) => o.get(ok).map(ck => (ck * 2, sk * 2 + 1)) }
+      .distinct
+    val edges = (pairs ++ pairs.map(_.swap)).toSeq.map { case (s, d) => (s, d) }
+    var lbl: Map[Long, Long] = edges.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 2) {
+      lbl = edges.groupBy(_._1).map { case (u, es) =>
+        val votes = es.map(e => lbl(e._2)).groupBy(identity)
+          .map { case (v, vs) => (v, vs.length) }
+        u -> votes.toSeq.minBy { case (v, c) => (-c, v) }._1
+      }
+    }
+    (edges, lbl)
+  }
+
+  test("q_label_prop equals the naive 2-round majority vote with the (count desc, lbl) tiebreak") {
+    val (_, lbl) = naiveLpa
+    val want = lbl.values.groupBy(identity).map(_._2.size.toLong)
+      .groupBy(identity).map { case (sz, xs) => (sz, xs.size.toLong) }
+      .toSeq.sorted
+    val got = run("q_label_prop").map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
+
+  test("q_modularity equals the naive Newman Q over the naive LPA labeling") {
+    val (edges, lbl) = naiveLpa
+    val m2 = edges.length.toLong
+    val eSame = edges.count { case (s, d) => lbl(s) == lbl(d) }.toLong
+    val degByNode = edges.groupBy(_._1).map { case (u, es) => (u, es.length.toLong) }
+    val sumSq = degByNode.toSeq.groupBy { case (u, _) => lbl(u) }
+      .map { case (_, xs) => xs.map(_._2).sum }
+      .map(dc => dc * dc).sum
+    val q = pround((eSame * m2 - sumSq).toDouble / (m2.toDouble * m2.toDouble), 8)
+    val r = run("q_modularity").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((eSame, m2, sumSq)))
+    assert(r.getDouble(3) === q)
+    // modularity is bounded in [-1, 1]
+    assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
+  }
 }
