@@ -618,6 +618,99 @@ object AuditQueries {
               MIN(v) AS min_v, MAX(v) AS max_v
             FROM s GROUP BY 1 ORDER BY 1"""))
 
+  /** Profile DRIFT between two data vintages — the monitoring pass every
+    * pipeline runs on a new data drop before it joins the corpus (the
+    * two-snapshot companion of q_column_profile's single-snapshot ANALYZE;
+    * q_js_divergence is the distribution-shape cousin): orders splits
+    * into old/new halves at the midpoint of its date range (exact integer
+    * day arithmetic — old iff 2·(d − dmin) ≤ dmax − dmin), each half is
+    * profiled per column (rows, nulls, exact distincts) off ONE stacked
+    * scan, and the halves pivot side by side with integer drift deltas —
+    * distinct-count delta and null-rate delta in exact ppm
+    * (n_null·10⁶ div n_rows, integer division on both engines).
+    *
+    * Scale posture (100 TB): the date span is a 1-row broadcast; the
+    * stacked (vintage, col_name, v) relation is one scan feeding one
+    * partial+final hash aggregate; the old/new pivot groups the
+    * column-count-sized profile relation. Nothing wide ever shuffles.
+    */
+  private val schemaDrift = Q(
+    "q_schema_drift",
+    (spark, dir) => {
+      val o = Tables(spark, dir, "orders")
+      val span = broadcast(o.agg(min(col("o_orderdate")).as("dmin"),
+        max(col("o_orderdate")).as("dmax")))
+      val stacked = o.crossJoin(span)
+        .select(
+          when(datediff(col("o_orderdate"), col("dmin")) * 2 <=
+            datediff(col("dmax"), col("dmin")), lit("old")).otherwise(lit("new"))
+            .as("vintage"),
+          expr("""stack(4,
+              'o_custkey', cast(o_custkey as string),
+              'o_orderpriority', o_orderpriority,
+              'o_orderstatus', o_orderstatus,
+              'o_totalprice_cents',
+                cast(cast(floor(o_totalprice * 100 + 0.5) as bigint) as string)
+            ) as (col_name, v)"""))
+      val prof = stacked.groupBy(col("col_name"), col("vintage"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("v"))).as("n_null"),
+          countDistinct(col("v")).as("n_distinct"))
+      prof.groupBy(col("col_name"))
+        .agg(
+          coalesce(max(when(col("vintage") === "old", col("n_rows"))), lit(0L))
+            .cast("bigint").as("old_rows"),
+          coalesce(max(when(col("vintage") === "new", col("n_rows"))), lit(0L))
+            .cast("bigint").as("new_rows"),
+          coalesce(max(when(col("vintage") === "old", col("n_distinct"))), lit(0L))
+            .cast("bigint").as("old_distinct"),
+          coalesce(max(when(col("vintage") === "new", col("n_distinct"))), lit(0L))
+            .cast("bigint").as("new_distinct"),
+          coalesce(max(when(col("vintage") === "old",
+            expr("n_null * 1000000 div n_rows"))), lit(0L))
+            .cast("bigint").as("old_null_ppm"),
+          coalesce(max(when(col("vintage") === "new",
+            expr("n_null * 1000000 div n_rows"))), lit(0L))
+            .cast("bigint").as("new_null_ppm"))
+        .withColumn("distinct_delta",
+          (col("new_distinct") - col("old_distinct")).cast("bigint"))
+        .withColumn("null_ppm_delta",
+          (col("new_null_ppm") - col("old_null_ppm")).cast("bigint"))
+        .orderBy(col("col_name"))
+    },
+    Some("""WITH span AS (SELECT MIN(o_orderdate) AS dmin, MAX(o_orderdate) AS dmax
+                          FROM orders),
+            s AS (SELECT CASE WHEN (CAST(o.o_orderdate AS DATE) - CAST(span.dmin AS DATE)) * 2 <=
+                                   (CAST(span.dmax AS DATE) - CAST(span.dmin AS DATE))
+                              THEN 'old' ELSE 'new' END AS vintage,
+                         u.col_name, u.v
+                  FROM orders o, span,
+                  LATERAL (
+                    SELECT 'o_custkey' AS col_name, CAST(o.o_custkey AS VARCHAR) AS v
+                    UNION ALL SELECT 'o_orderpriority', o.o_orderpriority
+                    UNION ALL SELECT 'o_orderstatus', o.o_orderstatus
+                    UNION ALL SELECT 'o_totalprice_cents',
+                      CAST(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+                  ) u),
+            prof AS (SELECT col_name, vintage, COUNT(*) AS n_rows,
+                       COUNT(*) - COUNT(v) AS n_null,
+                       COUNT(DISTINCT v) AS n_distinct
+                     FROM s GROUP BY col_name, vintage),
+            piv AS (SELECT col_name,
+                      CAST(COALESCE(MAX(CASE WHEN vintage = 'old' THEN n_rows END), 0) AS BIGINT) AS old_rows,
+                      CAST(COALESCE(MAX(CASE WHEN vintage = 'new' THEN n_rows END), 0) AS BIGINT) AS new_rows,
+                      CAST(COALESCE(MAX(CASE WHEN vintage = 'old' THEN n_distinct END), 0) AS BIGINT) AS old_distinct,
+                      CAST(COALESCE(MAX(CASE WHEN vintage = 'new' THEN n_distinct END), 0) AS BIGINT) AS new_distinct,
+                      CAST(COALESCE(MAX(CASE WHEN vintage = 'old' THEN n_null * 1000000 // n_rows END), 0) AS BIGINT) AS old_null_ppm,
+                      CAST(COALESCE(MAX(CASE WHEN vintage = 'new' THEN n_null * 1000000 // n_rows END), 0) AS BIGINT) AS new_null_ppm
+                    FROM prof GROUP BY col_name)
+            SELECT col_name, old_rows, new_rows, old_distinct, new_distinct,
+              old_null_ppm, new_null_ppm,
+              CAST(new_distinct - old_distinct AS BIGINT) AS distinct_delta,
+              CAST(new_null_ppm - old_null_ppm AS BIGINT) AS null_ppm_delta
+            FROM piv ORDER BY col_name"""))
+
   val all: Seq[Q] = Seq(spearman, iqrOutlier, benford, cusum, dauStickiness,
-    splitLeakage, cramersV, hhi, jsDivergence, fkOrphans, columnProfile)
+    splitLeakage, cramersV, hhi, jsDivergence, fkOrphans, columnProfile,
+    schemaDrift)
 }

@@ -1377,9 +1377,112 @@ object DedupQueries {
              FROM h WHERE hamming <= 3
              GROUP BY hamming ORDER BY hamming"""))
 
+  /** b-bit minwise hashing calibration (Li & König, WWW'10 / CACM'11) —
+    * the signature-COMPRESSION story for the minhash stack: production
+    * systems keep only the lowest b bits of each minhash (b=1 stores the
+    * 16-hash signature in 2 bytes instead of 120), paying for it with
+    * accidental low-bit collisions that inflate the raw match fraction.
+    * Over the standard LSH candidate pairs this measures exactly that
+    * price: per b ∈ {1, 2, 4} plus the full 60-bit hash (b=60), the mean
+    * absolute error of the raw b-bit match-fraction estimator
+    * (matched/16) against exact shingle Jaccard. The whole funnel is
+    * exact integers (house rule): per-pair error =
+    * |matched·u − 16·i| · 10⁶ div (16·u) with i = intersection,
+    * u = union from the shingle sets; one division at the very end turns
+    * the summed µunits into the reported mean.
+    *
+    * Scale posture (100 TB): ONE persisted signature pass feeds both the
+    * banded candidate join and the per-pair match columns (the
+    * q_minhash_est_error discipline); exact i comes from the candidate ×
+    * shingle equi-joins (pair space LSH-bounded, never doc×doc); the
+    * 4-row result stacks out of a single no-key aggregate.
+    */
+  private val bbitMinhash = Q(
+    "q_bbit_minhash",
+    (spark, dir) => {
+      val sh = graft.Caches.persisted(shingleRel(spark, dir))
+      val sigs = graft.Caches.persisted(minhashSigs(sh))
+      val cand = minhashCandidatesFromSigs(sigs)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      val sa = sigs.select(col("doc_id").as("doc_a") +:
+        (0 until 16).map(i => col(s"mh$i").as(s"a$i")): _*)
+      val sb = sigs.select(col("doc_id").as("doc_b") +:
+        (0 until 16).map(i => col(s"mh$i").as(s"b$i")): _*)
+      def matched(mask: Long) = (0 until 16).map(i =>
+        when((col(s"a$i").bitwiseXOR(col(s"b$i"))
+          .bitwiseAND(lit(mask))) === 0L, 1L).otherwise(0L)).reduce(_ + _)
+      val full = (1L << 60) - 1
+      val pairs = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("i"), (col("na") + col("nb") - col("i")).as("u"),
+          matched(1L).as("m1"), matched(3L).as("m2"),
+          matched(15L).as("m4"), matched(full).as("m60"))
+      def errU(m: String) =
+        expr(s"(abs($m * u - 16 * i) * 1000000) div (16 * u)")
+      pairs
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+          coalesce(sum(errU("m1")), lit(0L)).as("e1"),
+          coalesce(sum(errU("m2")), lit(0L)).as("e2"),
+          coalesce(sum(errU("m4")), lit(0L)).as("e4"),
+          coalesce(sum(errU("m60")), lit(0L)).as("e60"))
+        .selectExpr("stack(4, 1, e1, 2, e2, 4, e4, 60, e60) AS (b, sum_abs_err_u)",
+          "n_pairs")
+        .select(col("b").cast("int").as("b"), col("n_pairs"),
+          col("sum_abs_err_u").cast("bigint").as("sum_abs_err_u"),
+          when(col("n_pairs") === 0, lit(null).cast("double"))
+            .otherwise(pround(col("sum_abs_err_u").cast("double") /
+              col("n_pairs").cast("double") / 1e6, 6)).as("mean_abs_err"))
+        .orderBy(col("b"))
+    },
+    Some {
+      def m(mask: Long) = (0 until 16).map(i =>
+        s"CASE WHEN (xor(a.mh$i, b.mh$i) & $mask) = 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val full = (1L << 60) - 1
+      s"""WITH $minhashCandCte,
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+                    FROM cand c
+                    JOIN sh x ON x.doc_id = c.doc_a
+                    JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+                    GROUP BY c.doc_a, c.doc_b),
+          pairs AS (SELECT i.i, sa.n + sb.n - i.i AS u,
+                      ${m(1L)} AS m1, ${m(3L)} AS m2,
+                      ${m(15L)} AS m4, ${m(full)} AS m60
+                    FROM inter i
+                    JOIN sizes sa ON sa.doc_id = i.doc_a
+                    JOIN sizes sb ON sb.doc_id = i.doc_b
+                    JOIN mh a ON a.doc_id = i.doc_a
+                    JOIN mh b ON b.doc_id = i.doc_b),
+          agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                    COALESCE(SUM((ABS(m1 * u - 16 * i) * 1000000) // (16 * u)), 0) AS e1,
+                    COALESCE(SUM((ABS(m2 * u - 16 * i) * 1000000) // (16 * u)), 0) AS e2,
+                    COALESCE(SUM((ABS(m4 * u - 16 * i) * 1000000) // (16 * u)), 0) AS e4,
+                    COALESCE(SUM((ABS(m60 * u - 16 * i) * 1000000) // (16 * u)), 0) AS e60
+                  FROM pairs),
+          s AS (SELECT 1 AS b, e1 AS sum_abs_err_u, n_pairs FROM agg
+                UNION ALL SELECT 2, e2, n_pairs FROM agg
+                UNION ALL SELECT 4, e4, n_pairs FROM agg
+                UNION ALL SELECT 60, e60, n_pairs FROM agg)
+          SELECT CAST(b AS INT) AS b, n_pairs,
+            CAST(sum_abs_err_u AS BIGINT) AS sum_abs_err_u,
+            CASE WHEN n_pairs = 0 THEN NULL
+                 ELSE FLOOR((CAST(sum_abs_err_u AS DOUBLE) /
+                   CAST(n_pairs AS DOUBLE) / 1000000.0) * 1000000 + 0.5) / 1000000
+            END AS mean_abs_err
+          FROM s ORDER BY b"""
+    })
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupContainment, minhashRecall, chunkDedup, dupRatioBySource,
     minhashPrecision, spanDedup, spanLeakage, simhashHamming, spanScrub,
     minhashEstError, lshBandSweep, boilerplatePrefix, spanDedupGlobal,
-    spanScrubGlobal, spanCoverage)
+    spanScrubGlobal, spanCoverage, bbitMinhash)
 }

@@ -702,8 +702,59 @@ object EventQueries {
               END AS wow_growth
             FROM g ORDER BY week"""))
 
+  /** SCD2 history reconstruction from the append-only event log — the
+    * lakehouse upsert/merge primitive (slowly-changing-dimension type 2,
+    * Kimball DW Toolkit ch.5): treat each user's `event_type` as a
+    * versioned attribute; a VERSION opens where the value differs from the
+    * previous row (per user, ordered by ts then event_id — the
+    * gaps-and-islands change detection) and stays valid until the next
+    * version opens (NULL valid_to = the current version, exactly what a
+    * MERGE INTO ... WHEN MATCHED UPDATE would materialize). Reported per
+    * attribute value: versions opened, currently-open versions, total
+    * closed-version lifetime in exact µs (unix_micros / epoch_us on both
+    * engines — no float time arithmetic anywhere).
+    *
+    * Scale posture (100 TB): both windows partition on user_id and share
+    * one ordering, so the whole reconstruction is ONE hash shuffle of the
+    * change-relevant columns followed by per-partition sorts; the census
+    * is a bounded partial+final aggregate. This is how SCD2 backfills run
+    * on event streams at scale — never a self-join on adjacency.
+    */
+  private val scd2 = Q(
+    "q_scd2",
+    (spark, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val chg = Tables(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      chg.withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n_versions"),
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_open"),
+          coalesce(sum(unix_micros(col("valid_to")) - unix_micros(col("ts"))),
+            lit(0L)).cast("bigint").as("closed_us"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                          event_id, event_type FROM events),
+            c AS (SELECT *, lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                  FROM ev),
+            chg AS (SELECT user_id, ts, event_id, event_type FROM c
+                    WHERE prev IS NULL OR prev <> event_type),
+            vers AS (SELECT *, lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+                     FROM chg)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_versions,
+              CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+              CAST(COALESCE(SUM(epoch_us(valid_to) - epoch_us(ts)), 0) AS BIGINT) AS closed_us
+            FROM vers GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(jsonFuncs, timeWindow, sessionize, histogram,
     eventWindowJoin, windowRangeTime, decileStats, decileApprox, funnel,
     retention, markovTransitions, eventPattern, histogram2d, cohortMatrix,
-    attribution, timeToConvert, sessionPaths, coldStart, growthWow)
+    attribution, timeToConvert, sessionPaths, coldStart, growthWow, scd2)
 }

@@ -251,5 +251,144 @@ object IvfQueries {
             FROM nc LEFT JOIN h ON h.nprobe = nc.nprobe CROSS JOIN kk
             ORDER BY nc.nprobe"""))
 
-  val all: Seq[Q] = Seq(knnIvf, dedupEmbedLsh, ivfRecallSweep)
+  /** IVF-PQ composed search — the production ANN architecture (FAISS
+    * IndexIVFPQ; Jégou et al. TPAMI'11 §V): coarse IVF routing bounds the
+    * bytes READ (the probe scans only its nprobe=2 nearest of 10 coarse
+    * cells), then the int8 ADC funnel of q_knn_pq scores ONLY those
+    * candidates (4× fewer bytes STORED), top-20 shortlist, exact re-rank,
+    * recall@10 against q_knn_brute. q_knn_ivf demonstrates routing alone
+    * and q_knn_pq quantization alone; a deployment runs both at once, and
+    * the recall compounds the two losses — which is why the composed
+    * operator needs its own quality gate (the q_ivf_recall_sweep
+    * methodology applied to the composed index). All approximate scores
+    * are per-term µunit integer floors summed exactly (the q_dsir_weights
+    * funnel); every ordering carries a vec_id tiebreak.
+    *
+    * Scale posture (100 TB): centroids, probe vector, probe-cell ranking
+    * and the per-dimension calibration are all bounded broadcasts; the
+    * candidate-id relation is an equi-join of the assignment against the
+    * 2-row routed-cell table; the ADC scan touches only routed candidates
+    * and ends in a TakeOrdered(20) head; the exact re-rank reads 20
+    * vectors. Nothing shuffles embedding payloads except the per-vec_id
+    * partial sums.
+    */
+  private val ivfPq = Q(
+    "q_ivf_pq",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "embeddings")
+      val cents = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      val assign = e.crossJoin(cents)
+        .select(col("vec_id"), col("cid"),
+          VectorOps.cosine(col("embedding"), col("cemb")).as("ccos"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"))
+      val probeVec = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p")))
+      val routed = broadcast(cents.crossJoin(probeVec)
+        .select(col("cid"), VectorOps.cosine(col("cemb"), col("p")).as("pcos"))
+        .withColumn("prank",
+          row_number().over(Window.orderBy(col("pcos").desc, col("cid"))))
+        .filter(col("prank") <= 2)
+        .select(col("cid")))
+      val candIds = assign.join(routed, col("cluster") === col("cid"))
+        .filter(col("vec_id") =!= 0).select(col("vec_id"))
+      // int8 ADC over ONLY the routed candidates — the q_knn_pq funnel
+      val x = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d0", "xf")))
+        .select(col("vec_id"), (col("d0") + 1).as("d"), col("xf").cast("double").as("x"))
+      val cal = broadcast(x.groupBy(col("d")).agg(max(abs(col("x"))).as("amax")))
+      val probeD = broadcast(x.filter(col("vec_id") === 0)
+        .select(col("d"), col("x").as("p")))
+      val approx = x.join(candIds, "vec_id")
+        .join(cal, "d")
+        .select(col("vec_id"), col("amax"), col("d"),
+          when(col("amax") === 0d, lit(0d)).otherwise(
+            greatest(lit(-127d), least(lit(127d),
+              floor(col("x") / (col("amax") / 127d) + 0.5d)))).as("q"))
+        .join(probeD, "d")
+        .select(col("vec_id"),
+          when(col("amax") === 0d, lit(0L)).otherwise(
+            floor(col("p") * col("q") * (col("amax") / lit(127d)) * lit(1e6d))
+              .cast("long")).as("t"))
+        .groupBy(col("vec_id")).agg(sum(col("t")).as("approx_u"))
+      val short20 = approx.orderBy(col("approx_u").desc, col("vec_id")).limit(20)
+      val rerank = short20.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .crossJoin(probeVec)
+        .select(col("vec_id"),
+          pround(VectorOps.cosine(col("embedding"), col("p")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+      val brute = e.filter(col("vec_id") =!= 0)
+        .crossJoin(probeVec)
+        .select(col("vec_id"),
+          pround(VectorOps.cosine(col("embedding"), col("p")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+      val nCand = broadcast(candIds.agg(count(lit(1)).cast("bigint").as("n_cand")))
+      brute.select(col("vec_id"))
+        .join(rerank.select(col("vec_id").as("pq")), col("vec_id") === col("pq"), "left")
+        .agg(count(lit(1)).cast("int").as("k"),
+          count(col("pq")).cast("int").as("hits"))
+        .crossJoin(nCand)
+        .select(col("n_cand"), col("k"), col("hits"),
+          // empty-corpus guard (k = 0): the q_minhash_recall NULL rule
+          when(col("k") === 0, lit(null).cast("double"))
+            .otherwise(pround(col("hits").cast("double") / col("k").cast("double"), 4))
+            .as("recall"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cemb FROM e WHERE vec_id < 10),
+            scored AS (SELECT e.vec_id, c.cid,
+                         list_cosine_similarity(e.v, c.cemb) AS ccos
+                       FROM e CROSS JOIN cents c),
+            assign AS (SELECT vec_id, cid AS cluster FROM (
+                         SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ccos DESC, cid) AS rn
+                         FROM scored)
+                       WHERE rn = 1),
+            pv AS (SELECT v FROM e WHERE vec_id = 0),
+            routed AS (SELECT cid FROM (
+                         SELECT c.cid,
+                           row_number() OVER (ORDER BY
+                             list_cosine_similarity(c.cemb, pv.v) DESC, c.cid) AS prank
+                         FROM cents c, pv)
+                       WHERE prank <= 2),
+            cand AS (SELECT a.vec_id FROM assign a
+                     JOIN routed r ON r.cid = a.cluster
+                     WHERE a.vec_id <> 0),
+            x AS (SELECT vec_id, t.d, v[t.d] AS x
+                  FROM e, UNNEST(generate_series(1, len(v))) AS t(d)),
+            cal AS (SELECT d, MAX(ABS(x)) AS amax FROM x GROUP BY d),
+            pr2 AS (SELECT d, x AS p FROM x WHERE vec_id = 0),
+            ap AS (SELECT x.vec_id,
+                     SUM(CASE WHEN cal.amax = 0 THEN 0
+                          ELSE CAST(FLOOR(pr2.p *
+                            (GREATEST(-127, LEAST(127, FLOOR(x.x / (cal.amax / 127) + 0.5))))
+                            * (cal.amax / 127) * 1000000.0) AS BIGINT) END) AS approx_u
+                   FROM x JOIN cand cd ON cd.vec_id = x.vec_id
+                   JOIN cal ON cal.d = x.d
+                   JOIN pr2 ON pr2.d = x.d
+                   GROUP BY x.vec_id),
+            short AS (SELECT vec_id FROM ap ORDER BY approx_u DESC, vec_id LIMIT 20),
+            rr AS (SELECT e.vec_id,
+                     FLOOR((list_cosine_similarity(e.v, pv.v)) * 10000 + 0.5) / 10000 AS cos
+                   FROM e JOIN short s ON e.vec_id = s.vec_id, pv
+                   ORDER BY cos DESC, e.vec_id LIMIT 10),
+            brute AS (SELECT e.vec_id,
+                        FLOOR((list_cosine_similarity(e.v, pv.v)) * 10000 + 0.5) / 10000 AS cos
+                      FROM e, pv WHERE e.vec_id <> 0
+                      ORDER BY cos DESC, e.vec_id LIMIT 10)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+              CAST(COUNT(*) AS INT) AS k,
+              CAST(COUNT(rr.vec_id) AS INT) AS hits,
+              CASE WHEN COUNT(*) = 0 THEN NULL
+                   ELSE FLOOR((CAST(COUNT(rr.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                     * 10000 + 0.5) / 10000 END AS recall
+            FROM brute LEFT JOIN rr ON brute.vec_id = rr.vec_id"""))
+
+  val all: Seq[Q] = Seq(knnIvf, dedupEmbedLsh, ivfRecallSweep, ivfPq)
 }

@@ -843,6 +843,45 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_ivf_pq routes then quantizes: top-k heads, no cartesian") {
+    val plan = executedPlan("q_ivf_pq")
+    // the ADC shortlist and the two exact top-10s must be per-partition
+    // top-k merges, never global sorts
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k heads:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_schema_drift profiles both vintages off one stacked scan") {
+    val plan = executedPlan("q_schema_drift").split("== Initial Plan ==").head
+    // one scan for the 1-row date span + ONE for the stacked relation —
+    // never one scan per profiled column
+    assert("Scan parquet".r.findAllIn(plan).size <= 2,
+      s"stacked profile must not scan per column:\n$plan")
+    assert(plan.contains("Generate stack"), s"expected the stack generator:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_scd2 reconstructs versions under one user_id shuffle") {
+    val plan = executedPlan("q_scd2").split("== Initial Plan ==").head
+    // both windows partition on user_id and share one ordering: one
+    // exchange, per-partition sorts — never an adjacency self-join
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"windows must partition on user_id:\n$plan")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      s"the two windows must share one user_id exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_bbit_minhash reuses one persisted signature pass, no cartesian") {
+    val plan = executedPlan("q_bbit_minhash")
+    // sigs feed the banded candidate join AND both per-pair match sides;
+    // sh feeds the exact-intersection joins — all through the caches
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 3,
+      s"signature/shingle passes not cache-reused:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_modularity reads persisted labels, never a cartesian on the edge joins") {
     val plan = executedPlan("q_modularity")
     assert(plan.contains("InMemoryTableScan"), s"labels not persisted:\n$plan")

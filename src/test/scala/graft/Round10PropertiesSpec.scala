@@ -630,4 +630,166 @@ class Round10PropertiesSpec extends AnyFunSuite {
     // modularity is bounded in [-1, 1]
     assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
   }
+
+  private lazy val vecs: Seq[(Long, Array[Double])] =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toSeq.sortBy(_._1)
+
+  private def rawCos(a: Array[Double], b: Array[Double]): Double = {
+    var dp = 0d; var na = 0d; var nb = 0d; var i = 0
+    while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dp / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def cos4(a: Array[Double], b: Array[Double]): Double =
+    math.floor(rawCos(a, b) * 10000 + 0.5) / 10000
+
+  test("q_ivf_pq equals the naive routed int8-ADC funnel") {
+    val dim = vecs.head._2.length
+    val cents = vecs.filter(_._1 < 10)
+    val probe = vecs.find(_._1 == 0L).get._2
+    val assign = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, c) => (cid, rawCos(v, c)) }
+        .sortBy { case (cid, cc) => (-cc, cid) }.head._1
+    }.toMap
+    val routed = cents.map { case (cid, c) => (cid, rawCos(c, probe)) }
+      .sortBy { case (cid, cc) => (-cc, cid) }.take(2).map(_._1).toSet
+    val cand = vecs.filter(v => v._1 != 0L && routed(assign(v._1)))
+    val amax = (0 until dim).map(d => vecs.map(v => math.abs(v._2(d))).max)
+    def quant(x: Double, a: Double): Double =
+      if (a == 0d) 0d else math.max(-127d, math.min(127d, math.floor(x / (a / 127d) + 0.5d)))
+    val approx = cand.map { case (id, v) =>
+      id -> (0 until dim).map { d =>
+        if (amax(d) == 0d) 0L
+        else math.floor(probe(d) * quant(v(d), amax(d)) * (amax(d) / 127d) * 1e6d).toLong
+      }.sum
+    }
+    val short20 = approx.sortBy { case (id, s) => (-s, id) }.take(20).map(_._1).toSet
+    val rerank10 = vecs.filter(v => short20(v._1))
+      .map { case (id, v) => (id, cos4(v, probe)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val brute10 = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos4(v, probe)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val row = run("q_ivf_pq").head
+    assert(row.getAs[Long]("n_cand") === cand.size.toLong)
+    assert(row.getAs[Int]("k") === brute10.size)
+    assert(row.getAs[Int]("hits") === brute10.count(rerank10))
+    assert(row.getAs[Double]("recall") ===
+      pround(brute10.count(rerank10).toDouble / brute10.size, 4))
+  }
+
+  test("q_schema_drift equals the naive two-vintage profile diff") {
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderdate").cast("date").cast("string"), col("o_custkey"),
+        col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"))
+      .collect()
+      .map(r => (java.time.LocalDate.parse(r.getString(0)), r.getLong(1),
+        r.getString(2), r.getString(3), r.getDouble(4)))
+    val dmin = orders.map(_._1).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val dmax = orders.map(_._1).max(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    def vintage(d: java.time.LocalDate): String =
+      if ((d.toEpochDay - dmin.toEpochDay) * 2 <= dmax.toEpochDay - dmin.toEpochDay) "old"
+      else "new"
+    val stacked = orders.flatMap { case (d, ck, pri, st, tp) =>
+      val cents = math.floor(tp * 100 + 0.5).toLong
+      Seq(("o_custkey", ck.toString), ("o_orderpriority", pri),
+        ("o_orderstatus", st), ("o_totalprice_cents", cents.toString))
+        .map { case (c, v) => (vintage(d), c, v) }
+    }
+    val want = stacked.groupBy(_._2).toSeq.map { case (cn, g) =>
+      val old = g.filter(_._1 == "old"); val nw = g.filter(_._1 == "new")
+      def ppm(h: Seq[(String, String, String)]): Long =
+        if (h.isEmpty) 0L else h.count(_._3 == null).toLong * 1000000L / h.size
+      (cn, old.size.toLong, nw.size.toLong,
+        old.map(_._3).distinct.size.toLong, nw.map(_._3).distinct.size.toLong,
+        ppm(old.toSeq), ppm(nw.toSeq))
+    }.sortBy(_._1)
+    val got = run("q_schema_drift").map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === want)
+  }
+
+  test("q_scd2 equals the naive gaps-and-islands SCD2 reconstruction") {
+    val evs = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val versions = evs.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      val chg = sorted.zipWithIndex.filter { case (e, i) =>
+        i == 0 || sorted(i - 1)._4 != e._4
+      }.map(_._1)
+      chg.zipWithIndex.map { case (e, i) =>
+        (e._4, if (i + 1 < chg.size) Some(chg(i + 1)._2 - e._2) else None)
+      }
+    }
+    val want = versions.groupBy(_._1).toSeq.map { case (et, g) =>
+      (et, g.size.toLong, g.count(_._2.isEmpty).toLong,
+        g.flatMap(_._2).sum)
+    }.sortBy(_._1)
+    val got = run("q_scd2").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === want)
+    // every user contributes exactly one open (current) version
+    assert(got.map(_._3).sum === evs.map(_._1).distinct.length.toLong)
+  }
+
+  private def md5hash60(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(15), 16)
+
+  test("q_bbit_minhash equals the naive b-bit estimator calibration; matches are mask-monotone") {
+    val shingleSets: Map[Long, Set[String]] = docs.map { case (id, text) =>
+      id -> text.split(" ", -1).filter(_.nonEmpty).toSeq
+        .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val sigs: Map[Long, Seq[Long]] = shingleSets.collect {
+      case (id, sh) if sh.nonEmpty =>
+        val xs = sh.map(md5hash60)
+        id -> operators.DedupQueries.minhashSeeds.map(k => xs.map(_ ^ k).min)
+    }
+    val cands = {
+      val buckets = for {
+        (id, mh) <- sigs.toSeq
+        b <- 0 until 4
+      } yield (b, mh.slice(b * 4, b * 4 + 4).mkString(",")) -> id
+      buckets.groupBy(_._1).values.flatMap { g =>
+        val ids = g.map(_._2).sorted
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.toSet
+    }
+    val masks = Seq(1 -> 1L, 2 -> 3L, 4 -> 15L, 60 -> ((1L << 60) - 1))
+    val pairRows = cands.toSeq.map { case (a, b) =>
+      val sa = shingleSets(a); val sb = shingleSets(b)
+      val i = (sa & sb).size.toLong
+      val u = sa.size + sb.size - i
+      val ms = masks.map { case (bb, mask) =>
+        bb -> sigs(a).zip(sigs(b)).count { case (x, y) => ((x ^ y) & mask) == 0L }.toLong
+      }
+      (i, u, ms)
+    }.filter(_._1 >= 1)
+    val want = masks.map { case (bb, _) =>
+      val errs = pairRows.map { case (i, u, ms) =>
+        val m = ms.find(_._1 == bb).get._2
+        math.abs(m * u - 16L * i) * 1000000L / (16L * u)
+      }
+      val n = pairRows.size.toLong
+      (bb, n, errs.sum,
+        if (n == 0) null else pround(errs.sum.toDouble / n.toDouble / 1e6, 6))
+    }
+    val got = run("q_bbit_minhash").map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === want)
+    // the actual theorem: widening the kept-bit mask can only LOSE
+    // accidental collisions, so per-pair matched counts are monotone
+    // non-increasing in b (the error itself is NOT monotone — on
+    // high-Jaccard pairs the upward bias of small b can land closer to
+    // the truth than the full estimator's variance; measured here)
+    pairRows.foreach { case (_, _, ms) =>
+      val seq = ms.map(_._2)
+      assert(seq === seq.sorted.reverse, s"matched counts not monotone: $ms")
+    }
+  }
 }
