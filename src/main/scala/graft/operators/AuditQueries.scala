@@ -710,7 +710,57 @@ object AuditQueries {
               CAST(new_null_ppm - old_null_ppm AS BIGINT) AS null_ppm_delta
             FROM piv ORDER BY col_name"""))
 
+  /** Join-key SKEW audit — the diagnostic every pipeline runs BEFORE
+    * choosing a join strategy (the decision input for q_salted_join's
+    * salting, AQE's skew-join split thresholds, and broadcast cutoffs):
+    * for each lineitem join key, the per-key row distribution summarized
+    * as exact integers — total rows, distinct keys, the heaviest key's
+    * rows and its corpus share in ppm (max·10⁶ div rows), plus the skew
+    * factor max/mean as pround(max·keys/rows, 4): 1.0 = perfectly
+    * uniform, and anything past the AQE default ~5× marks keys that
+    * will straggle a shuffle join. One stacked scan (3 narrow (key_name,
+    * k) streams) into a two-level aggregate — the q_column_profile shape.
+    *
+    * Scale posture (100 TB): level 1 is a hash-partitioned per-key count
+    * (map-side combined), level 2 a 3-group rollup; nothing else moves.
+    */
+  private val skewAudit = Q(
+    "q_skew_audit",
+    (spark, dir) => {
+      val perKey = Tables(spark, dir, "lineitem")
+        .select(expr("""stack(3,
+            'l_orderkey', l_orderkey,
+            'l_partkey', l_partkey,
+            'l_suppkey', l_suppkey) as (key_name, k)"""))
+        .groupBy(col("key_name"), col("k"))
+        .agg(count(lit(1)).as("c"))
+      perKey.groupBy(col("key_name"))
+        .agg(sum(col("c")).cast("bigint").as("n_rows"),
+          count(lit(1)).cast("bigint").as("n_keys"),
+          max(col("c")).cast("bigint").as("max_key_rows"))
+        .select(col("key_name"), col("n_rows"), col("n_keys"), col("max_key_rows"),
+          expr("max_key_rows * 1000000 div n_rows").cast("bigint").as("top1_ppm"),
+          pround(col("max_key_rows").cast("double") * col("n_keys").cast("double") /
+            col("n_rows").cast("double"), 4).as("skew_factor"))
+        .orderBy(col("key_name"))
+    },
+    Some("""WITH s AS (
+              SELECT 'l_orderkey' AS key_name, l_orderkey AS k FROM lineitem
+              UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+              UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+            pk AS (SELECT key_name, k, COUNT(*) AS c FROM s GROUP BY key_name, k),
+            agg AS (SELECT key_name, SUM(c) AS n_rows, COUNT(*) AS n_keys,
+                      MAX(c) AS max_key_rows
+                    FROM pk GROUP BY key_name)
+            SELECT key_name, CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(n_keys AS BIGINT) AS n_keys,
+              CAST(max_key_rows AS BIGINT) AS max_key_rows,
+              CAST(max_key_rows * 1000000 // n_rows AS BIGINT) AS top1_ppm,
+              FLOOR((CAST(max_key_rows AS DOUBLE) * CAST(n_keys AS DOUBLE) /
+                CAST(n_rows AS DOUBLE)) * 10000 + 0.5) / 10000 AS skew_factor
+            FROM agg ORDER BY key_name"""))
+
   val all: Seq[Q] = Seq(spearman, iqrOutlier, benford, cusum, dauStickiness,
     splitLeakage, cramersV, hhi, jsDivergence, fkOrphans, columnProfile,
-    schemaDrift)
+    schemaDrift, skewAudit)
 }

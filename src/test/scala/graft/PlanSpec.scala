@@ -882,6 +882,33 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_zorder_locality is one scan + value-based chunking (no window, no sample)") {
+    val plan = executedPlan("q_zorder_locality").split("== Initial Plan ==").head
+    // bucketing and Morton chunking are pure projections over one scan
+    // (the maxima are a second, 1-row-agg scan); a Window or Sample here
+    // would mean the layout assignment stopped being value-based
+    assert("Scan parquet".r.findAllIn(plan).size <= 2,
+      s"expected the stacked scan + maxima scan only:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Sample"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_incremental_agg partial-aggregates both maintenance paths") {
+    val plan = executedPlan("q_incremental_agg").split("== Initial Plan ==").head
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"base/delta and full paths must both partial-aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_skew_audit stacks the key streams off one scan, two-level aggregate") {
+    val plan = executedPlan("q_skew_audit").split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"the three key streams must stack off one scan:\n$plan")
+    assert(plan.contains("Generate stack"), s"expected the stack generator:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 3,
+      s"per-key count must map-side combine before the rollup:\n$plan")
+  }
+
   test("q_modularity reads persisted labels, never a cartesian on the edge joins") {
     val plan = executedPlan("q_modularity")
     assert(plan.contains("InMemoryTableScan"), s"labels not persisted:\n$plan")

@@ -792,4 +792,78 @@ class Round10PropertiesSpec extends AnyFunSuite {
       assert(seq === seq.sorted.reverse, s"matched counts not monotone: $ms")
     }
   }
+
+  test("q_zorder_locality equals the naive Morton zone-map audit; Z skips, ingest order can't") {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val maxp = li.map(_._1).max; val maxs = li.map(_._2).max
+    val maxok = li.map(_._3).max
+    def morton(bx: Long, by: Long): Long =
+      (0 until 8).map(i => (((bx >> i) & 1L) << (2 * i)) | (((by >> i) & 1L) << (2 * i + 1))).sum
+    val rows = li.map { case (p, s, ok) =>
+      val bx = p * 256 / (maxp + 1); val by = s * 256 / (maxs + 1)
+      (bx, by, morton(bx, by) * 64 / 65536, ok * 64 / (maxok + 1))
+    }
+    def audit(chunkOf: ((Long, Long, Long, Long)) => Long) = {
+      val zones = rows.groupBy(chunkOf).values.map { g =>
+        (g.size.toLong, g.map(_._1).min, g.map(_._1).max, g.map(_._2).min, g.map(_._2).max)
+      }
+      (zones.size.toLong,
+        zones.map { case (_, a, b, c, d) => (b - a + 1) * (d - c + 1) }.sum,
+        zones.count { case (_, a, _, c, _) => a > 127 || c > 127 }.toLong,
+        zones.collect { case (n, a, _, c, _) if a > 127 || c > 127 => n }.sum)
+    }
+    val want = Seq("roworder" -> audit(_._4), "zorder" -> audit(_._3))
+      .map { case (l, (a, b, c, d)) => (l, a, b, c, d) }
+    val got = run("q_zorder_locality").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === want)
+    // the capability claim itself: the Z-layout skips chunks AND rows for
+    // the quarter-grid predicate; the ingest-order layout skips nothing
+    val z = want.find(_._1 == "zorder").get; val ro = want.find(_._1 == "roworder").get
+    assert(z._4 > 0 && z._5 > 0 && ro._4 === 0L)
+    assert(z._3 < ro._3, "Z zone maps must be tighter than ingest-order zone maps")
+  }
+
+  test("q_incremental_agg: merge equals recompute; repeat customers explain the distinct gap") {
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").cast("string")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong,
+        java.time.LocalDate.parse(r.getString(3)).toEpochDay))
+    val dmin = orders.map(_._4).min; val dmax = orders.map(_._4).max
+    val want = orders.groupBy(_._1).toSeq.map { case (pri, g) =>
+      val base = g.filter(o => (o._4 - dmin) * 2 <= dmax - dmin)
+      val delta = g.filterNot(o => (o._4 - dmin) * 2 <= dmax - dmin)
+      val full = g.map(_._3).sum
+      val naive = base.map(_._2).distinct.size.toLong + delta.map(_._2).distinct.size.toLong
+      val fullD = g.map(_._2).distinct.size.toLong
+      (pri, full, full, 0L, g.size.toLong, g.size.toLong, fullD, naive, naive - fullD)
+    }.sortBy(_._1)
+    val got = run("q_incremental_agg").map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+      r.getLong(7), r.getLong(8)))
+    assert(got.toSeq === want)
+    // the algebraic-merge contract: zero diff on every group
+    assert(got.forall(r => r._4 == 0L && r._2 == r._3))
+  }
+
+  test("q_skew_audit equals the naive per-key distribution summary") {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = Seq(
+      "l_orderkey" -> li.map(_._1), "l_partkey" -> li.map(_._2),
+      "l_suppkey" -> li.map(_._3)).map { case (cn, ks) =>
+      val counts = ks.groupBy(identity).values.map(_.size.toLong)
+      val n = ks.length.toLong; val mx = counts.max
+      (cn, n, counts.size.toLong, mx, mx * 1000000L / n,
+        pround(mx.toDouble * counts.size.toDouble / n.toDouble, 4))
+    }.sortBy(_._1)
+    val got = run("q_skew_audit").map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === want)
+  }
 }
