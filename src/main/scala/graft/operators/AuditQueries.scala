@@ -760,7 +760,58 @@ object AuditQueries {
                 CAST(n_rows AS DOUBLE)) * 10000 + 0.5) / 10000 AS skew_factor
             FROM agg ORDER BY key_name"""))
 
+  /** k-ANONYMITY audit (Sweeney, IJUFKS'02) — the re-identification-risk
+    * census every governance review runs before a table feeds training
+    * data: rows are grouped by their quasi-identifier tuple
+    * (c_nationkey, c_mktsegment — the attributes an adversary can link
+    * externally) and each equivalence class of size k is binned into the
+    * standard risk tiers (k=1 unique → directly re-identifiable, 2–4
+    * weak, 5–9 moderate, 10+ the conventional release threshold).
+    * Reported per tier: classes, rows, and the rows' share of the table
+    * in exact ppm — the "what fraction of this table is below k=5"
+    * number that decides suppression/generalization.
+    *
+    * Scale posture (100 TB): one hash-partitioned QI groupBy (map-side
+    * combined) then a 4-group rollup with a 1-row broadcast total —
+    * the q_skew_audit shape pointed at privacy instead of shuffles.
+    */
+  private val kanonAudit = Q(
+    "q_kanon_audit",
+    (spark, dir) => {
+      val classes = Tables(spark, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("k"))
+      val tiers = classes.select(
+        when(col("k") === 1, lit("1_unique"))
+          .when(col("k") <= 4, lit("2_weak_2_4"))
+          .when(col("k") <= 9, lit("3_moderate_5_9"))
+          .otherwise(lit("4_anonymous_10plus")).as("tier"),
+        col("k"))
+      val total = broadcast(Tables(spark, dir, "customer")
+        .agg(count(lit(1)).as("n_total")))
+      tiers.groupBy(col("tier"))
+        .agg(count(lit(1)).cast("bigint").as("n_classes"),
+          sum(col("k")).cast("bigint").as("n_rows"))
+        .crossJoin(total)
+        .select(col("tier"), col("n_classes"), col("n_rows"),
+          expr("n_rows * 1000000 div n_total").cast("bigint").as("rows_ppm"))
+        .orderBy(col("tier"))
+    },
+    Some("""WITH classes AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS k
+                             FROM customer GROUP BY c_nationkey, c_mktsegment),
+            tiers AS (SELECT CASE WHEN k = 1 THEN '1_unique'
+                                  WHEN k <= 4 THEN '2_weak_2_4'
+                                  WHEN k <= 9 THEN '3_moderate_5_9'
+                                  ELSE '4_anonymous_10plus' END AS tier, k
+                      FROM classes),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM customer)
+            SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_classes,
+              CAST(SUM(k) AS BIGINT) AS n_rows,
+              CAST(SUM(k) * 1000000 // n_total AS BIGINT) AS rows_ppm
+            FROM tiers CROSS JOIN tot
+            GROUP BY tier, n_total ORDER BY tier"""))
+
   val all: Seq[Q] = Seq(spearman, iqrOutlier, benford, cusum, dauStickiness,
     splitLeakage, cramersV, hhi, jsDivergence, fkOrphans, columnProfile,
-    schemaDrift, skewAudit)
+    schemaDrift, skewAudit, kanonAudit)
 }

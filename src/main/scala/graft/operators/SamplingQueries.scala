@@ -343,6 +343,65 @@ object SamplingQueries {
                 * 100 + 0.5) / 100 AS winsorized_mean
             FROM wx GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Neyman optimal allocation (Neyman 1934; Cochran, Sampling Techniques
+    * §5.5) — how a fixed audit/labeling budget should split across strata:
+    * nₕ ∝ Nₕ·σₕ, so big AND volatile strata get proportionally more
+    * samples than small or uniform ones (vs q_stratified_sample's flat
+    * rate). Strata are order priorities, y is integer cents; the moments
+    * are one exact partial+final aggregate (Nₕ, Σy, Σy²), the per-stratum
+    * weight is floored to an integer BEFORE the cross-stratum total
+    * (wₕ = floor(Nₕ·σₕ) — no float sum across strata, the house rule),
+    * and the allocation for a 10 000-unit budget is wₕ·10⁴ div Σw.
+    * Variance itself is the population form σₕ² = Σy²/Nₕ − (Σy/Nₕ)²
+    * computed in the identical operand order on both engines from exact
+    * integer inputs (the q_welch_t discipline).
+    *
+    * Scale posture (100 TB): one scan, 5-group aggregate, 1-row broadcast
+    * weight total — allocation of any budget over any strata count is the
+    * same two-level shape.
+    */
+  private val neymanAlloc = Q(
+    "q_neyman_alloc",
+    (spark, dir) => {
+      // cents² sums overflow BIGINT past ~sf0.3 (3e15 per row): the
+      // factors cast to decimal BEFORE product and sum so the accumulator
+      // runs in decimal(38,0), mirroring DuckDB's automatic HUGEINT
+      // promotion (the q_assortativity precedent)
+      val cd = col("cents").cast("decimal(19,0)")
+      val m = Tables(spark, dir, "orders")
+        .select(col("o_orderpriority").as("stratum"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+        .groupBy(col("stratum"))
+        .agg(count(lit(1)).as("nh"), sum(col("cents")).as("s1"),
+          sum(cd * cd).as("s2"))
+      val w = m.select(col("stratum"), col("nh"),
+        expr("""cast(floor(nh * sqrt(cast(s2 as double) / cast(nh as double)
+              - (cast(s1 as double) / cast(nh as double))
+                * (cast(s1 as double) / cast(nh as double)))) as bigint)""").as("wh"))
+      val tot = broadcast(w.agg(coalesce(sum(col("wh")), lit(0L)).as("wtot")))
+      w.crossJoin(tot)
+        .select(col("stratum"), col("nh").cast("bigint").as("n_h"),
+          col("wh").cast("bigint").as("weight"),
+          when(col("wtot") === 0, lit(0L))
+            .otherwise(expr("wh * 10000 div wtot")).cast("bigint").as("alloc_10k"))
+        .orderBy(col("stratum"))
+    },
+    Some("""WITH m AS (SELECT o_orderpriority AS stratum, COUNT(*) AS nh,
+                         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS s1,
+                         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                           * CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS s2
+                       FROM orders GROUP BY o_orderpriority),
+            w AS (SELECT stratum, nh,
+                    CAST(FLOOR(nh * SQRT(CAST(s2 AS DOUBLE) / CAST(nh AS DOUBLE)
+                      - (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE)))) AS BIGINT) AS wh
+                  FROM m),
+            t AS (SELECT CAST(COALESCE(SUM(wh), 0) AS BIGINT) AS wtot FROM w)
+            SELECT stratum, CAST(nh AS BIGINT) AS n_h, CAST(wh AS BIGINT) AS weight,
+              CAST(CASE WHEN wtot = 0 THEN 0 ELSE wh * 10000 // wtot END AS BIGINT)
+                AS alloc_10k
+            FROM w CROSS JOIN t ORDER BY stratum"""))
+
   val all: Seq[Q] = Seq(stratifiedSample, zscore, abTest, linReg, gini, rfm,
-    madOutlier, reservoirSample, winsorize)
+    madOutlier, reservoirSample, winsorize, neymanAlloc)
 }

@@ -1455,10 +1455,102 @@ object TextQueries {
             FROM perdoc p CROSS JOIN mx
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Stupid Backoff scoring (Brants et al., EMNLP'07 "Large Language
+    * Models in Machine Translation") — THE web-scale LM smoothing:
+    * where Kneser-Ney (q_kn_bigram) needs continuation-count bookkeeping,
+    * Stupid Backoff just scores S(w₂|w₁) = c₁₂/c₁ when the train bigram
+    * exists, else 0.4·c₂/N — no normalization, chosen precisely because
+    * it distributes trivially over MapReduce-scale corpora. Evaluated the
+    * production way: train on doc_id % 10 ≠ 0, score every held-out
+    * bigram token, report per SOURCE (the LM-quality-per-domain table):
+    * tokens, train-bigram coverage in ppm, mean backoff score. Every
+    * score is an exact integer before aggregation — c₁₂·10⁶ div c₁ and
+    * c₂·400000 div N (0.4·10⁶ exact) — so the mean is one final division
+    * of an exact µunit sum (the q_dsir_weights funnel).
+    *
+    * Scale posture (100 TB): train censuses are hash-partitioned
+    * partial+final counts; held-out tokens LEFT-join the bigram and
+    * unigram tables on their keys (vocabulary-bounded relations); N is a
+    * 1-row broadcast; output is source-bounded.
+    */
+  private val stupidBackoff = Q(
+    "q_stupid_backoff",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val bg = train
+        .select(explode(TextOps.wordNGramsAll(col("text"), 2)).as("bgt"))
+        .select(substring_index(col("bgt"), " ", 1).as("w1"),
+          substring_index(col("bgt"), " ", -1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val uni = train
+        .select(explode(TextOps.wordNGramsAll(col("text"), 1)).as("w2"))
+        .groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+      val nTok = broadcast(uni.agg(coalesce(sum(col("c2")), lit(0L)).as("n")))
+      val held = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("source"), explode(TextOps.wordNGramsAll(col("text"), 2)).as("bgt"))
+        .select(col("source"), substring_index(col("bgt"), " ", 1).as("w1"),
+          substring_index(col("bgt"), " ", -1).as("w2"))
+      held.join(bg, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .join(uni, Seq("w2"), "left")
+        .crossJoin(nTok)
+        .select(col("source"),
+          when(col("c12").isNotNull, 1L).otherwise(0L).as("hit"),
+          when(col("c12").isNotNull, expr("c12 * 1000000 div c1"))
+            .when(col("c2").isNotNull && col("n") > 0, expr("c2 * 400000 div n"))
+            .otherwise(0L).as("score_u"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+          sum(col("hit")).cast("bigint").as("n_hits"),
+          expr("sum(hit) * 1000000 div count(1)").cast("bigint").as("coverage_ppm"),
+          pround(sum(col("score_u")).cast("double") /
+            (count(lit(1)).cast("double") * 1e6), 6).as("mean_score"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                 FROM documents),
+            bgr AS (SELECT t.ws[i] AS w1, t.ws[i + 1] AS w2
+                    FROM toks t, UNNEST(generate_series(1, len(t.ws) - 1)) AS u(i)
+                    WHERE t.doc_id % 10 <> 0 AND len(t.ws) >= 2),
+            bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                   FROM bgr GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+            uni AS (SELECT t.ws[i] AS w2, CAST(COUNT(*) AS BIGINT) AS c2
+                    FROM toks t, UNNEST(generate_series(1, len(t.ws))) AS u(i)
+                    WHERE t.doc_id % 10 <> 0 AND len(t.ws) >= 1
+                    GROUP BY 1),
+            nt AS (SELECT CAST(COALESCE(SUM(c2), 0) AS BIGINT) AS n FROM uni),
+            held AS (SELECT t.source, t.ws[i] AS w1, t.ws[i + 1] AS w2
+                     FROM toks t, UNNEST(generate_series(1, len(t.ws) - 1)) AS u(i)
+                     WHERE t.doc_id % 10 = 0 AND len(t.ws) >= 2),
+            scored AS (SELECT h.source,
+                         CASE WHEN bg.c12 IS NOT NULL THEN 1 ELSE 0 END AS hit,
+                         CASE WHEN bg.c12 IS NOT NULL THEN bg.c12 * 1000000 // c1.c1
+                              WHEN uni.c2 IS NOT NULL AND nt.n > 0
+                                THEN uni.c2 * 400000 // nt.n
+                              ELSE 0 END AS score_u
+                       FROM held h
+                       LEFT JOIN bg ON bg.w1 = h.w1 AND bg.w2 = h.w2
+                       LEFT JOIN c1 ON c1.w1 = h.w1
+                       LEFT JOIN uni ON uni.w2 = h.w2
+                       CROSS JOIN nt)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              CAST(SUM(hit) AS BIGINT) AS n_hits,
+              CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS coverage_ppm,
+              FLOOR((CAST(SUM(score_u) AS DOUBLE) /
+                (CAST(COUNT(*) AS DOUBLE) * 1000000.0)) * 1000000 + 0.5) / 1000000
+                AS mean_score
+            FROM scored GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
     tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm,
     repetitionFilter, zipfStats, lmPerplexity, charEntropy, ngramCoverage,
     piiRedact, vocabCoverage, pmiCollocations, bm25, cosinePairs, probeScan,
     ccnetBucket, bpePairs, knBigram, nucleusVocab, tokenizerFertility, langMix,
-    freqOfFreq, bpeMerge2, goodTuring, ngramNovelty, bpeTrain, bpeEncode)
+    freqOfFreq, bpeMerge2, goodTuring, ngramNovelty, bpeTrain, bpeEncode,
+    stupidBackoff)
 }

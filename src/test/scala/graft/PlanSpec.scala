@@ -909,6 +909,29 @@ class PlanSpec extends AnyFunSuite {
       s"per-key count must map-side combine before the rollup:\n$plan")
   }
 
+  test("q_stupid_backoff left-joins the census tables, never a cartesian on tokens") {
+    val plan = executedPlan("q_stupid_backoff").split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the held-out scoring must be equi-joins against the bigram/unigram
+    // censuses; the only nested-loop is the 1-row broadcast N
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected equi joins on the census keys:\n$plan")
+  }
+
+  test("q_kanon_audit rolls the QI classes up with partial aggregation") {
+    val plan = executedPlan("q_kanon_audit").split("== Initial Plan ==").head
+    assert("HashAggregate".r.findAllIn(plan).size >= 3,
+      s"QI census + tier rollup must partial-aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_neyman_alloc is one scan + 5-group aggregate + broadcast total") {
+    val plan = executedPlan("q_neyman_alloc").split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).size == 1, s"one scan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected the broadcast weight total:\n$plan")
+  }
+
   test("q_modularity reads persisted labels, never a cartesian on the edge joins") {
     val plan = executedPlan("q_modularity")
     assert(plan.contains("InMemoryTableScan"), s"labels not persisted:\n$plan")

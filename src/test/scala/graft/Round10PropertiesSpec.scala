@@ -866,4 +866,78 @@ class Round10PropertiesSpec extends AnyFunSuite {
       r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
     assert(got.toSeq === want)
   }
+
+  test("q_stupid_backoff equals the naive backoff scoring per source") {
+    val rows = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String) = t.split(" ", -1).filter(_.nonEmpty).toSeq
+    val train = rows.filter(_._1 % 10 != 0)
+    val bg = train.flatMap(r => toks(r._2).sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1)))).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = bg.toSeq.groupBy(_._1._1).map { case (w, g) => w -> g.map(_._2).sum }
+    val uni = train.flatMap(r => toks(r._2)).groupBy(identity)
+      .map { case (w, v) => w -> v.size.toLong }
+    val n = uni.values.sum
+    val held = rows.filter(_._1 % 10 == 0).flatMap(r =>
+      toks(r._2).sliding(2).filter(_.size == 2).map(p => (r._3, p(0), p(1))))
+    val want = held.groupBy(_._1).toSeq.map { case (src, g) =>
+      val scored = g.map { case (_, w1, w2) =>
+        bg.get((w1, w2)) match {
+          case Some(c12) => (1L, c12 * 1000000L / c1(w1))
+          case None => (0L, uni.get(w2).filter(_ => n > 0)
+            .map(c2 => c2 * 400000L / n).getOrElse(0L))
+        }
+      }
+      val nb = g.size.toLong
+      (src, nb, scored.map(_._1).sum, scored.map(_._1).sum * 1000000L / nb,
+        pround(scored.map(_._2).sum.toDouble / (nb.toDouble * 1e6), 6))
+    }.sortBy(_._1)
+    val got = run("q_stupid_backoff").map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === want)
+  }
+
+  test("q_kanon_audit equals the naive equivalence-class tier census") {
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ks = cust.groupBy(identity).values.map(_.size.toLong).toSeq
+    val total = cust.length.toLong
+    def tier(k: Long) = if (k == 1) "1_unique" else if (k <= 4) "2_weak_2_4"
+      else if (k <= 9) "3_moderate_5_9" else "4_anonymous_10plus"
+    val want = ks.groupBy(tier).toSeq.map { case (t, g) =>
+      (t, g.size.toLong, g.sum, g.sum * 1000000L / total)
+    }.sortBy(_._1)
+    val got = run("q_kanon_audit").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === want)
+    // the tier census partitions the table exactly
+    assert(got.map(_._3).sum === total)
+  }
+
+  test("q_neyman_alloc equals the naive optimal allocation; big-and-volatile strata win") {
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    val want = {
+      val ws = orders.groupBy(_._1).toSeq.map { case (s, g) =>
+        val nh = g.size.toLong
+        val s1 = g.map(_._2).sum
+        val s2 = g.map(c => BigInt(c._2) * BigInt(c._2)).sum
+        val varh = s2.toDouble / nh.toDouble -
+          (s1.toDouble / nh.toDouble) * (s1.toDouble / nh.toDouble)
+        (s, nh, math.floor(nh * math.sqrt(varh)).toLong)
+      }
+      val wtot = ws.map(_._3).sum
+      ws.map { case (s, nh, wh) =>
+        (s, nh, wh, if (wtot == 0) 0L else wh * 10000L / wtot)
+      }.sortBy(_._1)
+    }
+    val got = run("q_neyman_alloc").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === want)
+    // allocations exhaust (up to integer floors) and never exceed the budget
+    assert(got.map(_._4).sum <= 10000L && got.map(_._4).sum >= 10000L - got.size)
+  }
 }
