@@ -163,3 +163,72 @@ object SessionPaths {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(stateFn)(
         Encoders.kryo[Vector[PathEvent]], Encoders.product[SessionPath])
 }
+
+/** One SCD2 version: the user's event_type attribute held `event_type`
+  * from `start_us` until `end_us` (−1 = still current).
+  */
+final case class VersionRecord(user_id: Long, event_type: String,
+    start_us: Long, end_us: Long)
+
+/** Streaming twin of q_scd2's version reconstruction — the upsert/merge
+  * primitive as a stateful operator (the shape a CDC consumer runs:
+  * per-key latest-value tracking with change detection). Input shape is
+  * [[PathEvent]] (same fields); the version function is the identical
+  * gaps-and-islands rule the declared query pins: a version opens where
+  * the value differs from the previous row in (ts, event_id) order and
+  * closes at the next change (−1 = current).
+  *
+  * State discipline matches [[Sessions.stateFn]]: per-user event buffer
+  * sealed by an event-time timeout, late events clamped above the
+  * watermark. Unlike the sessionizer (whose sessions seal as the
+  * watermark passes each gap), a user's LAST version never closes on an
+  * unbounded stream — the agreement spec seals the bounded fixture with
+  * the far-future-sentinel harness and demands exact record equality
+  * with the batch twin, then exact rollup equality with declared q_scd2.
+  */
+object Scd2 {
+
+  /** One user's version chain (pure; mirrors q_scd2's lag-filter-lead). */
+  private[streaming] def versionsOf(userId: Long,
+      events: Iterator[PathEvent]): Iterator[VersionRecord] = {
+    val sorted = events.toVector.sortBy(e => (e.ts_us, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val changes = sorted.head +: sorted.sliding(2).collect {
+        case Vector(a, b) if a.event_type != b.event_type => b
+      }.toVector
+      changes.zipWithIndex.map { case (e, i) =>
+        VersionRecord(userId, e.event_type, e.ts_us,
+          if (i + 1 < changes.size) changes(i + 1).ts_us else -1L)
+      }.iterator
+    }
+  }
+
+  /** Batch realization — whole-group reduce. */
+  def versions(ds: Dataset[PathEvent]): Dataset[VersionRecord] =
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroups((uid: Long, it: Iterator[PathEvent]) => versionsOf(uid, it))(
+        Encoders.product[VersionRecord])
+
+  private def stateFn(userId: Long, events: Iterator[PathEvent],
+      state: GroupState[Vector[PathEvent]]): Iterator[VersionRecord] = {
+    if (state.hasTimedOut) {
+      val buffered = state.getOption.getOrElse(Vector.empty)
+      state.remove()
+      versionsOf(userId, buffered.iterator)
+    } else {
+      val buffered = state.getOption.getOrElse(Vector.empty) ++ events
+      state.update(buffered)
+      val candidate = buffered.map(_.ts_us / 1000).max + Sessions.GapUs / 1000
+      val floor = state.getCurrentWatermarkMs() + 1000
+      state.setTimeoutTimestamp(math.max(candidate, floor))
+      Iterator.empty
+    }
+  }
+
+  /** Streaming realization — requires a watermark on `ts`. */
+  def versionsStream(ds: Dataset[PathEvent]): Dataset[VersionRecord] =
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(stateFn)(
+        Encoders.kryo[Vector[PathEvent]], Encoders.product[VersionRecord])
+}

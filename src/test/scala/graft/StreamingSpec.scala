@@ -222,6 +222,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("SCD2 version reconstruction: batch twin rolls up to declared q_scd2 exactly") {
+    import spark.implicits._
+    import graft.streaming.{PathEvent, Scd2}
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("ts"))
+      .as[PathEvent]
+    val got = Scd2.versions(ev)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("end_us") === -1L, 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("end_us") =!= -1L, col("end_us") - col("start_us"))
+          .otherwise(0L)).as("closed_us"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val want = Registry.byName("q_scd2").build(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    Caches.releaseAll()
+    assert(got === want)
+  }
+
+  test("SCD2 version reconstruction: streaming twin == batch twin exactly") {
+    import spark.implicits._
+    import graft.streaming.{PathEvent, Scd2, VersionRecord}
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("ts"))
+    val batch = Scd2.versions(base.as[PathEvent])
+      .collect().map(v => (v.user_id, v.event_type, v.start_us, v.end_us)).sorted
+    // far-future sentinel (user −1): advances the watermark past every
+    // real user's timeout so all version chains seal (the session-paths
+    // harness); the sentinel's own single open version is filtered out
+    val staged = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    base.coalesce(1).write.parquet(s"$staged/f0.parquet")
+    val maxUs = base.agg(org.apache.spark.sql.functions.max(col("ts_us"))).head().getLong(0)
+    val farUs = maxUs + 3L * 3600 * 1000 * 1000
+    spark.createDataFrame(Seq((-1L, -1L, farUs, "view")))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
+        org.apache.spark.sql.functions.timestamp_micros(col("ts_us")).as("ts"))
+      .coalesce(1).write.parquet(s"$staged/f1.parquet")
+    forceLaterMtime(s"$staged/f0.parquet", s"$staged/f1.parquet")
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$staged/*.parquet")
+      .withWatermark("ts", "1 hour")
+      .as[PathEvent]
+    val q = Scd2.versionsStream(stream).writeStream
+      .format("memory").queryName("scd2_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("scd2_stream")
+      .as[VersionRecord]
+      .collect().filter(_.user_id >= 0)
+      .map(v => (v.user_id, v.event_type, v.start_us, v.end_us)).sorted
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stateful sessionizer (streaming mode) runs and seals sessions") {
     import spark.implicits._
     val ev = Streams.eventsStream(spark, dir)
