@@ -811,7 +811,66 @@ object AuditQueries {
             FROM tiers CROSS JOIN tot
             GROUP BY tier, n_total ORDER BY tier"""))
 
+  /** Mutual information between source and language — the data-mix
+    * dependence audit (how much does knowing the source tell you about
+    * the language?): H(lang), H(lang|source) and I(source; lang) =
+    * H(lang) − H(lang|source) in bits, from the exact (source, lang)
+    * contingency counts. I = 0 means sources share one language profile
+    * (stratifying by source buys nothing); I → H(lang) means language is
+    * a function of source (sampling by source IS sampling by language —
+    * q_mixture_allocation must then treat them as one axis). The cousin
+    * of q_cramers_v (effect size) and q_js_divergence (pairwise shape
+    * distance), in information units. Entropy terms follow the
+    * q_char_entropy float-log2 idiom: H(lang) = log2(N) − Σn_l·log2(n_l)/N,
+    * H(lang|source) = (Σn_s·log2(n_s) − Σn_sl·log2(n_sl))/N, every sum
+    * over the bounded category table, pround 4.
+    *
+    * Scale posture: ONE hash-partitioned (source, lang) count; the
+    * marginals and entropy sums roll up the bounded contingency relation;
+    * output is one row.
+    */
+  private val mutualInfo = Q(
+    "q_mutual_info",
+    (spark, dir) => {
+      val sl = graft.Caches.persisted(
+        Tables(spark, dir, "documents")
+          .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c")))
+      val lgs = sl.groupBy(col("lang")).agg(sum(col("c")).as("nl"))
+        .agg(sum(col("nl").cast("double") * log2(col("nl").cast("double"))).as("a"))
+      val sgs = sl.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+        .agg(sum(col("ns").cast("double") * log2(col("ns").cast("double"))).as("b"))
+      val slg = sl.agg(
+        sum(col("c").cast("double") * log2(col("c").cast("double"))).as("cc"),
+        sum(col("c")).cast("bigint").as("n"))
+      slg.crossJoin(broadcast(lgs)).crossJoin(broadcast(sgs))
+        .select(col("n"),
+          pround(log2(col("n").cast("double")) -
+            col("a") / col("n").cast("double"), 4).as("h_lang"),
+          pround((col("b") - col("cc")) / col("n").cast("double"), 4)
+            .as("h_lang_given_source"),
+          pround(log2(col("n").cast("double")) - col("a") / col("n").cast("double") -
+            (col("b") - col("cc")) / col("n").cast("double"), 4)
+            .as("mutual_info"))
+    },
+    Some("""WITH sl AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+                        FROM documents GROUP BY source, lang),
+            a AS (SELECT SUM(CAST(nl AS DOUBLE) * log2(CAST(nl AS DOUBLE))) AS a
+                  FROM (SELECT lang, SUM(c) AS nl FROM sl GROUP BY lang)),
+            b AS (SELECT SUM(CAST(ns AS DOUBLE) * log2(CAST(ns AS DOUBLE))) AS b
+                  FROM (SELECT source, SUM(c) AS ns FROM sl GROUP BY source)),
+            g AS (SELECT SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS cc,
+                    CAST(SUM(c) AS BIGINT) AS n FROM sl)
+            SELECT n,
+              FLOOR((log2(CAST(n AS DOUBLE)) - a / CAST(n AS DOUBLE))
+                * 10000 + 0.5) / 10000 AS h_lang,
+              FLOOR(((b - cc) / CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000
+                AS h_lang_given_source,
+              FLOOR((log2(CAST(n AS DOUBLE)) - a / CAST(n AS DOUBLE)
+                - (b - cc) / CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000
+                AS mutual_info
+            FROM g CROSS JOIN a CROSS JOIN b"""))
+
   val all: Seq[Q] = Seq(spearman, iqrOutlier, benford, cusum, dauStickiness,
     splitLeakage, cramersV, hhi, jsDivergence, fkOrphans, columnProfile,
-    schemaDrift, skewAudit, kanonAudit)
+    schemaDrift, skewAudit, kanonAudit, mutualInfo)
 }

@@ -1480,9 +1480,63 @@ object DedupQueries {
           FROM s ORDER BY b"""
     })
 
+  /** Dedup SURVIVORSHIP — the mixture-shift audit run after every dedup
+    * pass: exact dedup (content-hash keep-first, the q_dedup_exact rule)
+    * does not remove documents uniformly, so the POST-dedup language mix
+    * differs from the pre-dedup mix (the CCNet/C4 observation: heavily
+    * duplicated boilerplate concentrates in particular slices, and
+    * removing it shifts what the model trains on). Per language: docs
+    * before, docs kept, corpus share before and after in exact ppm, and
+    * the shift — the number a data-mix owner checks before re-balancing
+    * (q_mixture_weights consumes exactly this table at 100 TB).
+    *
+    * Scale posture: one md5 projection, one content-hash groupBy for the
+    * keeper (hash-partitioned), one id equi-join back, bounded per-lang
+    * rollup with two 1-row broadcast totals.
+    */
+  private val dedupSurvivorship = Q(
+    "q_dedup_survivorship",
+    (spark, dir) => {
+      val d = Tables(spark, dir, "documents")
+        .select(col("lang"), col("doc_id"), md5(col("text")).as("h"))
+      val keeper = d.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+      val flagged = d.join(keeper, "h")
+        .select(col("lang"),
+          when(col("doc_id") === col("keeper"), 1L).otherwise(0L).as("kept"))
+      val per = flagged.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+      val tot = broadcast(per.agg(
+        coalesce(sum(col("n_docs")), lit(0L)).as("nb"),
+        coalesce(sum(col("n_kept")), lit(0L)).as("na")))
+      per.crossJoin(tot)
+        .select(col("lang"), col("n_docs").cast("bigint").as("n_docs"),
+          col("n_kept").cast("bigint").as("n_kept"),
+          expr("n_docs * 1000000 div nb").cast("bigint").as("share_before_ppm"),
+          expr("n_kept * 1000000 div na").cast("bigint").as("share_after_ppm"),
+          (expr("n_kept * 1000000 div na") - expr("n_docs * 1000000 div nb"))
+            .cast("bigint").as("shift_ppm"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH d AS (SELECT lang, doc_id, md5(text) AS h FROM documents),
+            keeper AS (SELECT h, MIN(doc_id) AS keeper FROM d GROUP BY h),
+            flagged AS (SELECT d.lang,
+                          CASE WHEN d.doc_id = k.keeper THEN 1 ELSE 0 END AS kept
+                        FROM d JOIN keeper k ON k.h = d.h),
+            per AS (SELECT lang, COUNT(*) AS n_docs, SUM(kept) AS n_kept
+                    FROM flagged GROUP BY lang),
+            tot AS (SELECT CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) AS nb,
+                      CAST(COALESCE(SUM(n_kept), 0) AS BIGINT) AS na FROM per)
+            SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+              CAST(n_kept AS BIGINT) AS n_kept,
+              CAST(n_docs * 1000000 // nb AS BIGINT) AS share_before_ppm,
+              CAST(n_kept * 1000000 // na AS BIGINT) AS share_after_ppm,
+              CAST(n_kept * 1000000 // na - n_docs * 1000000 // nb AS BIGINT)
+                AS shift_ppm
+            FROM per CROSS JOIN tot ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupContainment, minhashRecall, chunkDedup, dupRatioBySource,
     minhashPrecision, spanDedup, spanLeakage, simhashHamming, spanScrub,
     minhashEstError, lshBandSweep, boilerplatePrefix, spanDedupGlobal,
-    spanScrubGlobal, spanCoverage, bbitMinhash)
+    spanScrubGlobal, spanCoverage, bbitMinhash, dedupSurvivorship)
 }

@@ -1546,11 +1546,71 @@ object TextQueries {
                 AS mean_score
             FROM scored GROUP BY source ORDER BY source"""))
 
+  /** Word BURSTINESS — Church & Gale's dispersion diagnostic ("Poisson
+    * mixtures", 1995): content words BURST (they recur heavily inside the
+    * few documents that mention them) while function words spread
+    * Poisson-like, so the variance-to-mean ratio of a word's per-document
+    * count separates topical vocabulary from glue — the signal behind
+    * df-weighting choices (why q_tfidf's idf works) and boilerplate
+    * screens. For the 20 most frequent words: total count, document
+    * frequency, and the dispersion index (σ²/µ over ALL N docs, zeros
+    * included — zeros add nothing to Σc or Σc², so the exact integer
+    * moments (Σc, Σc², df) plus the broadcast N are sufficient:
+    * µ = Σc/N, σ² = Σc²/N − µ²). Dispersion 1 = Poisson; ≫1 = bursty.
+    *
+    * Scale posture: one (doc, word) count aggregate, one per-word moment
+    * aggregate (both hash-partitioned, map-side combined), a
+    * TakeOrdered(20) head, N as a 1-row broadcast.
+    */
+  private val burstiness = Q(
+    "q_burstiness",
+    (spark, dir) => {
+      val perDoc = Tables.spreadIfUnderSplitAtScale(
+          Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), explode(TextOps.wordNGramsAll(col("text"), 1)).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      val moments = perDoc.groupBy(col("w"))
+        .agg(sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"),
+          count(lit(1)).as("df"))
+      val n = broadcast(Tables(spark, dir, "documents")
+        .agg(count(lit(1)).as("n")))
+      moments.orderBy(col("s1").desc, col("w")).limit(20)
+        .crossJoin(n)
+        .select(col("w"), col("s1").cast("bigint").as("total_count"),
+          col("df").cast("bigint").as("doc_freq"),
+          pround(
+            (col("s2").cast("double") / col("n").cast("double") -
+              (col("s1").cast("double") / col("n").cast("double")) *
+                (col("s1").cast("double") / col("n").cast("double"))) /
+              (col("s1").cast("double") / col("n").cast("double")), 4)
+            .as("dispersion"))
+        .orderBy(col("total_count").desc, col("w"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                 FROM documents),
+            pd AS (SELECT doc_id, t.ws[i] AS w, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM toks t, UNNEST(generate_series(1, len(t.ws))) AS u(i)
+                   WHERE len(t.ws) >= 1 GROUP BY doc_id, t.ws[i]),
+            m AS (SELECT w, SUM(c) AS s1, SUM(c * c) AS s2, COUNT(*) AS df
+                  FROM pd GROUP BY w),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            head AS (SELECT * FROM m ORDER BY s1 DESC, w LIMIT 20)
+            SELECT w, CAST(s1 AS BIGINT) AS total_count,
+              CAST(df AS BIGINT) AS doc_freq,
+              FLOOR(((CAST(s2 AS DOUBLE) / CAST(n.n AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n.n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n.n AS DOUBLE)))
+                / (CAST(s1 AS DOUBLE) / CAST(n.n AS DOUBLE)))
+                * 10000 + 0.5) / 10000 AS dispersion
+            FROM head CROSS JOIN n
+            ORDER BY total_count DESC, w"""))
+
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
     tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm,
     repetitionFilter, zipfStats, lmPerplexity, charEntropy, ngramCoverage,
     piiRedact, vocabCoverage, pmiCollocations, bm25, cosinePairs, probeScan,
     ccnetBucket, bpePairs, knBigram, nucleusVocab, tokenizerFertility, langMix,
     freqOfFreq, bpeMerge2, goodTuring, ngramNovelty, bpeTrain, bpeEncode,
-    stupidBackoff)
+    stupidBackoff, burstiness)
 }

@@ -932,6 +932,29 @@ class PlanSpec extends AnyFunSuite {
       s"expected the broadcast weight total:\n$plan")
   }
 
+  test("q_dedup_survivorship joins the keeper on the content hash, no cartesian") {
+    val plan = executedPlan("q_dedup_survivorship").split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected the content-hash keeper equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_burstiness takes the top-20 words without a global sort") {
+    val plan = executedPlan("q_burstiness").split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k head:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"(doc,word) count and per-word moments must partial-aggregate:\n$plan")
+  }
+
+  test("q_mutual_info rolls the persisted contingency table up, 1-row output") {
+    val plan = executedPlan("q_mutual_info")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the (source, lang) contingency count must be computed once:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_modularity reads persisted labels, never a cartesian on the edge joins") {
     val plan = executedPlan("q_modularity")
     assert(plan.contains("InMemoryTableScan"), s"labels not persisted:\n$plan")

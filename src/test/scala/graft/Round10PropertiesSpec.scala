@@ -940,4 +940,69 @@ class Round10PropertiesSpec extends AnyFunSuite {
     // allocations exhaust (up to integer floors) and never exceed the budget
     assert(got.map(_._4).sum <= 10000L && got.map(_._4).sum >= 10000L - got.size)
   }
+
+  test("q_dedup_survivorship equals the naive keep-first mix shift; shares balance") {
+    val rows = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val keeper = rows.groupBy(r => md5hex(r._2)).map { case (_, g) =>
+      g.map(_._1).min
+    }.toSet
+    val nb = rows.length.toLong
+    val na = rows.count(r => keeper(r._1)).toLong
+    val want = rows.groupBy(_._3).toSeq.map { case (lang, g) =>
+      val nd = g.size.toLong; val nk = g.count(r => keeper(r._1)).toLong
+      (lang, nd, nk, nd * 1000000L / nb, nk * 1000000L / na,
+        nk * 1000000L / na - nd * 1000000L / nb)
+    }.sortBy(_._1)
+    val got = run("q_dedup_survivorship").map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === want)
+    // shift is zero-sum up to ppm floors
+    assert(math.abs(got.map(_._6).sum) <= got.size.toLong)
+  }
+
+  test("q_burstiness equals the naive dispersion index; top words are bursty or Poisson-like") {
+    val perDoc = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, xs) => (w, id, xs.length.toLong) }
+    }
+    val n = docs.size.toLong
+    val want = perDoc.groupBy(_._1).toSeq.map { case (w, g) =>
+      val s1 = g.map(_._3).sum; val s2 = g.map(c => c._3 * c._3).sum
+      val mean = s1.toDouble / n.toDouble
+      val disp = (s2.toDouble / n.toDouble - mean * mean) / mean
+      (w, s1, g.size.toLong, pround(disp, 4))
+    }.sortBy { case (w, s1, _, _) => (-s1, w) }.take(20)
+    val got = run("q_burstiness").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === want)
+    // dispersion of a count variable is non-negative
+    assert(got.forall(_._4 >= 0.0))
+  }
+
+  test("q_mutual_info equals the naive entropy computation and satisfies 0 <= I <= H(lang)") {
+    val rows = Tables(spark, dir, "documents")
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toLong
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val a = rows.groupBy(_._2).values.map(_.size.toLong)
+      .map(nl => nl.toDouble * log2(nl.toDouble)).sum
+    val b = rows.groupBy(_._1).values.map(_.size.toLong)
+      .map(ns => ns.toDouble * log2(ns.toDouble)).sum
+    val cc = rows.groupBy(identity).values.map(_.size.toLong)
+      .map(c => c.toDouble * log2(c.toDouble)).sum
+    val hL = pround(log2(n.toDouble) - a / n.toDouble, 4)
+    val hLS = pround((b - cc) / n.toDouble, 4)
+    val mi = pround(log2(n.toDouble) - a / n.toDouble - (b - cc) / n.toDouble, 4)
+    val r = run("q_mutual_info").head
+    assert(r.getLong(0) === n)
+    assert(r.getDouble(1) === hL)
+    assert(r.getDouble(2) === hLS)
+    assert(r.getDouble(3) === mi)
+    // information inequalities (up to the pround grain)
+    assert(r.getDouble(3) >= -1e-4 && r.getDouble(3) <= r.getDouble(1) + 1e-4)
+    assert(r.getDouble(2) <= r.getDouble(1) + 1e-4)
+  }
 }
