@@ -96,6 +96,36 @@ object Calibration {
     }
   }
 
+  /** Quiet-vs-quiet comparison rule (round 11; r10 verdict "What's
+    * wrong" #2): the spin marker measures PURE-ALU steal, so dividing a
+    * whole suite total by [[taxFactor]] OVER-corrects queries that spend
+    * most of their wall time in scheduling/IO waits (cpu_ms ≪ wall ×
+    * cores — most of this suite, per the sidecar's own telemetry).
+    * Cross-round totals therefore compare only between runs whose tax ≈
+    * 1.0; when a taxed run must be read, each query's correction is
+    * BOUNDED by its own CPU fraction:
+    *
+    *   effective tax = 1 + (tax − 1) · min(1, cpu_ms / (wall_ms · cores))
+    *
+    * A pure-CPU query gets the full marker correction, an all-waits
+    * query gets none, and the true quiet-equivalent number lies between
+    * the raw and fully-adjusted readings. The r9-vs-r10 sf1 ambiguity
+    * (r9 at tax 1.379: common-set "ratio" anywhere from ~1.03× raw to
+    * ~1.39× fully adjusted) is exactly the gap this bound closes.
+    */
+  def boundedTax(tax: Double, wallSec: Double, cpuMs: Double, cores: Int): Double = {
+    val wallMs = wallSec * 1000.0
+    val f =
+      if (wallMs <= 0 || cores <= 0) 0.0
+      else math.min(1.0, math.max(0.0, cpuMs / (wallMs * cores)))
+    1.0 + (math.max(1.0, tax) - 1.0) * f
+  }
+
+  /** Per-query quiet-equivalent seconds under the CPU-fraction bound. */
+  def boundedAdjustedSec(wallSec: Double, tax: Double, cpuMs: Double,
+      cores: Int): Double =
+    wallSec / boundedTax(tax, wallSec, cpuMs, cores)
+
   /** Parse one per-query metric map from the sidecar: "queries" (seconds),
     * "gc_ms" or "cpu_ms" (the round-10 pressure telemetry). Names the
     * in-suite adjudication BASELINE.md's protocol runs on: a query whose

@@ -261,19 +261,27 @@ object AdvancedJoins {
   private val bucketedJoin = Q(
     "q_bucketed_join",
     (spark, dir) => {
-      val wh = s"/tmp/graft_bucketed_${Integer.toHexString(dir.hashCode)}"
+      // path + table names carry the Spark applicationId so two
+      // concurrent sessions benching the same dir never race on the
+      // overwrite; a once-per-path JVM shutdown hook removes the /tmp
+      // bucket files (they are a demonstration workspace, not a sink)
+      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val wh = s"/tmp/graft_bucketed_${tok}_${Integer.toHexString(dir.hashCode)}"
+      BucketedWorkspace.cleanupOnExit(wh)
+      val ordersT = s"g_orders_bucketed_$tok"
+      val custT = s"g_customer_bucketed_$tok"
       Tables(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$wh/orders_b").saveAsTable("g_orders_bucketed")
+        .option("path", s"$wh/orders_b").saveAsTable(ordersT)
       Tables(spark, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
         .write.mode("overwrite")
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$wh/customer_b").saveAsTable("g_customer_bucketed")
-      spark.table("g_orders_bucketed")
-        .join(spark.table("g_customer_bucketed").hint("merge"),
+        .option("path", s"$wh/customer_b").saveAsTable(custT)
+      spark.table(ordersT)
+        .join(spark.table(custT).hint("merge"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).cast("bigint").as("n_orders"),
@@ -289,4 +297,25 @@ object AdvancedJoins {
 
   val all: Seq[Q] = Seq(asofJoin, rangeJoin, saltedJoin, bloomJoin, fuzzyJoin,
     marketBasket, bucketedJoin)
+}
+
+/** Session-scoped /tmp workspace for the bucketed-layout demonstration:
+  * registers at most one JVM shutdown hook per path that removes the
+  * bucket files on exit, so repeated builds within a session reuse the
+  * path and nothing leaks across runs.
+  */
+private[operators] object BucketedWorkspace {
+  private val hooked = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  def cleanupOnExit(path: String): Unit =
+    if (hooked.putIfAbsent(path, java.lang.Boolean.TRUE) == null) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => delete(new java.io.File(path))))
+    }
+
+  private def delete(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(delete)
+    f.delete()
+    ()
+  }
 }

@@ -1534,9 +1534,205 @@ object DedupQueries {
                 AS shift_ppm
             FROM per CROSS JOIN tot ORDER BY lang"""))
 
+  /** (doc_id, bandkey, mh0..mh15): each of the 4 LSH bands as a single
+    * string key `"b:sig"` carrying the full 16-value signature alongside —
+    * the DENORMALIZED signature-store row. Carrying the signature on the
+    * band row is what lets band candidates verify the estimated Jaccard
+    * (matched minhashes / 16) inside the band join itself, with no second
+    * join back to the base corpus — the store-resident verification an
+    * incremental pipeline needs.
+    */
+  private[graft] def bandKeyed(sigs: DataFrame): DataFrame = {
+    val bks = (0 until 4).map { b =>
+      concat(lit(s"$b:"),
+        concat_ws(",",
+          (b * 4 until b * 4 + 4).map(i => col(s"mh$i").cast("string")): _*)).as(s"bk$b")
+    }
+    val mhs = (0 until 16).map(i => s"mh$i")
+    sigs.select(col("doc_id") +: (bks ++ mhs.map(col)): _*)
+      .selectExpr(Seq("stack(4, bk0, bk1, bk2, bk3) AS bandkey", "doc_id") ++ mhs: _*)
+  }
+
+  /** DuckDB chain replaying [[bandKeyed]] ∘ [[minhashSigs]] ∘ shingles over
+    * `src`, producing `{p}bands(doc_id, bandkey, mh0..mh15)`.
+    */
+  private def bandKeyedCteFrom(src: String, p: String): String = {
+    val mhCols = minhashSeeds.zipWithIndex
+      .map { case (k, i) => s"MIN(xor(x, $k)) AS mh$i" }.mkString(", ")
+    val all16 = (0 until 16).map(i => s"mh$i").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val sig = (b * 4 until b * 4 + 4).map(i => s"CAST(mh$i AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, '$b:' || $sig AS bandkey, $all16 FROM ${p}mh"
+    }.mkString(" UNION ALL ")
+    s"""${p}toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                     FROM $src),
+        ${p}sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM ${p}toks, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+               WHERE len(ws) >= 3),
+        ${p}xs AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS x
+                   FROM ${p}sh),
+        ${p}mh AS (SELECT doc_id, $mhCols FROM ${p}xs GROUP BY doc_id),
+        ${p}bands AS ($bandSelects)"""
+  }
+
+  /** Once-per-JVM signature-store build guard: the store is written the
+    * first time a (session, fixture-dir) pair asks for it and reused by
+    * every later build in the same JVM — exactly the production shape
+    * (the store is built once at ingest; nightly deltas only read it),
+    * and what makes the steady-state TimeQuery/Bench reading the honest
+    * INCREMENTAL cost rather than store-build + increment.
+    */
+  private object IncStore {
+    private val built = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    def once(key: String)(write: => Unit): Unit =
+      built.computeIfAbsent(key, _ => { write; java.lang.Boolean.TRUE })
+  }
+
+  /** Cross-snapshot INCREMENTAL dedup — the production loop every corpus
+    * engineer asks for after the batch pass works: last night's crawl
+    * delta (doc_id ≡ 0 mod 10, ~10% of documents) is deduped against the
+    * EXISTING corpus (the other 90%) WITHOUT re-scanning the base
+    * corpus. The base is represented by a persisted signature store,
+    * built once per session ([[IncStore]]) and written via the
+    * q_bucketed_join bucketed sink (8 buckets, sorted, external parquet):
+    *
+    *   - `exact` store: (doc_id, h=md5(text)) bucketed on h;
+    *   - `bands` store: [[bandKeyed]] rows bucketed on bandkey — each
+    *     band row carries the full 16-minhash signature.
+    *
+    * The delta then runs two channels, each a join whose STORE side
+    * rides the stored bucket layout with zero exchange (plan-pinned;
+    * the only exchanges hash the DELTA-derived relations into the 8
+    * store buckets — the work scales with delta mass, not corpus mass):
+    *
+    *   - exact: delta md5 hits against the store, plus within-delta
+    *     keep-first (earlier delta id wins); one row per duplicated
+    *     delta doc with its lowest-id match, arrival-order semantics
+    *     (a delta doc duplicating ANY base doc is the duplicate
+    *     regardless of id order — the base is the established corpus);
+    *   - near: delta band keys hit store band keys; the estimated
+    *     Jaccard (matched minhashes / 16, exact integer basis points ×
+    *     625) is verified ≥ 0.5 IN the band join from the denormalized
+    *     signatures — exact shingle Jaccard would require re-reading
+    *     base text, which is precisely what an incremental pass must
+    *     not do (q_minhash_est_error quantifies this estimator's error;
+    *     the estimate is monotone-correct for the keep/drop decision at
+    *     the band threshold). Exact-equal pairs stay in the exact
+    *     channel (anti-join).
+    *
+    * The merge hint on the store side keeps the demonstration honest at
+    * test scale (the stores would otherwise broadcast — right in
+    * production for a small store, but then nothing would prove the
+    * bucket layout lines up; the q_bucketed_join note). The DuckDB
+    * oracle replays store+delta as pure CTEs — the store contents ARE
+    * the base relations, so the replay is exact.
+    */
+  private val dedupIncremental = Q(
+    "q_dedup_incremental",
+    (spark, dir) => {
+      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val dh = Integer.toHexString(dir.hashCode)
+      val wh = s"/tmp/graft_incstore_${tok}_$dh"
+      val exactT = s"g_inc_exact_${tok}_$dh"
+      val bandsT = s"g_inc_bands_${tok}_$dh"
+      val docs = Tables.spreadIfUnderSplitAtScale(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+      val base = docs.filter(col("doc_id") % 10 =!= 0)
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      IncStore.once(wh) {
+        BucketedWorkspace.cleanupOnExit(wh)
+        base.select(col("doc_id"), md5(col("text")).as("h"))
+          .write.mode("overwrite").bucketBy(8, "h").sortBy("h")
+          .option("path", s"$wh/exact").saveAsTable(exactT)
+        bandKeyed(minhashSigs(shingleRelOf(base)))
+          .write.mode("overwrite").bucketBy(8, "bandkey").sortBy("bandkey")
+          .option("path", s"$wh/bands").saveAsTable(bandsT)
+      }
+      val storeExact = spark.table(exactT).select(col("doc_id").as("m"), col("h"))
+      val storeBands = spark.table(bandsT).select(
+        col("doc_id").as("m") +: col("bandkey") +:
+          (0 until 16).map(i => col(s"mh$i")): _*)
+      val dExact = graft.Caches.persisted(
+        delta.select(col("doc_id").as("d"), md5(col("text")).as("h")))
+      val dBandsRaw = graft.Caches.persisted(
+        bandKeyed(minhashSigs(shingleRelOf(delta))))
+      val dBands = dBandsRaw.select(
+        col("doc_id").as("d") +: col("bandkey") +:
+          (0 until 16).map(i => col(s"mh$i").as(s"dm$i")): _*)
+      val dAsStore = dBandsRaw.select(
+        col("doc_id").as("m") +: col("bandkey") +:
+          (0 until 16).map(i => col(s"mh$i")): _*)
+      // persisted: consumed by BOTH the exact channel and the near
+      // channel's anti-join — without the boundary the store-side merge
+      // join would re-execute (a second store scan + delta exchange)
+      val exactPairs = graft.Caches.persisted(
+        dExact.join(storeExact.hint("merge"), "h")
+          .select(col("d"), col("m"))
+          .unionAll(dExact.as("x").join(dExact.as("y"),
+            col("x.h") === col("y.h") && col("y.d") < col("x.d"))
+            .select(col("x.d").as("d"), col("y.d").as("m"))))
+      val exact = exactPairs.groupBy(col("d"))
+        .agg(min(col("m")).as("match_doc"))
+        .select(col("d").as("doc_id"), lit("exact").as("kind"),
+          col("match_doc").cast("bigint").as("match_doc"),
+          lit(10000L).as("est_bp"))
+      val mm = (0 until 16).map(i =>
+        when(col(s"dm$i") === col(s"mh$i"), 1L).otherwise(0L)).reduce(_ + _)
+      val npairs = dBands.join(storeBands.hint("merge"), "bandkey")
+        .unionAll(dBands.join(dAsStore, "bandkey").filter(col("m") < col("d")))
+        .select(col("d"), col("m"), mm.as("mm"))
+        .distinct()
+      val near = npairs.filter(col("mm") >= 8)
+        .join(exactPairs.select(col("d").as("ed"), col("m").as("em")),
+          col("d") === col("ed") && col("m") === col("em"), "left_anti")
+        .select(col("d").as("doc_id"), lit("near").as("kind"),
+          col("m").cast("bigint").as("match_doc"),
+          (col("mm") * 625L).cast("bigint").as("est_bp"))
+      exact.unionAll(near)
+        .orderBy(col("doc_id"), col("kind"), col("match_doc"))
+    },
+    Some {
+      val mmE = (0 until 16).map(i =>
+        s"CASE WHEN d.mh$i = s.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+          delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+          bh AS (SELECT doc_id, md5(text) AS h FROM base),
+          deh AS (SELECT doc_id, md5(text) AS h FROM delta),
+          epairs AS (SELECT d.doc_id AS d, b.doc_id AS m
+                     FROM deh d JOIN bh b ON d.h = b.h
+                     UNION ALL
+                     SELECT x.doc_id, y.doc_id
+                     FROM deh x JOIN deh y ON x.h = y.h AND y.doc_id < x.doc_id),
+          exact AS (SELECT d AS doc_id, 'exact' AS kind,
+                      CAST(MIN(m) AS BIGINT) AS match_doc,
+                      CAST(10000 AS BIGINT) AS est_bp
+                    FROM epairs GROUP BY d),
+          ${bandKeyedCteFrom("base", "b")},
+          ${bandKeyedCteFrom("delta", "d")},
+          ncand AS (SELECT d.doc_id AS d, s.doc_id AS m, $mmE AS mm
+                    FROM dbands d JOIN bbands s ON d.bandkey = s.bandkey
+                    UNION ALL
+                    SELECT d.doc_id, s.doc_id, $mmE
+                    FROM dbands d JOIN dbands s
+                      ON d.bandkey = s.bandkey AND s.doc_id < d.doc_id),
+          npairs AS (SELECT DISTINCT d, m, mm FROM ncand),
+          near AS (SELECT n.d AS doc_id, 'near' AS kind,
+                     CAST(n.m AS BIGINT) AS match_doc,
+                     CAST(n.mm * 625 AS BIGINT) AS est_bp
+                   FROM npairs n
+                   WHERE n.mm >= 8
+                     AND NOT EXISTS (SELECT 1 FROM epairs e
+                                     WHERE e.d = n.d AND e.m = n.m))
+          SELECT doc_id, kind, match_doc, est_bp FROM exact
+          UNION ALL SELECT doc_id, kind, match_doc, est_bp FROM near
+          ORDER BY doc_id, kind, match_doc"""
+    })
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupContainment, minhashRecall, chunkDedup, dupRatioBySource,
     minhashPrecision, spanDedup, spanLeakage, simhashHamming, spanScrub,
     minhashEstError, lshBandSweep, boilerplatePrefix, spanDedupGlobal,
-    spanScrubGlobal, spanCoverage, bbitMinhash, dedupSurvivorship)
+    spanScrubGlobal, spanCoverage, bbitMinhash, dedupSurvivorship,
+    dedupIncremental)
 }

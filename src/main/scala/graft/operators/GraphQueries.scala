@@ -716,8 +716,9 @@ object GraphQueries {
             FROM cu GROUP BY 1 ORDER BY 1"""))
 
   /** Multi-source BFS levels over the symmetrized trade graph: exact hop
-    * distance from a seed set (customers with custkey < 10) out to 3
-    * hops — the reachability primitive behind "which suppliers are
+    * distance from a seed set (nodes with id < 20 that appear on the 'a'
+    * side of the undirected pair list — both engines seed identically)
+    * out to 3 hops — the reachability primitive behind "which suppliers are
     * within N trade hops of these flagged customers" audits. Each hop is
     * one equi-join of the frontier against the cached edge list (pinned
     * on src, the q_pagerank layout — the 100 TB side never re-shuffles)

@@ -81,7 +81,8 @@ object IvfQueries {
     "q_dedup_embed_lsh",
     (spark, dir) => {
       val n = Tables(spark, dir, "embeddings").count()
-      val signs = VectorQueries.planeSigns(VectorQueries.planesFor(n), 64)
+      val signs = VectorQueries.planeSigns(VectorQueries.planesFor(n),
+        VectorQueries.embeddingDim(spark, dir))
       val bucket = concat(signs.map(s =>
         when(VectorOps.signedDot(col("embedding"), s.toArray) > 0, lit("1"))
           .otherwise(lit("0"))): _*)
@@ -101,11 +102,14 @@ object IvfQueries {
               FROM UNNEST(generate_series(4, 20)) AS t(k),
                    (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings) c
               WHERE (CAST(32 AS BIGINT) << k) >= c.n OR k = 20),
+            dims AS (SELECT CAST(COALESCE(MAX(len(embedding)), 0) AS BIGINT) AS nd
+                     FROM embeddings),
             planes AS (
               SELECT p, d,
                 CASE WHEN substr(md5('p' || CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1)
                      IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS sgn
-              FROM np, UNNEST(generate_series(0, np.np - 1)) AS a(p), UNNEST(generate_series(1, 64)) AS b(d)),
+              FROM np, dims, UNNEST(generate_series(0, np.np - 1)) AS a(p),
+                   UNNEST(generate_series(1, dims.nd)) AS b(d)),
             dots AS (SELECT e.vec_id, pl.p,
                        SUM(pl.sgn * CAST(e.embedding[pl.d] AS DOUBLE)) AS dp
                      FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p),

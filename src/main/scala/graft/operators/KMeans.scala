@@ -90,7 +90,7 @@ object KMeans {
                 FROM e CROSS JOIN c0) WHERE rn = 1),
        m1 AS (SELECT a1.cid, t.d, AVG(e.v[t.d]) AS md
               FROM a1 JOIN e USING (vec_id),
-                   UNNEST(generate_series(1, 64)) AS t(d)
+                   UNNEST(generate_series(1, len(e.v))) AS t(d)
               GROUP BY a1.cid, t.d),
        c1 AS (SELECT cid, list(md ORDER BY d) AS c FROM m1 GROUP BY cid),
        a2 AS (SELECT vec_id, cid AS cluster FROM (
@@ -195,7 +195,7 @@ object KMeans {
     },
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             x AS (SELECT t.d, e.v[t.d] AS x
-                  FROM e, UNNEST(generate_series(1, 64)) AS t(d)),
+                  FROM e, UNNEST(generate_series(1, len(e.v))) AS t(d)),
             cal AS (SELECT d, MAX(ABS(x)) AS amax FROM x GROUP BY d),
             q AS (SELECT x.d, x.x, cal.amax,
                     CASE WHEN cal.amax = 0 THEN 0

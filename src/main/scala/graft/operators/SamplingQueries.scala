@@ -374,10 +374,14 @@ object SamplingQueries {
         .groupBy(col("stratum"))
         .agg(count(lit(1)).as("nh"), sum(col("cents")).as("s1"),
           sum(cd * cd).as("s2"))
+      // greatest(0, ·) clamp: a zero-variance stratum can round the
+      // operand to a tiny negative in doubles; sqrt(NaN) then diverges
+      // the engines (Spark non-ANSI cast NaN→0, DuckDB errors)
       val w = m.select(col("stratum"), col("nh"),
-        expr("""cast(floor(nh * sqrt(cast(s2 as double) / cast(nh as double)
+        expr("""cast(floor(nh * sqrt(greatest(0.0d,
+                cast(s2 as double) / cast(nh as double)
               - (cast(s1 as double) / cast(nh as double))
-                * (cast(s1 as double) / cast(nh as double)))) as bigint)""").as("wh"))
+                * (cast(s1 as double) / cast(nh as double))))) as bigint)""").as("wh"))
       val tot = broadcast(w.agg(coalesce(sum(col("wh")), lit(0L)).as("wtot")))
       w.crossJoin(tot)
         .select(col("stratum"), col("nh").cast("bigint").as("n_h"),
@@ -392,9 +396,10 @@ object SamplingQueries {
                            * CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS s2
                        FROM orders GROUP BY o_orderpriority),
             w AS (SELECT stratum, nh,
-                    CAST(FLOOR(nh * SQRT(CAST(s2 AS DOUBLE) / CAST(nh AS DOUBLE)
+                    CAST(FLOOR(nh * SQRT(GREATEST(0.0,
+                        CAST(s2 AS DOUBLE) / CAST(nh AS DOUBLE)
                       - (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))
-                        * (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE)))) AS BIGINT) AS wh
+                        * (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))))) AS BIGINT) AS wh
                   FROM m),
             t AS (SELECT CAST(COALESCE(SUM(wh), 0) AS BIGINT) AS wtot FROM w)
             SELECT stratum, CAST(nh AS BIGINT) AS n_h, CAST(wh AS BIGINT) AS weight,

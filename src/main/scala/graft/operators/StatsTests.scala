@@ -485,8 +485,9 @@ object StatsTests {
     * bootstrap, but not the classic two-sample mean comparison that
     * doesn't assume equal variances. All moments come from ONE no-key
     * partial+final aggregate of exact integer cents (value floored to
-    * cents, squares summed as bigint — no order-dependent float
-    * accumulation); means, variances, t and the Welch–Satterthwaite df
+    * cents, squares summed in decimal(38,0) mirroring DuckDB HUGEINT —
+    * no order-dependent float accumulation, no bigint wrap at scale);
+    * means, variances, t and the Welch–Satterthwaite df
     * are then single closed-form expressions over those integers, so
     * both engines compute bit-identical doubles (+,−,×,÷,sqrt are
     * IEEE-exact). n≤1 arms yield NULL (the 0/0 house rule).
@@ -498,13 +499,18 @@ object StatsTests {
         .filter(col("event_type").isin("purchase", "click"))
         .select(floor(col("value") * 100 + 0.5d).cast("long").as("c"),
           (col("event_type") === "purchase").as("a"))
+      // cents² sums overflow BIGINT at large sf: factors cast to
+      // decimal(19,0) BEFORE the product so the accumulator runs in
+      // decimal(38,0), mirroring DuckDB's HUGEINT promotion (the
+      // q_neyman_alloc / q_assortativity posture)
+      val cd = col("c").cast("decimal(19,0)")
       val s = base.agg(
         count_if(col("a")).cast("bigint").as("n1"),
         count_if(!col("a")).cast("bigint").as("n2"),
         sum(when(col("a"), col("c")).otherwise(0L)).cast("bigint").as("s1"),
         sum(when(!col("a"), col("c")).otherwise(0L)).cast("bigint").as("s2"),
-        sum(when(col("a"), col("c") * col("c")).otherwise(0L)).cast("bigint").as("q1"),
-        sum(when(!col("a"), col("c") * col("c")).otherwise(0L)).cast("bigint").as("q2"))
+        sum(when(col("a"), cd * cd).otherwise(lit(0).cast("decimal(38,0)"))).as("q1"),
+        sum(when(!col("a"), cd * cd).otherwise(lit(0).cast("decimal(38,0)"))).as("q2"))
       val v1 = (col("q1").cast("double") -
         col("s1").cast("double") * col("s1").cast("double") / col("n1").cast("double")) /
         (col("n1") - 1).cast("double")
@@ -537,8 +543,8 @@ object StatsTests {
                   CAST(COUNT(*) FILTER (WHERE NOT a) AS BIGINT) AS n2,
                   CAST(COALESCE(SUM(c) FILTER (WHERE a), 0) AS BIGINT) AS s1,
                   CAST(COALESCE(SUM(c) FILTER (WHERE NOT a), 0) AS BIGINT) AS s2,
-                  CAST(COALESCE(SUM(c * c) FILTER (WHERE a), 0) AS BIGINT) AS q1,
-                  CAST(COALESCE(SUM(c * c) FILTER (WHERE NOT a), 0) AS BIGINT) AS q2
+                  COALESCE(SUM(CAST(c AS HUGEINT) * c) FILTER (WHERE a), 0) AS q1,
+                  COALESCE(SUM(CAST(c AS HUGEINT) * c) FILTER (WHERE NOT a), 0) AS q2
                 FROM base),
             v AS (SELECT n1, n2, s1, s2,
                   (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)

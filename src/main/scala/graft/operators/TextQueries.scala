@@ -1243,13 +1243,20 @@ object TextQueries {
     * and q_bpe_encode (applying the merges).
     */
   private[graft] def bpeWinners(spark: org.apache.spark.sql.SparkSession,
-      dir: String, rounds: Int = 4): Seq[(String, Long, String)] = {
+      dir: String, rounds: Int = 4): Seq[(String, Long, String)] =
     // spread the under-split scan once: every round's persisted corpus
     // inherits this partitioning, so all 4 censuses + the final encode
     // scan parallelize (serial CharPairs scans otherwise — r10 telemetry:
     // ~1.3 effective cores across the whole loop)
-    var cur = Tables.spreadIfUnderSplitAtScale(
-      Tables(spark, dir, "documents").select(col("text"))).select(col("text").as("t"))
+    bpeWinnersOf(Tables.spreadIfUnderSplitAtScale(
+      Tables(spark, dir, "documents").select(col("text"))), rounds)
+
+  /** The same trainer over ANY (text) corpus relation — the seam
+    * q_bpe_sampled trains its hash-sampled slice through.
+    */
+  private[graft] def bpeWinnersOf(corpus0: org.apache.spark.sql.DataFrame,
+      rounds: Int = 4): Seq[(String, Long, String)] = {
+    var cur = corpus0.select(col("text").as("t"))
     var exps = Map.empty[Char, String] // sentinel -> fully-rendered expansion
     val merges = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
     var dry = false
@@ -1298,7 +1305,15 @@ object TextQueries {
     * `materializeLast` emits t4 (the fully-merged corpus) for consumers
     * that read it.
     */
-  private def bpeRoundsCte(carrySource: Boolean, materializeLast: Boolean): String = {
+  private def bpeRoundsCte(carrySource: Boolean, materializeLast: Boolean): String =
+    "WITH " + bpeRoundsCteBody(carrySource, materializeLast)
+
+  /** CTE-name-prefixed, source-parameterized variant (no leading WITH), so
+    * one query can run TWO training chains (q_bpe_sampled: full corpus +
+    * hash-sampled slice).
+    */
+  private def bpeRoundsCteBody(carrySource: Boolean, materializeLast: Boolean,
+      pfx: String = "", srcSql: String = "documents"): String = {
     val srcCol = if (carrySource) "source, " else ""
     def census(src: String, p: String): String =
       s"""$p AS (SELECT substr(t, i, 2) AS pair
@@ -1309,13 +1324,13 @@ object TextQueries {
                    SELECT pair, COUNT(*) AS c FROM $p GROUP BY pair
                    ORDER BY c DESC, pair LIMIT 1))"""
     val cte = new StringBuilder(
-      s"WITH t0 AS (SELECT ${srcCol}text AS t FROM documents)")
+      s"${pfx}t0 AS (SELECT ${srcCol}text AS t FROM $srcSql)")
     for (r <- 1 to 4) {
-      cte.append(", ").append(census(s"t${r - 1}", s"p$r"))
-      cte.append(", ").append(winner(s"p$r", s"w$r"))
+      cte.append(", ").append(census(s"${pfx}t${r - 1}", s"${pfx}p$r"))
+      cte.append(", ").append(winner(s"${pfx}p$r", s"${pfx}w$r"))
       if (r < 4 || materializeLast)
-        cte.append(s", t$r AS (SELECT ${srcCol}replace(t${r - 1}.t, w$r.mp, " +
-          s"chr($r)) AS t FROM t${r - 1}, w$r)")
+        cte.append(s", ${pfx}t$r AS (SELECT ${srcCol}replace(${pfx}t${r - 1}.t, " +
+          s"${pfx}w$r.mp, chr($r)) AS t FROM ${pfx}t${r - 1}, ${pfx}w$r)")
     }
     cte.toString
   }
@@ -1385,6 +1400,94 @@ object TextQueries {
                END AS compression
              FROM raw r JOIN enc e ON e.source = r.source
              ORDER BY r.source"""))
+
+  /** Sampled-corpus BPE training — the production answer to "a 30k-merge
+    * vocabulary won't fly as 30k driver-coordinated Spark jobs over the
+    * full corpus": train the vocabulary on a hash-sampled ~10% slice
+    * (doc-level, hash60(doc_id) mod 10 — deterministic, hash-scattered,
+    * both engines reproduce the slice exactly), then ENCODE THE FULL
+    * corpus with it, side by side with full-corpus training. Reported
+    * per trainer: training docs, full-corpus raw symbol units, encoded
+    * units, compression — the measured claim that sampled training buys
+    * (nearly) the same compression at a tenth the training scans, which
+    * is what makes production-scale merge counts affordable (train on
+    * the sample, encode corpus-wide; the encode pass was always linear).
+    *
+    * Scale posture: two [[bpeWinnersOf]] loops (sequential rounds, one
+    * linear codegen'd census each — the sampled loop censuses ~10% of
+    * the mass), then ONE full-corpus scan computing raw + both encodes
+    * in a single projection feeding a 1-row aggregate, stacked to the
+    * 2-row report. Degenerate guards: empty corpus → two rows of zeros
+    * with NULL compression on both engines; the oracle's unrolled
+    * cross-join chains share q_bpe_encode's all-rounds-find-a-winner
+    * assumption (documented there).
+    */
+  private val bpeSampled = Q(
+    "q_bpe_sampled",
+    (spark, dir) => {
+      val docs = Tables.spreadIfUnderSplitAtScale(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+      val inSample =
+        graft.functions.Portable.hash60(col("doc_id").cast("string")) % 10 === 0
+      val fullW = bpeWinnersOf(docs.select(col("text")))
+      val sampW = bpeWinnersOf(docs.filter(inSample).select(col("text")))
+      def enc(ws: Seq[(String, Long, String)]) =
+        ws.zipWithIndex.foldLeft(col("text")) { case (c, ((mp, _, _), i)) =>
+          org.apache.spark.sql.functions.replace(c, lit(mp), lit((i + 1).toChar.toString))
+        }
+      docs.select(inSample.as("insample"),
+          length(translate(col("text"), " ", "")).cast("long").as("raw"),
+          length(translate(enc(fullW), " ", "")).cast("long").as("bf"),
+          length(translate(enc(sampW), " ", "")).cast("long").as("bs"))
+        .agg(count(lit(1)).cast("bigint").as("n_all"),
+          count_if(col("insample")).cast("bigint").as("n_samp"),
+          coalesce(sum(col("raw")), lit(0L)).cast("bigint").as("raw_units"),
+          coalesce(sum(col("bf")), lit(0L)).cast("bigint").as("bpe_full"),
+          coalesce(sum(col("bs")), lit(0L)).cast("bigint").as("bpe_sampled"))
+        .selectExpr(
+          "stack(2, 'full', n_all, bpe_full, 'sampled', n_samp, bpe_sampled) " +
+            "AS (trainer, n_train_docs, bpe_units)",
+          "raw_units")
+        .select(col("trainer"), col("n_train_docs").cast("bigint").as("n_train_docs"),
+          col("raw_units"), col("bpe_units").cast("bigint").as("bpe_units"),
+          when(col("raw_units") === 0, lit(null).cast("double"))
+            .otherwise(pround(col("bpe_units").cast("double") /
+              col("raw_units").cast("double"), 4)).as("compression"))
+        .orderBy(col("trainer"))
+    },
+    Some {
+      val sampledSrc = "(SELECT text FROM documents WHERE " +
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0)"
+      val encs = (1 to 4).map { r =>
+        val prev = if (r == 1) "t0" else s"e${r - 1}"
+        s"e$r AS (SELECT replace($prev.t, sw$r.mp, chr($r)) AS t FROM $prev, sw$r)"
+      }.mkString(", ")
+      s"""WITH ${bpeRoundsCteBody(carrySource = false, materializeLast = true)},
+          ${bpeRoundsCteBody(carrySource = false, materializeLast = false,
+            pfx = "s", srcSql = sampledSrc)},
+          $encs,
+          raw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+                    CAST(COALESCE(SUM(length(replace(t, ' ', ''))), 0) AS BIGINT)
+                      AS raw_units
+                  FROM t0),
+          ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_samp FROM st0),
+          ef AS (SELECT CAST(COALESCE(SUM(length(replace(t, ' ', ''))), 0) AS BIGINT)
+                   AS bpe_full FROM t4),
+          es AS (SELECT CAST(COALESCE(SUM(length(replace(t, ' ', ''))), 0) AS BIGINT)
+                   AS bpe_sampled FROM e4),
+          s AS (SELECT 'full' AS trainer, n_all AS n_train_docs, raw_units,
+                  bpe_full AS bpe_units
+                FROM raw, ef
+                UNION ALL
+                SELECT 'sampled', n_samp, raw_units, bpe_sampled
+                FROM raw, ns, es)
+          SELECT trainer, n_train_docs, raw_units, bpe_units,
+            CASE WHEN raw_units = 0 THEN NULL
+                 ELSE FLOOR((CAST(bpe_units AS DOUBLE)
+                   / CAST(raw_units AS DOUBLE)) * 10000 + 0.5) / 10000
+            END AS compression
+          FROM s ORDER BY trainer"""
+    })
 
   /** N-gram novelty decay — per-document share of word-3-grams this
     * document is the FIRST to use (first = lowest doc_id, the corpus'
@@ -1612,5 +1715,5 @@ object TextQueries {
     piiRedact, vocabCoverage, pmiCollocations, bm25, cosinePairs, probeScan,
     ccnetBucket, bpePairs, knBigram, nucleusVocab, tokenizerFertility, langMix,
     freqOfFreq, bpeMerge2, goodTuring, ngramNovelty, bpeTrain, bpeEncode,
-    stupidBackoff, burstiness)
+    stupidBackoff, burstiness, bpeSampled)
 }

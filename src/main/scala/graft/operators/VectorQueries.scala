@@ -34,6 +34,20 @@ object VectorQueries {
   private def signedDot(emb: Column, signs: Seq[Double]): Column =
     VectorOps.signedDot(emb, signs.toArray)
 
+  /** Fixture embedding dimensionality, read from the DATA (a one-row
+    * head — bounded driver scalar, the q_knn_join count() precedent)
+    * instead of a hardcoded 64: all vectors share one dim (TESTDATA
+    * contract), and each oracle derives the same number via
+    * MAX(len(embedding)), so a fixture-dim change can no longer diverge
+    * the engines silently (the q_knn_pq len(v) fix, applied to the whole
+    * hyperplane family). Empty corpus → 0 dims → empty plane grid on
+    * both engines.
+    */
+  private[graft] def embeddingDim(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int =
+    Tables(spark, dir, "embeddings").select(size(col("embedding")))
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+
   /** Scale-adaptive LSH depth: the smallest plane count k ≥ 4 such that
     * the expected bucket population n / 2^k stays ≤ `target` rows — so
     * the within-bucket self-join stays task-sized as the corpus grows
@@ -119,7 +133,7 @@ object VectorQueries {
   private val knnLsh = Q(
     "q_knn_lsh",
     (spark, dir) => {
-      val signs = planeSigns(4, 64)
+      val signs = planeSigns(4, embeddingDim(spark, dir))
       val bucket = concat(
         signs.map(s => when(signedDot(col("embedding"), s) > 0, lit("1")).otherwise(lit("0"))): _*)
       val e = Tables(spark, dir, "embeddings").withColumn("bk", bucket)
@@ -132,11 +146,14 @@ object VectorQueries {
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     },
-    Some("""WITH planes AS (
+    Some("""WITH dims AS (SELECT CAST(COALESCE(MAX(len(embedding)), 0) AS BIGINT) AS nd
+                          FROM embeddings),
+            planes AS (
               SELECT p, d,
                 CASE WHEN substr(md5('p' || CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1)
                      IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS sgn
-              FROM UNNEST(generate_series(0, 3)) AS a(p), UNNEST(generate_series(1, 64)) AS b(d)),
+              FROM dims, UNNEST(generate_series(0, 3)) AS a(p),
+                   UNNEST(generate_series(1, dims.nd)) AS b(d)),
             dots AS (SELECT e.vec_id, pl.p,
                        SUM(pl.sgn * CAST(e.embedding[pl.d] AS DOUBLE)) AS dp
                      FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p),
@@ -219,7 +236,7 @@ object VectorQueries {
       // bounded driver scalar (like the k-means model state): row count
       // drives the LSH depth; the scan is metadata-cheap on parquet
       val n = Tables(spark, dir, "embeddings").count()
-      val signs = planeSigns(planesFor(n), 64)
+      val signs = planeSigns(planesFor(n), embeddingDim(spark, dir))
       val bucket = concat(
         signs.map(s => when(signedDot(col("embedding"), s) > 0, lit("1")).otherwise(lit("0"))): _*)
       val e = Tables(spark, dir, "embeddings")
@@ -241,11 +258,14 @@ object VectorQueries {
               FROM UNNEST(generate_series(4, 20)) AS t(k),
                    (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings) c
               WHERE (CAST(32 AS BIGINT) << k) >= c.n OR k = 20),
+            dims AS (SELECT CAST(COALESCE(MAX(len(embedding)), 0) AS BIGINT) AS nd
+                     FROM embeddings),
             planes AS (
               SELECT p, d,
                 CASE WHEN substr(md5('p' || CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1)
                      IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS sgn
-              FROM np, UNNEST(generate_series(0, np.np - 1)) AS a(p), UNNEST(generate_series(1, 64)) AS b(d)),
+              FROM np, dims, UNNEST(generate_series(0, np.np - 1)) AS a(p),
+                   UNNEST(generate_series(1, dims.nd)) AS b(d)),
             dots AS (SELECT e.vec_id, pl.p,
                        SUM(pl.sgn * CAST(e.embedding[pl.d] AS DOUBLE)) AS dp
                      FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p),
@@ -284,7 +304,7 @@ object VectorQueries {
           pround(VectorOps.cosine(col("embedding"), col("p")), 4).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
-      val signs = planeSigns(4, 64)
+      val signs = planeSigns(4, embeddingDim(spark, dir))
       val bucket = concat(
         signs.map(s => when(signedDot(col("embedding"), s) > 0, lit("1")).otherwise(lit("0"))): _*)
       val eb = e.withColumn("bk", bucket)
@@ -311,11 +331,14 @@ object VectorQueries {
                         FLOOR((list_cosine_similarity(CAST(embedding AS DOUBLE[]), p)) * 10000 + 0.5) / 10000 AS cos
                       FROM embeddings, probe0 WHERE vec_id <> 0
                       ORDER BY cos DESC, vec_id LIMIT 10),
+            dims AS (SELECT CAST(COALESCE(MAX(len(embedding)), 0) AS BIGINT) AS nd
+                     FROM embeddings),
             planes AS (
               SELECT p, d,
                 CASE WHEN substr(md5('p' || CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1)
                      IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS sgn
-              FROM UNNEST(generate_series(0, 3)) AS a(p), UNNEST(generate_series(1, 64)) AS b(d)),
+              FROM dims, UNNEST(generate_series(0, 3)) AS a(p),
+                   UNNEST(generate_series(1, dims.nd)) AS b(d)),
             dots AS (SELECT e.vec_id, pl.p,
                        SUM(pl.sgn * CAST(e.embedding[pl.d] AS DOUBLE)) AS dp
                      FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p),

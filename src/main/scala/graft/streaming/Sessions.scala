@@ -178,15 +178,37 @@ final case class VersionRecord(user_id: Long, event_type: String,
   * the value differs from the previous row in (ts, event_id) order and
   * closes at the next change (−1 = current).
   *
-  * State discipline matches [[Sessions.stateFn]]: per-user event buffer
+  * State discipline follows [[Sessions.stateFn]] (per-user event buffer
   * sealed by an event-time timeout, late events clamped above the
-  * watermark. Unlike the sessionizer (whose sessions seal as the
-  * watermark passes each gap), a user's LAST version never closes on an
-  * unbounded stream — the agreement spec seals the bounded fixture with
-  * the far-future-sentinel harness and demands exact record equality
-  * with the batch twin, then exact rollup equality with declared q_scd2.
+  * watermark) with one deliberate difference: the seal horizon is
+  * [[Scd2.SealGapUs]] (90 min), NOT the 30-min session gap. A version
+  * chain — unlike a session — never ends at an activity gap, so sealing
+  * at the session gap would be wrong twice over: the chain is emitted
+  * early (last version end=−1), and when later events for the same user
+  * arrive after the seal, a SECOND chain starts from scratch, producing
+  * duplicate/overlapping chains that diverge from the batch twin.
+  *
+  * Contract: streaming == batch agreement holds exactly when no user
+  * receives an event after the watermark passes that user's
+  * last-buffered event + SealGapUs (i.e. each user's full history lands
+  * within the seal horizon; the far-future sentinel then seals every
+  * chain exactly once). On a truly unbounded stream this is a
+  * FUNDAMENTAL append-mode limit, not an implementation gap: the open
+  * version (end=−1) cannot be retracted once emitted, so any finite
+  * horizon picks a point on the latency/exactness trade-off. The
+  * cross-trigger agreement spec (StreamingMultiBatchSpec) spans a
+  * user's history across triggers with an in-between watermark advance
+  * that WOULD have sealed at the session gap, and demands exact
+  * agreement.
   */
 object Scd2 {
+  /** Seal horizon for version chains: 90 event-time minutes past a
+    * user's last buffered event. Far larger than the session gap
+    * (chains outlive sessions), small enough that the agreement
+    * harness's +3 h sentinel (minus the 1 h watermark delay) still
+    * strictly passes every user's horizon.
+    */
+  val SealGapUs: Long = 90L * 60 * 1000 * 1000
 
   /** One user's version chain (pure; mirrors q_scd2's lag-filter-lead). */
   private[streaming] def versionsOf(userId: Long,
@@ -219,7 +241,7 @@ object Scd2 {
     } else {
       val buffered = state.getOption.getOrElse(Vector.empty) ++ events
       state.update(buffered)
-      val candidate = buffered.map(_.ts_us / 1000).max + Sessions.GapUs / 1000
+      val candidate = buffered.map(_.ts_us / 1000).max + SealGapUs / 1000
       val floor = state.getCurrentWatermarkMs() + 1000
       state.setTimeoutTimestamp(math.max(candidate, floor))
       Iterator.empty

@@ -68,6 +68,34 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicates(Seq("event_id"))
 
+  /** Streaming CONTENT dedup — the streaming twin of q_dedup_exact and
+    * the stream-shaped member of the dedup family (pairs with
+    * q_dedup_incremental's signature store: the same nightly delta,
+    * arriving as a stream instead of a batch). Input is a document
+    * stream carrying an event-time `ts` (arrival order); the operator
+    * hashes content and keeps the FIRST arrival per md5 within the
+    * watermark horizon via `dropDuplicatesWithinWatermark` — the
+    * arrival-order keep-first semantics q_dedup_incremental's exact
+    * channel applies to its delta.
+    *
+    * State-store bound (the discipline this twin documents): one state
+    * row per DISTINCT content hash whose event time is within
+    * (watermark horizon + delay); keys older than the watermark are
+    * evicted, so state scales with distinct-keys-per-horizon, not with
+    * stream history. The trade-off is explicit: a duplicate arriving
+    * AFTER its original's key expired is re-emitted as new — the
+    * bounded-memory/completeness dial every streaming dedup deployment
+    * sets. Exact streaming == batch agreement therefore holds when all
+    * copies of a document arrive within one horizon and arrival order
+    * follows doc_id (the agreement spec stages exactly that; the batch
+    * twin's keep-lowest-id rule coincides with keep-first-arrival).
+    */
+  def dedupDocsStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("h", md5(col("text")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("h")
+
   /** Stream-stream interval join: purchases joined to same-user error
     * events from the preceding hour. Both sides carry watermarks and the
     * join condition bounds event time, so state eviction is automatic —

@@ -78,6 +78,30 @@ class CalibrationSpec extends AnyFunSuite {
       "gc_ms") === Map.empty)
   }
 
+  test("boundedTax scales the marker correction by the query's CPU fraction " +
+    "(the quiet-vs-quiet rule's taxed-run fallback)") {
+    def near(a: Double, b: Double, eps: Double = 1e-9): Boolean = math.abs(a - b) < eps
+    // pure-CPU query (cpu_ms = wall × cores × 1000): full marker correction
+    assert(near(Calibration.boundedTax(1.4, wallSec = 2.0, cpuMs = 2.0 * 32 * 1000, cores = 32), 1.4))
+    // all-waits query (cpu_ms = 0): no correction — raw IS quiet-equivalent
+    assert(near(Calibration.boundedTax(1.4, wallSec = 2.0, cpuMs = 0.0, cores = 32), 1.0))
+    // half CPU fraction: correction interpolates linearly
+    assert(near(Calibration.boundedTax(1.4, wallSec = 2.0, cpuMs = 1.0 * 32 * 1000, cores = 32), 1.2))
+    // the r9-vs-r10 sf1 ambiguity this bound closes: at the r9 sweep's
+    // sustained tax 1.379, a typical 20%-CPU-fraction query corrects by
+    // only ~1.076, not 1.379 — between the raw (1.0) and full readings
+    val eff = Calibration.boundedTax(1.379, wallSec = 1.0, cpuMs = 0.2 * 32 * 1000, cores = 32)
+    assert(near(eff, 1.0758, 1e-4))
+    assert(eff > 1.0 && eff < 1.379)
+    // over-reported cpu_ms (> wall × cores) clamps at the full correction
+    assert(near(Calibration.boundedTax(1.4, wallSec = 1.0, cpuMs = 1e9, cores = 32), 1.4))
+    // tax below 1.0 never becomes a speedup credit (taxFactor clamp mirrored)
+    assert(near(Calibration.boundedTax(0.9, wallSec = 1.0, cpuMs = 1e9, cores = 32), 1.0))
+    // degenerate wall/cores: no correction rather than NaN
+    assert(Calibration.boundedTax(1.4, wallSec = 0.0, cpuMs = 100.0, cores = 32) === 1.0)
+    assert(near(Calibration.boundedAdjustedSec(2.0, 1.4, 2.0 * 32 * 1000, 32), 2.0 / 1.4))
+  }
+
   // A marker-named query key inside "queries" must not be read as a marker:
   // the scalar scan is anchored to the prefix (ADVICE r9).
   test("scalar markers never collide with query entries") {

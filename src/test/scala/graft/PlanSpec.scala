@@ -757,6 +757,34 @@ class PlanSpec extends AnyFunSuite {
       s"the join must ride the bucket layout, not re-shuffle:\n$plan")
   }
 
+  test("q_dedup_incremental reads both signature stores bucketed; only delta-side exchanges") {
+    // formatted mode: the deep simple-mode toString elides the scan
+    // metadata carrying the Bucketed flag
+    val df = Registry.byName("q_dedup_incremental").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // both store scans ride the stored bucket layout...
+    assert("Bucketed: true".r.findAllIn(plan).size >= 2,
+      s"both store scans must read the bucket layout:\n$plan")
+    assert(plan.contains("SelectedBucketsCount: 8 out of 8"), plan)
+    // ...and are never demoted (the planner flags a bucketed scan it
+    // re-shuffles as "Bucketed: false (disabled by query planner)" —
+    // absence of the demotion IS the zero-store-side-exchange claim)
+    assert(!plan.contains("Bucketed: false"),
+      s"a store scan was demoted to a shuffled read:\n$plan")
+    // every exchange keyed on h hashes the DELTA relation (d, h) into
+    // the store buckets — the base corpus is never re-shuffled (cached
+    // subtrees print per consumer, so counting matches would be brittle)
+    val exch = ("(?s)\\(\\d+\\) Exchange[^\\n]*\\nInput[^\\n]*: \\[([a-z_]+)#" +
+      "[^\\n]*\\]\\s*\\nArguments: hashpartitioning\\(([a-z_]+)#").r
+    for (m <- exch.findAllMatchIn(plan) if m.group(2) == "h")
+      assert(m.group(1) == "d",
+        s"an h-keyed exchange hashes a non-delta relation (${m.group(1)}):\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_span_coverage joins the two pair sets without a cartesian, windows pair-partitioned") {
     val plan = executedPlan("q_span_coverage")
     assert(!plan.contains("CartesianProduct"), plan)

@@ -45,6 +45,62 @@ class StreamingMultiBatchSpec extends AnyFunSuite {
     assert(out.filter(col("end_us") - col("start_us") < 0).count() === 0)
   }
 
+  test("SCD2 streaming twin survives a cross-trigger user history that the session gap would have sealed early") {
+    import spark.implicits._
+    import graft.streaming.{PathEvent, Scd2, VersionRecord}
+    // Hand-crafted fixture, one file per micro-batch:
+    //   f0: A@t0 "view", B@t0+100min "click"  → watermark after f0 = t0+40min
+    //   f1: C@t0+50min "view" (NO data for A — the trigger in which a
+    //       30-min gap timeout would fire for A, since t0+40min > t0+30min;
+    //       the 90-min SealGapUs must NOT fire: t0+40min < t0+90min)
+    //   f2: A@t0+45min "purchase" (on time: ≥ watermark t0+40min) — under
+    //       an early seal this would start a second, overlapping chain
+    //   f3: far-future sentinel seals every chain exactly once
+    val t0 = 1704067200L * 1000000L // 2024-01-01T00:00:00Z in µs
+    val min = 60L * 1000000L
+    val rows = Seq(
+      Seq((1L, 1L, t0, "view"), (2L, 2L, t0 + 100 * min, "click")),
+      Seq((3L, 3L, t0 + 50 * min, "view")),
+      Seq((1L, 4L, t0 + 45 * min, "purchase")),
+      Seq((-1L, -1L, t0 + 100 * min + 3L * 3600 * 1000000L, "view")))
+    val staged = java.nio.file.Files.createTempDirectory("graft-scd2-mb").toString
+    rows.zipWithIndex.foreach { case (batch, i) =>
+      batch.toDF("user_id", "event_id", "ts_us", "event_type")
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
+          timestamp_micros(col("ts_us")).as("ts"))
+        .coalesce(1).write.parquet(s"$staged/f$i.parquet")
+      // deterministic batch order: strictly increasing data-file mtimes
+      import java.nio.file.{Files, Paths, FileVisitOption}
+      import java.nio.file.attribute.FileTime
+      Files.walk(Paths.get(s"$staged/f$i.parquet"), FileVisitOption.FOLLOW_LINKS)
+        .filter(Files.isRegularFile(_))
+        .forEach(p => Files.setLastModifiedTime(p,
+          FileTime.fromMillis(1704067200000L + i * 60000L)))
+    }
+    val real = rows.flatten.filter(_._1 >= 0)
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
+        timestamp_micros(col("ts_us")).as("ts"))
+    val batchWant = Scd2.versions(real.as[PathEvent])
+      .collect().map(v => (v.user_id, v.event_type, v.start_us, v.end_us)).sorted
+    // user A must have a closed "view" then an open "purchase" — the
+    // exact shape an early seal corrupts into two overlapping chains
+    assert(batchWant.filter(_._1 == 1L).toSeq ===
+      Seq((1L, "purchase", t0 + 45 * min, -1L), (1L, "view", t0, t0 + 45 * min)))
+    val schema = real.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$staged/*.parquet")
+      .withWatermark("ts", "1 hour")
+      .as[PathEvent]
+    val q = Scd2.versionsStream(stream).writeStream
+      .format("memory").queryName("scd2_mb").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("scd2_mb").as[VersionRecord]
+      .collect().filter(_.user_id >= 0)
+      .map(v => (v.user_id, v.event_type, v.start_us, v.end_us)).sorted
+    assert(streamed.toSeq === batchWant.toSeq)
+  }
+
   test("Jobs.await propagates the body's failure") {
     val handle = graft.jobs.Jobs.start(spark, "failing-job") {
       Tables(spark, "/nonexistent", "lineitem").count()
