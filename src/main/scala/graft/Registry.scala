@@ -12,7 +12,8 @@ object Registry {
       DedupQueries.all ++ GraphQueries.all ++ Multimodal.all ++ KMeans.all ++
       PipelineQueries.all ++ MapReduceQueries.all ++ SqlQueries.all ++
       SamplingQueries.all ++ TopK.all ++ StatsTests.all ++ TrainPrepQueries.all ++
-      TpchQueries.all ++ AuditQueries.all ++ LayoutQueries.all
+      TpchQueries.all ++ AuditQueries.all ++ LayoutQueries.all ++
+      SketchQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

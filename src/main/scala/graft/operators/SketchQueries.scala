@@ -1,0 +1,627 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable summaries — the sketch layer every INCREMENTAL pipeline
+  * stands on (the q_dedup_incremental / q_incremental_agg companion
+  * family): a nightly delta must update corpus-level statistics without
+  * re-scanning the corpus, which only works for summaries that merge —
+  * distinct counts (HyperLogLog registers, Flajolet et al.), membership
+  * (Bloom filters, the store-side pre-filter), and uniform samples
+  * (bottom-k by hash, Cohen & Kaplan). q_incremental_agg measured the
+  * class boundary (naive per-vintage distinct sums over-count by the
+  * repeat keys and named HLL as the production merge); this family
+  * builds the actual merges, all in portable integer funnels so the
+  * DuckDB oracle replays them bit-for-bit.
+  *
+  * Portability: one md5-derived 60-bit integer per key
+  * ([[Portable.hash60]]); register ranks via length(bin(w)) — pure
+  * integer/string, no float log2 knife edges; Z accumulators as exact
+  * bigint sums of powers of two; the single HLL bias constant
+  * α·m²·2^53 inlined as ONE shared double literal.
+  */
+object SketchQueries {
+
+  /** 2^53 (the HLL register-sum scale: an empty register contributes
+    * 2^(53-0)).
+    */
+  private val Pow53 = 9007199254740992L
+
+  /** α_256 · 256² · 2^53 — the HLL raw-estimate numerator, precomputed
+    * to ONE double literal both engines parse identically
+    * (α_m = 0.7213/(1 + 1.079/m), Flajolet et al. 2007).
+    */
+  private val HllC = 4.2399330249068963e20
+
+  /** HyperLogLog distinct-merge across data vintages — incremental
+    * COUNT DISTINCT: orders split into base/delta halves by date (the
+    * q_incremental_agg split whose naive merge over-counts repeat
+    * customers), per-vintage 256-register HLL sketches built in one
+    * pass each, and the MERGED estimate computed from per-register MAX
+    * of the two sketches — never from re-scanning the union. Per part
+    * (base, delta, merged): exact distinct custkeys, HLL estimate, and
+    * the error in exact ppm — the measured accuracy of the mergeable
+    * path against the ground truth whose shuffle it avoids.
+    *
+    * Register funnel (portable): h = hash60(key); bucket j = h mod 256;
+    * w = h div 256 (52 bits); rank ρ = 53 − length(bin(w)) (w=0 → 53);
+    * M_j = max ρ. Z = Σ_j 2^(53−M_j) summed as EXACT bigint (empty
+    * registers contribute 2^53), so the only float steps are the final
+    * C/Z division and the standard small-range correction
+    * m·ln(m/V) — identical operand order both engines.
+    *
+    * Scale posture (100 TB): each sketch is one partial+final MAX
+    * aggregate into 256 rows; the merge is a 256-row MAX — state is
+    * O(m) regardless of corpus size, the whole point. The three parts'
+    * 1-row estimates are unioned driver-free.
+    */
+  private val hllMerge = Q(
+    "q_hll_merge",
+    (spark, dir) => {
+      val o = Tables(spark, dir, "orders")
+      val span = broadcast(o.agg(min(col("o_orderdate")).as("dmin"),
+        max(col("o_orderdate")).as("dmax")))
+      val tagged = o.crossJoin(span)
+        .select(col("o_custkey").as("k"),
+          when(datediff(col("o_orderdate"), col("dmin")) * 2 <=
+            datediff(col("dmax"), col("dmin")), lit("base")).otherwise(lit("delta"))
+            .as("vintage"))
+      val keyed = graft.Caches.persisted(
+        tagged.select(col("vintage"), Portable.hash60(col("k").cast("string")).as("h"),
+            col("k"))
+          .select(col("vintage"), col("k"), (col("h") % 256).cast("int").as("j"),
+            expr("h div 256").as("w"))
+          .select(col("vintage"), col("k"), col("j"),
+            when(col("w") === 0, lit(53))
+              .otherwise(lit(53) - length(bin(col("w")))).cast("int").as("r")))
+      val regs = graft.Caches.persisted(
+        keyed.groupBy(col("vintage"), col("j")).agg(max(col("r")).as("m")))
+      val merged = regs.groupBy(col("j")).agg(max(col("m")).as("m"))
+      def estimate(r: DataFrame, part: String): DataFrame =
+        r.agg(count(lit(1)).as("nf"),
+            coalesce(sum(expr("shiftleft(cast(1 as bigint), 53 - m)")), lit(0L)).as("zp"))
+          .select(lit(part).as("part"),
+            (col("zp") + (lit(256L) - col("nf")) * lit(Pow53)).as("z"),
+            (lit(256L) - col("nf")).as("v"))
+      def exact(rel: DataFrame, part: String): DataFrame =
+        rel.agg(countDistinct(col("k")).cast("bigint").as("exact"))
+          .select(lit(part).as("part"), col("exact"))
+      val ests = estimate(regs.filter(col("vintage") === "base"), "base")
+        .unionAll(estimate(regs.filter(col("vintage") === "delta"), "delta"))
+        .unionAll(estimate(merged, "merged"))
+      val exacts = exact(keyed.filter(col("vintage") === "base"), "base")
+        .unionAll(exact(keyed.filter(col("vintage") === "delta"), "delta"))
+        .unionAll(exact(keyed, "merged"))
+      val raw = lit(HllC) / col("z").cast("double")
+      val corrected = when(raw <= 640.0 && col("v") > 0,
+        lit(256.0) * log(lit(256.0) / col("v").cast("double"))).otherwise(raw)
+      ests.join(exacts, "part")
+        .select(col("part"), col("exact"),
+          floor(corrected + 0.5d).cast("long").as("hll_est"))
+        .select(col("part"), col("exact"), col("hll_est"),
+          when(col("exact") === 0, lit(null).cast("long"))
+            .otherwise(expr("abs(hll_est - exact) * 1000000 div exact")).as("err_ppm"))
+        .orderBy(col("part"))
+    },
+    Some(s"""WITH span AS (SELECT MIN(o_orderdate) AS dmin, MAX(o_orderdate) AS dmax
+                           FROM orders),
+             tagged AS (SELECT o_custkey AS k,
+                          CASE WHEN (CAST(o_orderdate AS DATE) - CAST(span.dmin AS DATE)) * 2 <=
+                                    (CAST(span.dmax AS DATE) - CAST(span.dmin AS DATE))
+                               THEN 'base' ELSE 'delta' END AS vintage
+                        FROM orders, span),
+             keyed AS (SELECT vintage, k, CAST(h % 256 AS INT) AS j,
+                         CASE WHEN h // 256 = 0 THEN 53
+                              ELSE 53 - length(bin(h // 256)) END AS r
+                       FROM (SELECT vintage, k,
+                               CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                             FROM tagged)),
+             regs AS (SELECT vintage, j, MAX(r) AS m FROM keyed GROUP BY vintage, j),
+             mregs AS (SELECT j, MAX(m) AS m FROM regs GROUP BY j),
+             pl AS (SELECT * FROM (VALUES ('base'), ('delta'), ('merged')) AS t(part)),
+             pr AS (SELECT vintage AS part, COUNT(*) AS nf,
+                      SUM(CAST(1 AS BIGINT) << (53 - m)) AS zp
+                    FROM regs GROUP BY vintage
+                    UNION ALL
+                    SELECT 'merged', COUNT(*), SUM(CAST(1 AS BIGINT) << (53 - m))
+                    FROM mregs),
+             parts AS (SELECT pl.part,
+                         COALESCE(pr.zp, 0) + (256 - COALESCE(pr.nf, 0)) * $Pow53 AS z,
+                         256 - COALESCE(pr.nf, 0) AS v
+                       FROM pl LEFT JOIN pr ON pr.part = pl.part),
+             ex AS (SELECT pl.part, COALESCE(e.exact, 0) AS exact FROM pl
+                    LEFT JOIN (SELECT vintage AS part,
+                                 CAST(COUNT(DISTINCT k) AS BIGINT) AS exact
+                               FROM keyed GROUP BY vintage
+                               UNION ALL
+                               SELECT 'merged', CAST(COUNT(DISTINCT k) AS BIGINT)
+                               FROM keyed) e ON e.part = pl.part),
+             est AS (SELECT p.part,
+                       CASE WHEN CAST($HllC AS DOUBLE) / CAST(z AS DOUBLE) <= 640.0
+                                 AND v > 0
+                            THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+                            ELSE CAST($HllC AS DOUBLE) / CAST(z AS DOUBLE)
+                       END AS e
+                     FROM parts p)
+             SELECT ex.part, ex.exact,
+               CAST(FLOOR(est.e + 0.5) AS BIGINT) AS hll_est,
+               CASE WHEN ex.exact = 0 THEN NULL
+                    ELSE CAST(ABS(CAST(FLOOR(est.e + 0.5) AS BIGINT) - ex.exact)
+                      * 1000000 // ex.exact AS BIGINT)
+               END AS err_ppm
+             FROM ex JOIN est ON est.part = ex.part
+             ORDER BY ex.part"""))
+
+  /** Bloom-filter membership pre-filter for the incremental pipeline —
+    * the store-side gate in front of q_dedup_incremental's exact join
+    * (at 100 TB the nightly delta first probes an m-bit corpus filter;
+    * only possible-members pay the store lookup). Base documents (the
+    * q_dedup_incremental split) hash into a 4096-bit / 4-hash filter —
+    * the four 12-bit positions carved from ONE hash60 value, so both
+    * engines set identical bits — and every delta content hash probes
+    * it. Reported: filter geometry, load, probe outcome census, and the
+    * measured false-positive rate in exact ppm (all delta docs are
+    * true negatives on this corpus — the fixture has no exact dups —
+    * so every hit is a false positive; the analytic rate at this load,
+    * (1−e^{−kn/m})^k, is the number to compare against).
+    *
+    * Scale posture: the bit relation is ≤ m distinct integers from one
+    * partial-aggregated pass; probes join positions against the
+    * broadcast-scale bit set and partial-count matches per key. The
+    * filter itself merges by construction (bits(A∪B) = bits(A)∪bits(B))
+    * — the measured claim is the probe economics.
+    */
+  private val bloomIncremental = Q(
+    "q_bloom_incremental",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("ch"))
+      val hv = Portable.hash60(col("ch"))
+      val positioned = graft.Caches.persisted(
+        docs.select(col("doc_id"), col("ch"), hv.as("hv"))
+          .select(col("doc_id"), col("ch"),
+            explode(array((0 until 4).map(i =>
+              shiftright(col("hv"), 12 * i).bitwiseAND(lit(4095L))): _*)).as("bit")))
+      val baseP = positioned.filter(col("doc_id") % 10 =!= 0)
+      val deltaP = positioned.filter(col("doc_id") % 10 === 0)
+      val baseBits = graft.Caches.persisted(baseP.select(col("bit")).distinct())
+      val baseHashes = baseP.select(col("ch")).distinct()
+      val probeMatch = deltaP
+        .join(broadcast(baseBits.select(col("bit").as("b"))),
+          col("bit") === col("b"), "left")
+        .groupBy(col("ch")).agg(count(col("b")).as("matched"))
+      val probed = probeMatch
+        .join(baseHashes.select(col("ch").as("bh")), col("ch") === col("bh"), "left")
+        .select((col("matched") === 4).as("hit"), col("bh").isNotNull.as("indeed"))
+      val counts = probed.agg(
+        count(lit(1)).cast("bigint").as("probes"),
+        count_if(col("hit")).cast("bigint").as("bloom_hits"),
+        count_if(col("hit") && col("indeed")).cast("bigint").as("true_dups"),
+        count_if(col("hit") && !col("indeed")).cast("bigint").as("false_pos"))
+      val geom = baseBits.agg(count(lit(1)).cast("bigint").as("bits_set"))
+        .crossJoin(baseHashes.agg(count(lit(1)).cast("bigint").as("n_base")))
+      geom.crossJoin(counts)
+        .select(lit(4096L).as("m_bits"), lit(4L).as("k_hashes"),
+          col("n_base"), col("bits_set"), col("probes"), col("bloom_hits"),
+          col("true_dups"), col("false_pos"),
+          when(col("probes") - col("true_dups") === 0, lit(null).cast("long"))
+            .otherwise(expr("false_pos * 1000000 div (probes - true_dups)"))
+            .as("fpr_ppm"))
+    },
+    Some("""WITH docs AS (SELECT doc_id, md5(text) AS ch FROM documents),
+            hp AS (SELECT doc_id, ch,
+                     CAST('0x' || substr(md5(ch), 1, 15) AS BIGINT) AS hv
+                   FROM docs),
+            positioned AS (SELECT doc_id, ch, (hv >> (12 * i)) & 4095 AS bit
+                           FROM hp, UNNEST(generate_series(0, 3)) AS u(i)),
+            basebits AS (SELECT DISTINCT bit FROM positioned WHERE doc_id % 10 <> 0),
+            basehashes AS (SELECT DISTINCT ch FROM positioned WHERE doc_id % 10 <> 0),
+            probem AS (SELECT p.ch, COUNT(b.bit) AS matched
+                       FROM positioned p LEFT JOIN basebits b ON b.bit = p.bit
+                       WHERE p.doc_id % 10 = 0 GROUP BY p.ch),
+            probed AS (SELECT pm.matched = 4 AS hit, bh.ch IS NOT NULL AS indeed
+                       FROM probem pm LEFT JOIN basehashes bh ON bh.ch = pm.ch),
+            counts AS (SELECT CAST(COUNT(*) AS BIGINT) AS probes,
+                         CAST(COUNT(*) FILTER (WHERE hit) AS BIGINT) AS bloom_hits,
+                         CAST(COUNT(*) FILTER (WHERE hit AND indeed) AS BIGINT) AS true_dups,
+                         CAST(COUNT(*) FILTER (WHERE hit AND NOT indeed) AS BIGINT) AS false_pos
+                       FROM probed),
+            geom AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM basebits) AS bits_set,
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM basehashes) AS n_base)
+            SELECT CAST(4096 AS BIGINT) AS m_bits, CAST(4 AS BIGINT) AS k_hashes,
+              n_base, bits_set, probes, bloom_hits, true_dups, false_pos,
+              CASE WHEN probes - true_dups = 0 THEN NULL
+                   ELSE CAST(false_pos * 1000000 // (probes - true_dups) AS BIGINT)
+              END AS fpr_ppm
+            FROM geom CROSS JOIN counts"""))
+
+  /** Bottom-k mergeable sampling — the uniform-sample summary that
+    * merges exactly (Cohen & Kaplan: the k smallest hash values of a
+    * union are a subset of the union of each side's k smallest), which
+    * is what an incremental pipeline needs for a standing corpus
+    * sample: each vintage keeps its bottom-32 by hash60(doc_id), the
+    * merged sample is the bottom-32 OF THE TWO 32-ROW SAMPLES, and the
+    * output proves the merge exact by reporting the direct bottom-32
+    * of the whole corpus beside it — identical n/sum_ids/kth_hash by
+    * the bottom-k property (and the kth_hash column is the sampling
+    * threshold an estimator would invert). Contrast q_reservoir_sample:
+    * a reservoir needs coordinated random state to merge; bottom-k
+    * needs a MIN.
+    *
+    * Scale posture: per vintage one TakeOrdered(32) head (per-partition
+    * top-k merge, no global sort); the merge ranks 64 driver-free rows.
+    */
+  private val bottomkSample = Q(
+    "q_bottomk_sample",
+    (spark, dir) => {
+      val keyed = graft.Caches.persisted(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"),
+            (col("doc_id") % 10 === 0).as("isdelta"),
+            Portable.hash60(col("doc_id").cast("string")).as("h")))
+      def bottom(rel: DataFrame): DataFrame =
+        rel.orderBy(col("h"), col("doc_id")).limit(32)
+      val base32 = bottom(keyed.filter(!col("isdelta")))
+      val delta32 = bottom(keyed.filter(col("isdelta")))
+      val merged32 = bottom(base32.unionAll(delta32))
+      val direct32 = bottom(keyed)
+      def report(sample: DataFrame, src: DataFrame, part: String): DataFrame =
+        sample.agg(count(lit(1)).cast("bigint").as("k_rows"),
+            coalesce(sum(col("doc_id")), lit(0L)).cast("bigint").as("sum_ids"),
+            coalesce(max(col("h")), lit(0L)).cast("bigint").as("kth_hash"))
+          .crossJoin(src.agg(count(lit(1)).cast("bigint").as("n_in")))
+          .select(lit(part).as("part"), col("n_in"), col("k_rows"),
+            col("sum_ids"), col("kth_hash"))
+      report(base32, keyed.filter(!col("isdelta")), "base")
+        .unionAll(report(delta32, keyed.filter(col("isdelta")), "delta"))
+        .unionAll(report(merged32, keyed, "merged"))
+        .unionAll(report(direct32, keyed, "direct"))
+        .orderBy(col("part"))
+    },
+    Some("""WITH keyed AS (SELECT doc_id, doc_id % 10 = 0 AS isdelta,
+                             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                               AS BIGINT) AS h
+                           FROM documents),
+            b32 AS (SELECT doc_id, h FROM keyed WHERE NOT isdelta
+                    ORDER BY h, doc_id LIMIT 32),
+            d32 AS (SELECT doc_id, h FROM keyed WHERE isdelta
+                    ORDER BY h, doc_id LIMIT 32),
+            m32 AS (SELECT doc_id, h FROM
+                      (SELECT * FROM b32 UNION ALL SELECT * FROM d32)
+                    ORDER BY h, doc_id LIMIT 32),
+            f32 AS (SELECT doc_id, h FROM keyed ORDER BY h, doc_id LIMIT 32),
+            rep AS (
+              SELECT 'base' AS part,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM keyed WHERE NOT isdelta) AS n_in,
+                CAST(COUNT(*) AS BIGINT) AS k_rows,
+                CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_ids,
+                CAST(COALESCE(MAX(h), 0) AS BIGINT) AS kth_hash
+              FROM b32
+              UNION ALL
+              SELECT 'delta',
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM keyed WHERE isdelta),
+                CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(doc_id), 0) AS BIGINT),
+                CAST(COALESCE(MAX(h), 0) AS BIGINT)
+              FROM d32
+              UNION ALL
+              SELECT 'merged', (SELECT CAST(COUNT(*) AS BIGINT) FROM keyed),
+                CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(doc_id), 0) AS BIGINT),
+                CAST(COALESCE(MAX(h), 0) AS BIGINT)
+              FROM m32
+              UNION ALL
+              SELECT 'direct', (SELECT CAST(COUNT(*) AS BIGINT) FROM keyed),
+                CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(doc_id), 0) AS BIGINT),
+                CAST(COALESCE(MAX(h), 0) AS BIGINT)
+              FROM f32)
+            SELECT part, n_in, k_rows, sum_ids, kth_hash FROM rep ORDER BY part"""))
+
+  /** Count-Min-sketch heavy-hitter MERGE across data vintages (Cormode &
+    * Muthukrishnan 2005) — the frequency summary that updates under a
+    * nightly delta by elementwise ADD, never a union re-count: per
+    * vintage a depth-4 × width-512 counter table built in one pass over
+    * the word stream (the four 9-bit row positions carved from ONE
+    * hash60 value, so both engines increment identical counters), the
+    * merged sketch = per-(row,position) SUM of the vintage sketches, and
+    * the top-10 exact words probed against it — reporting exact count,
+    * CMS estimate from the MERGED sketch, and the overestimate (≥ 0
+    * always, the one-sided CMS guarantee; q_heavy_hitters probes Spark's
+    * built-in driver-side CMS, THIS one is the distributed portable
+    * twin whose merge the oracle replays bit-for-bit).
+    *
+    * Scale posture (100 TB): each vintage sketch is one partial+final
+    * COUNT into ≤ 2048 rows; the merge is a ≤ 2048-row SUM; the probe
+    * joins 40 (word,row) keys against the broadcast counter relation —
+    * sketch state is O(d·w) regardless of corpus size.
+    */
+  private val cmsMerge = Q(
+    "q_cms_merge",
+    (spark, dir) => {
+      val words = graft.Caches.persisted(
+        Tables.spreadIfUnderSplitAtScale(
+            Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+          .select((col("doc_id") % 10 === 0).as("isdelta"),
+            explode(graft.functions.TextOps.wordsNative(lower(col("text")))).as("word")))
+      val hv = Portable.hash60(col("word"))
+      val positioned = words
+        .select(col("isdelta"), col("word"), hv.as("hv"))
+        .select(col("isdelta"), col("word"),
+          posexplode(array((0 until 4).map(i =>
+            shiftright(col("hv"), 9 * i).bitwiseAND(lit(511L))): _*)))
+        .withColumnRenamed("pos", "d").withColumnRenamed("col", "p")
+      val vsketch = positioned.groupBy(col("isdelta"), col("d"), col("p"))
+        .agg(count(lit(1)).as("c"))
+      val merged = vsketch.groupBy(col("d"), col("p")).agg(sum(col("c")).as("c"))
+      val top10 = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(10)
+      top10
+        .select(col("word"), col("cnt"), hv.as("hv"))
+        .select(col("word"), col("cnt"),
+          posexplode(array((0 until 4).map(i =>
+            shiftright(col("hv"), 9 * i).bitwiseAND(lit(511L))): _*)))
+        .withColumnRenamed("pos", "d").withColumnRenamed("col", "p")
+        .join(broadcast(merged), Seq("d", "p"))
+        .groupBy(col("word"), col("cnt")).agg(min(col("c")).as("cms_est"))
+        .select(col("word"), col("cnt").cast("bigint").as("cnt"),
+          col("cms_est").cast("bigint").as("cms_est"),
+          (col("cms_est") - col("cnt")).cast("bigint").as("overcount"))
+        .orderBy(col("word"))
+    },
+    Some("""WITH words AS (SELECT doc_id % 10 = 0 AS isdelta, word
+                           FROM (SELECT doc_id,
+                                   UNNEST(string_split(lower(text), ' ')) AS word
+                                 FROM documents)
+                           WHERE word <> ''),
+            hw AS (SELECT isdelta, word,
+                     CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS hv
+                   FROM words),
+            positioned AS (SELECT isdelta, word, i AS d, (hv >> (9 * i)) & 511 AS p
+                           FROM hw, UNNEST(generate_series(0, 3)) AS u(i)),
+            vsketch AS (SELECT isdelta, d, p, CAST(COUNT(*) AS BIGINT) AS c
+                        FROM positioned GROUP BY isdelta, d, p),
+            merged AS (SELECT d, p, SUM(c) AS c FROM vsketch GROUP BY d, p),
+            top10 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+                      FROM words GROUP BY word
+                      ORDER BY cnt DESC, word LIMIT 10),
+            probes AS (SELECT t.word, t.cnt, u.i AS d,
+                         (CAST('0x' || substr(md5(t.word), 1, 15) AS BIGINT)
+                           >> (9 * u.i)) & 511 AS p
+                       FROM top10 t, UNNEST(generate_series(0, 3)) AS u(i))
+            SELECT pr.word, pr.cnt,
+              CAST(MIN(m.c) AS BIGINT) AS cms_est,
+              CAST(MIN(m.c) - pr.cnt AS BIGINT) AS overcount
+            FROM probes pr JOIN merged m ON m.d = pr.d AND m.p = pr.p
+            GROUP BY pr.word, pr.cnt ORDER BY pr.word"""))
+
+  /** Equi-width-histogram quantile MERGE across data vintages — the
+    * mergeable quantile summary (the fixed-bucket special case of the
+    * mergeable-summaries family, Agarwal et al. 2012): per vintage a
+    * 64-bucket histogram of order totalprice (integer cents over the
+    * broadcast corpus span), the merged histogram = per-bucket SUM, and
+    * p50/p90 estimated from the merged buckets (midpoint rule, pure
+    * integer arithmetic) beside the EXACT type-1 quantile of the same
+    * rows and the error in ppm — the measured accuracy of the summary
+    * whose union re-scan it avoids. The vintage split is the
+    * q_hll_merge date-half split.
+    *
+    * Scale posture: each histogram is one partial+final COUNT into ≤ 64
+    * rows; the merge is a 64-row SUM; the exact arm (the accuracy
+    * yardstick) is the only corpus-width aggregation, and it is a
+    * distinct-cents rollup + cumulative window, never a global sort of
+    * raw rows.
+    */
+  private val quantileMerge = Q(
+    "q_quantile_merge",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables(spark, dir, "orders")
+      val spanD = broadcast(o.agg(
+        min(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("minc"),
+        max(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("maxc"),
+        min(col("o_orderdate")).as("dmin"), max(col("o_orderdate")).as("dmax")))
+      val rows = graft.Caches.persisted(
+        o.crossJoin(spanD)
+          .select(
+            when(datediff(col("o_orderdate"), col("dmin")) * 2 <=
+              datediff(col("dmax"), col("dmin")), lit("base")).otherwise(lit("delta"))
+              .as("vintage"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+            col("minc"), (col("maxc") - col("minc") + 1).as("span"))
+          .select(col("vintage"), col("cents"), col("minc"), col("span"),
+            expr("((cents - minc) * 64) div span").cast("int").as("b")))
+      val vhist = graft.Caches.persisted(
+        rows.groupBy(col("vintage"), col("b"), col("minc"), col("span"))
+          .agg(count(lit(1)).as("c")))
+      val mhist = vhist.groupBy(col("b"), col("minc"), col("span"))
+        .agg(sum(col("c")).as("c")).withColumn("vintage", lit("merged"))
+      val hists = vhist.select(col("vintage"), col("b"), col("minc"), col("span"), col("c"))
+        .unionAll(mhist.select(col("vintage"), col("b"), col("minc"), col("span"), col("c")))
+      val wcum = Window.partitionBy(col("vintage")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hists
+        .withColumn("cumc", sum(col("c")).over(wcum))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("vintage"))))
+      val ps = Seq(50, 90)
+      val est = ps.map { p =>
+        cum.filter(col("cumc") >= expr(s"(n * $p + 99) div 100"))
+          .groupBy(col("vintage")).agg(
+            min(col("b")).as("bsel"),
+            first(col("minc")).as("minc"), first(col("span")).as("span"),
+            first(col("n")).as("n"))
+          .select(col("vintage"), lit(p).as("p"), col("n"),
+            (col("minc") + expr("((2 * bsel + 1) * span) div 128")).as("est_cents"))
+      }.reduce(_ unionAll _)
+      // exact type-1 quantile per part, via distinct-cents cumulative counts
+      val parts = rows.select(col("vintage"), col("cents"))
+        .unionAll(rows.select(lit("merged").as("vintage"), col("cents")))
+      val vc = parts.groupBy(col("vintage"), col("cents")).agg(count(lit(1)).as("c"))
+        .withColumn("cumc", sum(col("c")).over(
+          Window.partitionBy(col("vintage")).orderBy(col("cents"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("vintage"))))
+      val exact = ps.map { p =>
+        vc.filter(col("cumc") >= expr(s"(n * $p + 99) div 100"))
+          .groupBy(col("vintage")).agg(min(col("cents")).as("exact_cents"))
+          .select(col("vintage"), lit(p).as("p"), col("exact_cents"))
+      }.reduce(_ unionAll _)
+      est.join(exact, Seq("vintage", "p"))
+        .select(col("vintage").as("part"), col("p").cast("int").as("p"),
+          col("n").cast("bigint").as("n"),
+          col("est_cents").cast("bigint").as("est_cents"),
+          col("exact_cents").cast("bigint").as("exact_cents"),
+          when(col("exact_cents") === 0, lit(null).cast("long"))
+            .otherwise(expr("abs(est_cents - exact_cents) * 1000000 div exact_cents"))
+            .as("err_ppm"))
+        .orderBy(col("part"), col("p"))
+    },
+    Some("""WITH span AS (SELECT MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS minc,
+                            MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS maxc,
+                            MIN(o_orderdate) AS dmin, MAX(o_orderdate) AS dmax
+                          FROM orders),
+            rows_ AS (SELECT CASE WHEN (CAST(o_orderdate AS DATE) - CAST(span.dmin AS DATE)) * 2 <=
+                                       (CAST(span.dmax AS DATE) - CAST(span.dmin AS DATE))
+                                  THEN 'base' ELSE 'delta' END AS vintage,
+                        CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                        span.minc AS minc, span.maxc - span.minc + 1 AS span
+                      FROM orders, span),
+            bucketed AS (SELECT vintage, cents, minc, span,
+                           ((cents - minc) * 64) // span AS b
+                         FROM rows_),
+            vhist AS (SELECT vintage, b, minc, span, CAST(COUNT(*) AS BIGINT) AS c
+                      FROM bucketed GROUP BY vintage, b, minc, span),
+            hists AS (SELECT * FROM vhist
+                      UNION ALL
+                      SELECT 'merged', b, minc, span, SUM(c) FROM vhist
+                      GROUP BY b, minc, span),
+            cum AS (SELECT vintage, b, minc, span, c,
+                      SUM(c) OVER (PARTITION BY vintage ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+                      SUM(c) OVER (PARTITION BY vintage) AS n
+                    FROM hists),
+            est AS (SELECT vintage, 50 AS p, MAX(n) AS n,
+                      MIN(minc) + ((2 * MIN(b) + 1) * MIN(span)) // 128 AS est_cents
+                    FROM cum WHERE cumc >= (n * 50 + 99) // 100 GROUP BY vintage
+                    UNION ALL
+                    SELECT vintage, 90, MAX(n),
+                      MIN(minc) + ((2 * MIN(b) + 1) * MIN(span)) // 128
+                    FROM cum WHERE cumc >= (n * 90 + 99) // 100 GROUP BY vintage),
+            parts AS (SELECT vintage, cents FROM bucketed
+                      UNION ALL SELECT 'merged', cents FROM bucketed),
+            vc AS (SELECT vintage, cents, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM parts GROUP BY vintage, cents),
+            vcum AS (SELECT vintage, cents,
+                       SUM(c) OVER (PARTITION BY vintage ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+                       SUM(c) OVER (PARTITION BY vintage) AS n
+                     FROM vc),
+            exact AS (SELECT vintage, 50 AS p, MIN(cents) AS exact_cents
+                      FROM vcum WHERE cumc >= (n * 50 + 99) // 100 GROUP BY vintage
+                      UNION ALL
+                      SELECT vintage, 90, MIN(cents)
+                      FROM vcum WHERE cumc >= (n * 90 + 99) // 100 GROUP BY vintage)
+            SELECT e.vintage AS part, CAST(e.p AS INT) AS p,
+              CAST(e.n AS BIGINT) AS n,
+              CAST(e.est_cents AS BIGINT) AS est_cents,
+              CAST(x.exact_cents AS BIGINT) AS exact_cents,
+              CASE WHEN x.exact_cents = 0 THEN NULL
+                   ELSE CAST(ABS(e.est_cents - x.exact_cents) * 1000000
+                     // x.exact_cents AS BIGINT)
+              END AS err_ppm
+            FROM est e JOIN exact x ON x.vintage = e.vintage AND x.p = e.p
+            ORDER BY part, p"""))
+
+  /** Weighted corpus sampling by sequential Poisson priorities (Ohlsson
+    * 1998) — length-proportional document sampling, the training-data
+    * mix primitive ("sample documents proportional to token mass"), in
+    * the same MERGEABLE bottom-k frame as q_bottomk_sample: priority
+    * ξ = hash60(doc_id) / weight (one exact IEEE division both engines
+    * round identically), each vintage keeps its 16 smallest-ξ docs, the
+    * merged sample is the bottom-16 OF THE TWO SAMPLES, and the direct
+    * full-corpus bottom-16 is reported beside it — identical by the
+    * bottom-k property, so a standing weighted sample updates from a
+    * delta without re-scanning the corpus. Weight = greatest(1,
+    * char length); sum_h is the sample's hash fingerprint, summed in
+    * decimal(38,0) (16 × 2^60 would wrap bigint).
+    *
+    * Scale posture: per vintage one TakeOrdered(16) head; the merge
+    * ranks 32 driver-free rows.
+    */
+  private val weightedSample = Q(
+    "q_weighted_sample",
+    (spark, dir) => {
+      val keyed = graft.Caches.persisted(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"),
+            (col("doc_id") % 10 === 0).as("isdelta"),
+            greatest(lit(1L), length(col("text")).cast("long")).as("w"),
+            Portable.hash60(col("doc_id").cast("string")).as("h"))
+          .select(col("doc_id"), col("isdelta"), col("w"), col("h"),
+            (col("h").cast("double") / col("w").cast("double")).as("xi")))
+      def bottom(rel: DataFrame): DataFrame =
+        rel.orderBy(col("xi"), col("doc_id")).limit(16)
+      val base16 = bottom(keyed.filter(!col("isdelta")))
+      val delta16 = bottom(keyed.filter(col("isdelta")))
+      val merged16 = bottom(base16.unionAll(delta16))
+      val direct16 = bottom(keyed)
+      def report(sample: DataFrame, src: DataFrame, part: String): DataFrame =
+        sample.agg(count(lit(1)).cast("bigint").as("k_rows"),
+            coalesce(sum(col("doc_id")), lit(0L)).cast("bigint").as("sum_ids"),
+            coalesce(sum(col("w")), lit(0L)).cast("bigint").as("sum_w"),
+            coalesce(sum(col("h").cast("decimal(38,0)")),
+              lit(0L).cast("decimal(38,0)")).as("sum_h"))
+          .crossJoin(src.agg(count(lit(1)).cast("bigint").as("n_in")))
+          .select(lit(part).as("part"), col("n_in"), col("k_rows"),
+            col("sum_ids"), col("sum_w"), col("sum_h").cast("decimal(38,0)").as("sum_h"))
+      report(base16, keyed.filter(!col("isdelta")), "base")
+        .unionAll(report(delta16, keyed.filter(col("isdelta")), "delta"))
+        .unionAll(report(merged16, keyed, "merged"))
+        .unionAll(report(direct16, keyed, "direct"))
+        .orderBy(col("part"))
+    },
+    Some("""WITH keyed AS (SELECT doc_id, doc_id % 10 = 0 AS isdelta,
+                             GREATEST(1, length(text)) AS w,
+                             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                               AS BIGINT) AS h
+                           FROM documents),
+            xs AS (SELECT doc_id, isdelta, w, h,
+                     CAST(h AS DOUBLE) / CAST(w AS DOUBLE) AS xi
+                   FROM keyed),
+            b16 AS (SELECT * FROM xs WHERE NOT isdelta ORDER BY xi, doc_id LIMIT 16),
+            d16 AS (SELECT * FROM xs WHERE isdelta ORDER BY xi, doc_id LIMIT 16),
+            m16 AS (SELECT * FROM (SELECT * FROM b16 UNION ALL SELECT * FROM d16)
+                    ORDER BY xi, doc_id LIMIT 16),
+            f16 AS (SELECT * FROM xs ORDER BY xi, doc_id LIMIT 16),
+            rep AS (
+              SELECT 'base' AS part,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM xs WHERE NOT isdelta) AS n_in,
+                CAST(COUNT(*) AS BIGINT) AS k_rows,
+                CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_ids,
+                CAST(COALESCE(SUM(w), 0) AS BIGINT) AS sum_w,
+                CAST(COALESCE(SUM(h), 0) AS DECIMAL(38, 0)) AS sum_h
+              FROM b16
+              UNION ALL
+              SELECT 'delta',
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM xs WHERE isdelta),
+                CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(doc_id), 0) AS BIGINT),
+                CAST(COALESCE(SUM(w), 0) AS BIGINT),
+                CAST(COALESCE(SUM(h), 0) AS DECIMAL(38, 0))
+              FROM d16
+              UNION ALL
+              SELECT 'merged', (SELECT CAST(COUNT(*) AS BIGINT) FROM xs),
+                CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(doc_id), 0) AS BIGINT),
+                CAST(COALESCE(SUM(w), 0) AS BIGINT),
+                CAST(COALESCE(SUM(h), 0) AS DECIMAL(38, 0))
+              FROM m16
+              UNION ALL
+              SELECT 'direct', (SELECT CAST(COUNT(*) AS BIGINT) FROM xs),
+                CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(doc_id), 0) AS BIGINT),
+                CAST(COALESCE(SUM(w), 0) AS BIGINT),
+                CAST(COALESCE(SUM(h), 0) AS DECIMAL(38, 0))
+              FROM f16)
+            SELECT part, n_in, k_rows, sum_ids, sum_w, sum_h FROM rep ORDER BY part"""))
+
+  val all: Seq[Q] = Seq(hllMerge, bloomIncremental, bottomkSample,
+    cmsMerge, quantileMerge, weightedSample)
+}

@@ -785,6 +785,60 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_hll_merge builds registers with partial aggregation and no cartesian beyond the 1-row span") {
+    val plan = executedPlan("q_hll_merge")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"register MAX must partial-aggregate map-side:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row date span must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_bloom_incremental probes against a broadcast bit set, no sort-merge on positions") {
+    val plan = executedPlan("q_bloom_incremental")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ≤4096-row bit set must broadcast to the probe side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_bottomk_sample takes per-vintage bottom-32 via TakeOrdered heads (no global sort)") {
+    val plan = executedPlan("q_bottomk_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bottom-k must plan as a per-partition top-k merge:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_cms_merge probes the broadcast merged sketch, word census partial-aggregates") {
+    val plan = executedPlan("q_cms_merge")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ≤2048-row merged counter relation must broadcast to the probe side:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"the counter census must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_quantile_merge broadcasts the 1-row span, histograms partial-aggregate, no cartesian") {
+    val plan = executedPlan("q_quantile_merge")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row corpus span must broadcast:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"the bucket census must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_weighted_sample takes per-vintage bottom-16 via TakeOrdered heads (no global sort)") {
+    val plan = executedPlan("q_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bottom-k by priority must plan as a per-partition top-k merge:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_span_coverage joins the two pair sets without a cartesian, windows pair-partitioned") {
     val plan = executedPlan("q_span_coverage")
     assert(!plan.contains("CartesianProduct"), plan)

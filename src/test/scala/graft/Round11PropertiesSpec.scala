@@ -13,6 +13,12 @@ class Round11PropertiesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.sf0001
 
+  private def run(name: String) = {
+    val rows = Registry.byName(name).build(spark, dir).collect()
+    Caches.releaseAll()
+    rows
+  }
+
   private def md5hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -166,6 +172,193 @@ class Round11PropertiesSpec extends AnyFunSuite {
       Tables(spark, dir, "documents").select(col("doc_id"), col("text")).collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq)
     assert(got === want)
+  }
+
+  test("q_hll_merge equals the naive HLL replay, and the merged sketch is register-MAX of the halves") {
+    val rows = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val dmin = rows.map(_._2).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val dmax = rows.map(_._2).max(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val tagged = rows.map { case (k, d) =>
+      val base = (d.toEpochDay - dmin.toEpochDay) * 2 <= (dmax.toEpochDay - dmin.toEpochDay)
+      (k, if (base) "base" else "delta")
+    }
+    def registers(ks: Seq[Long]): Map[Int, Int] =
+      ks.map { k =>
+        val h = hash60(k.toString)
+        val w = h / 256
+        ((h % 256).toInt, if (w == 0) 53 else 53 - java.lang.Long.toBinaryString(w).length)
+      }.groupBy(_._1).map { case (j, g) => j -> g.map(_._2).max }
+    def estimate(regs: Map[Int, Int]): Long = {
+      val z = (0 until 256).map(j => 1L << (53 - regs.getOrElse(j, 0))).sum
+      val raw = 4.2399330249068963e20 / z.toDouble
+      val v = 256 - regs.size
+      val e = if (raw <= 640.0 && v > 0) 256.0 * math.log(256.0 / v) else raw
+      math.floor(e + 0.5).toLong
+    }
+    val rb = registers(tagged.filter(_._2 == "base").map(_._1).toSeq)
+    val rd = registers(tagged.filter(_._2 == "delta").map(_._1).toSeq)
+    // merged registers = per-bucket MAX of the halves' registers — the
+    // mergeability property, asserted against a from-scratch build
+    val rm = (rb.keySet ++ rd.keySet).map(j =>
+      j -> math.max(rb.getOrElse(j, 0), rd.getOrElse(j, 0))).toMap
+    assert(rm === registers(tagged.map(_._1).toSeq))
+    def exact(p: String => Boolean) = tagged.filter(t => p(t._2)).map(_._1).distinct.size.toLong
+    val want = Seq(
+      ("base", exact(_ == "base"), estimate(rb)),
+      ("delta", exact(_ == "delta"), estimate(rd)),
+      ("merged", exact(_ => true), estimate(rm))).map { case (p, ex, est) =>
+      (p, ex, est, if (ex == 0) null else java.lang.Long.valueOf(math.abs(est - ex) * 1000000L / ex))
+    }
+    val got = run("q_hll_merge").map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)))).toSeq
+    assert(got === want, s"got=$got want=$want")
+  }
+
+  test("q_bloom_incremental equals the naive bloom replay") {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), md5hex(r.getString(1))))
+    def positions(ch: String): Seq[Long] = {
+      val hv = hash60(ch)
+      (0 until 4).map(i => (hv >> (12 * i)) & 4095L)
+    }
+    val base = docs.filter(_._1 % 10 != 0)
+    val delta = docs.filter(_._1 % 10 == 0)
+    val bits = base.flatMap(d => positions(d._2)).toSet
+    val baseHashes = base.map(_._2).toSet
+    val probes = delta.map(_._2).distinct
+    val hits = probes.filter(ch => positions(ch).forall(bits.contains))
+    val trueDups = hits.count(baseHashes.contains)
+    val fp = hits.size - trueDups
+    val got = run("q_bloom_incremental")(0)
+    assert((got.getLong(2), got.getLong(3), got.getLong(4), got.getLong(5),
+      got.getLong(6), got.getLong(7)) ===
+      ((baseHashes.size.toLong, bits.size.toLong, probes.size.toLong,
+        hits.size.toLong, trueDups.toLong, fp.toLong)))
+    assert(got.getLong(8) === fp * 1000000L / (probes.size - trueDups))
+  }
+
+  test("q_bottomk_sample: the merged sample IS the direct full-corpus sample (bottom-k property)") {
+    val got = run("q_bottomk_sample").map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("merged") === got("direct"),
+      s"merged=${got("merged")} direct=${got("direct")}")
+    // naive replay of the per-vintage samples
+    val ids = Tables(spark, dir, "documents").select(col("doc_id")).collect()
+      .map(_.getLong(0))
+    def bottom(ks: Seq[Long]) =
+      ks.map(k => (hash60(k.toString), k)).sorted.take(32)
+    val b = bottom(ids.filter(_ % 10 != 0).toSeq)
+    val d = bottom(ids.filter(_ % 10 == 0).toSeq)
+    assert(got("base") === ((ids.count(_ % 10 != 0).toLong, b.size.toLong,
+      b.map(_._2).sum, b.map(_._1).max)))
+    assert(got("delta") === ((ids.count(_ % 10 == 0).toLong, d.size.toLong,
+      d.map(_._2).sum, d.map(_._1).max)))
+    // and the merge-of-samples equals bottom-32 of the sample union
+    val m = (b ++ d).sorted.take(32)
+    assert(got("merged") === ((ids.length.toLong, m.size.toLong,
+      m.map(_._2).sum, m.map(_._1).max)))
+  }
+
+  test("q_cms_merge: merged sketch equals from-scratch corpus sketch, estimates dominate exact counts") {
+    val words = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => r.getString(1).toLowerCase.split(" ", -1).filter(_.nonEmpty)
+        .map(w => (r.getLong(0) % 10 == 0, w)))
+    def positions(w: String): Seq[(Int, Long)] = {
+      val h = hash60(w)
+      (0 until 4).map(i => (i, (h >> (9 * i)) & 511L))
+    }
+    def sketch(ws: Seq[String]): Map[(Int, Long), Long] =
+      ws.flatMap(positions).groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val sb = sketch(words.filter(!_._1).map(_._2).toSeq)
+    val sd = sketch(words.filter(_._1).map(_._2).toSeq)
+    val sm = (sb.keySet ++ sd.keySet).map(k =>
+      k -> (sb.getOrElse(k, 0L) + sd.getOrElse(k, 0L))).toMap
+    // mergeability: elementwise sum of vintage sketches == from-scratch sketch
+    assert(sm === sketch(words.map(_._2).toSeq))
+    val counts = words.map(_._2).groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val top10 = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(10)
+    val want = top10.map { case (w, c) =>
+      (w, c, positions(w).map(sm).min)
+    }.map { case (w, c, e) => (w, c, e, e - c) }.sortBy(_._1)
+    val got = run("q_cms_merge").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want, s"got=$got want=$want")
+    got.foreach { case (_, _, _, over) => assert(over >= 0L) }
+  }
+
+  test("q_quantile_merge: merged histogram equals from-scratch, estimate brackets within a bucket width") {
+    val rows = Tables(spark, dir, "orders")
+      .select(col("o_orderdate").cast("date"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val dmin = rows.map(_._1.toEpochDay).min; val dmax = rows.map(_._1.toEpochDay).max
+    val minc = rows.map(_._2).min; val maxc = rows.map(_._2).max
+    val span = maxc - minc + 1
+    val tagged = rows.map { case (d, c) =>
+      (if ((d.toEpochDay - dmin) * 2 <= dmax - dmin) "base" else "delta", c)
+    }
+    def hist(cs: Seq[Long]): Map[Long, Long] =
+      cs.map(c => (c - minc) * 64 / span).groupBy(identity)
+        .map { case (b, g) => b -> g.size.toLong }
+    val hb = hist(tagged.filter(_._1 == "base").map(_._2).toSeq)
+    val hd = hist(tagged.filter(_._1 == "delta").map(_._2).toSeq)
+    val hm = (hb.keySet ++ hd.keySet).map(b =>
+      b -> (hb.getOrElse(b, 0L) + hd.getOrElse(b, 0L))).toMap
+    assert(hm === hist(tagged.map(_._2).toSeq)) // mergeability
+    def estQ(h: Map[Long, Long], p: Int): (Long, Long) = {
+      val n = h.values.sum
+      val target = (n * p + 99) / 100
+      val bsel = h.toSeq.sortBy(_._1).scanLeft((-1L, 0L)) { case ((_, cum), (b, c)) =>
+        (b, cum + c)
+      }.find(_._2 >= target).get._1
+      (n, minc + (2 * bsel + 1) * span / 128)
+    }
+    def exactQ(cs: Seq[Long], p: Int): Long = {
+      val s = cs.sorted; val target = ((s.size.toLong * p + 99) / 100).toInt
+      s(target - 1)
+    }
+    val want = Seq("base", "delta", "merged").flatMap { part =>
+      val cs = if (part == "merged") tagged.map(_._2).toSeq
+        else tagged.filter(_._1 == part).map(_._2).toSeq
+      val h = part match { case "base" => hb; case "delta" => hd; case _ => hm }
+      Seq(50, 90).map { p =>
+        val (n, est) = estQ(h, p); val ex = exactQ(cs, p)
+        (part, p, n, est, ex, math.abs(est - ex) * 1000000L / ex)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = run("q_quantile_merge").map(r => (r.getString(0), r.getInt(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want, s"got=$got want=$want")
+    // midpoint estimate is within one bucket width of the exact quantile
+    got.foreach { case (_, _, _, est, ex, _) =>
+      assert(math.abs(est - ex) <= span / 64 + 1) }
+  }
+
+  test("q_weighted_sample: the merged weighted sample IS the direct one (bottom-k by fixed priority)") {
+    val got = run("q_weighted_sample").map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDecimal(5).toBigInteger)).toMap
+    assert(got("merged") === got("direct"))
+    // naive replay
+    val ds = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), math.max(1L, r.getString(1).length.toLong)))
+    def bottom(xs: Seq[(Long, Long)]) = // (id, w)
+      xs.map { case (id, w) => (hash60(id.toString).toDouble / w, id, w) }
+        .sortBy(t => (t._1, t._2)).take(16)
+    def rep(s: Seq[(Double, Long, Long)], nIn: Long) =
+      (nIn, s.size.toLong, s.map(_._2).sum, s.map(_._3).sum,
+        s.map(t => BigInt(hash60(t._2.toString))).sum.bigInteger)
+    val b = bottom(ds.filter(_._1 % 10 != 0).toSeq)
+    val d = bottom(ds.filter(_._1 % 10 == 0).toSeq)
+    assert(got("base") === rep(b, ds.count(_._1 % 10 != 0)))
+    assert(got("delta") === rep(d, ds.count(_._1 % 10 == 0)))
+    val m = (b ++ d).sortBy(t => (t._1, t._2)).take(16)
+    assert(got("merged") === rep(m, ds.length))
   }
 
   test("streaming content dedup == batch keep-first on an arrival-ordered planted stream") {
