@@ -1729,10 +1729,88 @@ object DedupQueries {
           ORDER BY doc_id, kind, match_doc"""
     })
 
+  /** Content-defined chunking (LBFS/FastCDC lineage: Muthitacharoen et
+    * al. 2001) — the storage-dedup primitive q_chunk_dedup's FIXED
+    * 32-token windows cannot provide: fixed windows shift after any
+    * insertion and every downstream chunk changes, while CDC cuts at
+    * content-derived positions (here: tokens whose hash60 ≡ 0 mod 16,
+    * expected chunk length 16 tokens), so an edit only re-chunks its
+    * own neighborhood. Per source: chunk census, distinct chunks,
+    * cross-document duplicate chunks (the dedup-hit mass), exact mean
+    * chunk length in centi-tokens.
+    *
+    * Scale posture: the boundary flag and running chunk-id are one
+    * posexplode + one per-document window (documents are bounded, the
+    * partition key is doc_id); chunk text reassembles in the SAME
+    * aggregation that hashes it; the census is partial+final over
+    * chunk hashes.
+    */
+  private val cdcChunking = Q(
+    "q_cdc_chunking",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.spreadIfUnderSplitAtScale(
+          Tables(spark, dir, "documents")
+            .select(col("doc_id"), col("source"), col("text")))
+        .select(col("doc_id"), col("source"),
+          posexplode(graft.functions.TextOps.wordsNative(col("text"))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+      val flagged = toks.withColumn("f",
+        when(graft.functions.Portable.hash60(col("w")) % 16 === 0, 1L).otherwise(0L))
+      val cids = flagged.withColumn("cid",
+        sum(col("f")).over(Window.partitionBy(col("doc_id")).orderBy(col("p"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val chunks = graft.Caches.persisted(
+        cids.groupBy(col("doc_id"), col("source"), col("cid"))
+          .agg(count(lit(1)).as("len"),
+            md5(concat_ws(" ",
+              transform(sort_array(collect_list(struct(col("p"), col("w")))),
+                x => x.getField("w")))).as("ch")))
+      val dup = chunks.groupBy(col("ch"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("ch").as("dch"))
+      chunks.join(broadcast(dup), col("ch") === col("dch"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("bigint").as("n_chunks"),
+          countDistinct(col("ch")).cast("bigint").as("n_distinct"),
+          count_if(col("dch").isNotNull).cast("bigint").as("n_dup_chunks"),
+          sum(col("len")).cast("bigint").as("n_tokens"))
+        .select(col("source"), col("n_chunks"), col("n_distinct"),
+          col("n_dup_chunks"),
+          expr("n_tokens * 100 div n_chunks").as("mean_len_centi"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+                         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                       FROM documents),
+            toks AS (SELECT doc_id, source, i - 1 AS p, ws[i] AS w
+                     FROM d, UNNEST(generate_series(1, len(ws))) AS t(i)),
+            flagged AS (SELECT doc_id, source, p, w,
+                          CASE WHEN CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)
+                                 % 16 = 0 THEN 1 ELSE 0 END AS f
+                        FROM toks),
+            cids AS (SELECT doc_id, source, p, w,
+                       SUM(f) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
+                     FROM flagged),
+            chunks AS (SELECT doc_id, source, cid,
+                         CAST(COUNT(*) AS BIGINT) AS len,
+                         md5(string_agg(w, ' ' ORDER BY p)) AS ch
+                       FROM cids GROUP BY doc_id, source, cid),
+            dup AS (SELECT ch FROM chunks GROUP BY ch
+                    HAVING COUNT(DISTINCT doc_id) >= 2)
+            SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_chunks,
+              CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_distinct,
+              CAST(COUNT(*) FILTER (WHERE ch IN (SELECT ch FROM dup)) AS BIGINT)
+                AS n_dup_chunks,
+              CAST(SUM(len) * 100 // COUNT(*) AS BIGINT) AS mean_len_centi
+            FROM chunks GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupContainment, minhashRecall, chunkDedup, dupRatioBySource,
     minhashPrecision, spanDedup, spanLeakage, simhashHamming, spanScrub,
     minhashEstError, lshBandSweep, boilerplatePrefix, spanDedupGlobal,
     spanScrubGlobal, spanCoverage, bbitMinhash, dedupSurvivorship,
-    dedupIncremental)
+    dedupIncremental, cdcChunking)
 }

@@ -622,6 +622,181 @@ object SketchQueries {
               FROM f16)
             SELECT part, n_in, k_rows, sum_ids, sum_w, sum_h FROM rep ORDER BY part"""))
 
+  /** KMV/theta sketch SET OPERATIONS across data vintages (the
+    * k-minimum-values estimator, Bar-Yossef et al. 2002; theta-sketch
+    * framing Dasgupta et al.) — the capability q_hll_merge's union-only
+    * registers lack: an INTERSECTION estimate (customers active in both
+    * vintages) from the same mergeable bottom-k samples
+    * q_bottomk_sample proved exact. Per vintage the bottom-128 distinct
+    * key hashes; union = bottom-128 of the sample union; intersection =
+    * common sample hashes below θ = min(θ_a, θ_b), scaled by 2⁶⁰/θ.
+    * A sketch holding fewer than k values IS the exact distinct set
+    * (θ = 2⁶⁰), so small vintages degrade to exact — the standard KMV
+    * contract. Per part: estimate, exact distinct, error ppm.
+    *
+    * Portability: estimators are exact integer division of exact
+    * products — (k−1)·2⁶⁰ and c·2⁶⁰ run in decimal(38,0) (DuckDB
+    * HUGEINT; 127·2⁶⁰ ≈ 1.5·10²⁰ wraps bigint) — no float ever compares
+    * or divides. Scale posture: per vintage one TakeOrdered(128) over
+    * the distinct-key aggregate; every later step ranks ≤ 256 rows.
+    */
+  private val thetaSketch = Q(
+    "q_theta_sketch",
+    (spark, dir) => {
+      val o = Tables(spark, dir, "orders")
+      val span = broadcast(o.agg(min(col("o_orderdate")).as("dmin"),
+        max(col("o_orderdate")).as("dmax")))
+      val tagged = o.crossJoin(span)
+        .select(col("o_custkey").as("k"),
+          when(datediff(col("o_orderdate"), col("dmin")) * 2 <=
+            datediff(col("dmax"), col("dmin")), lit("base")).otherwise(lit("delta"))
+            .as("vintage"))
+      val keyed = graft.Caches.persisted(
+        tagged.select(col("vintage"), col("k"),
+          Portable.hash60(col("k").cast("string")).as("h")))
+      def sample(v: String): DataFrame =
+        keyed.filter(col("vintage") === v).select(col("h")).distinct()
+          .orderBy(col("h")).limit(128)
+      val sa = graft.Caches.persisted(sample("base"))
+      val sb = graft.Caches.persisted(sample("delta"))
+      val pow = lit(1152921504606846976L) // 2^60
+      // θ per side: the max sampled hash if the sketch is FULL, else 2^60
+      def theta(s: DataFrame): DataFrame =
+        s.agg(count(lit(1)).as("n"), coalesce(max(col("h")), pow).as("mx"))
+          .select(col("n"), when(col("n") < 128, pow).otherwise(col("mx")).as("th"))
+      val ta = theta(sa); val tb = theta(sb)
+      // union sample: bottom-128 of the distinct union of the two samples
+      val su = sa.unionAll(sb).distinct().orderBy(col("h")).limit(128)
+      val tu = theta(su)
+      // intersection candidates: common hashes strictly below min(θa, θb)
+      val thAB = ta.select(col("th").as("tha"))
+        .crossJoin(tb.select(col("th").as("thb")))
+        .select(least(col("tha"), col("thb")).as("thi"))
+      val common = sa.join(sb.select(col("h").as("hb")), col("h") === col("hb"))
+        .crossJoin(broadcast(thAB))
+        .filter(col("h") < col("thi"))
+        .agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(thAB))
+        .select(col("c"), col("thi"))
+      val exacts = keyed.groupBy(col("vintage"))
+        .agg(countDistinct(col("k")).cast("bigint").as("exact"))
+        .select(col("vintage").as("part"), col("exact"))
+        .unionAll(keyed.agg(countDistinct(col("k")).cast("bigint").as("exact"))
+          .select(lit("union").as("part"), col("exact")))
+        .unionAll(
+          keyed.filter(col("vintage") === "base").select(col("k")).distinct()
+            .join(keyed.filter(col("vintage") === "delta").select(col("k").as("k2"))
+              .distinct(), col("k") === col("k2"))
+            .agg(count(lit(1)).cast("bigint").as("exact"))
+            .select(lit("intersection").as("part"), col("exact")))
+      val ests =
+        ta.select(lit("base").as("part"),
+            when(col("n") < 128, col("n")).otherwise(
+              expr("cast(127 as decimal(38,0)) * cast(1152921504606846976 as decimal(38,0)) div th"))
+              .cast("long").as("est"))
+          .unionAll(tb.select(lit("delta").as("part"),
+            when(col("n") < 128, col("n")).otherwise(
+              expr("cast(127 as decimal(38,0)) * cast(1152921504606846976 as decimal(38,0)) div th"))
+              .cast("long").as("est")))
+          .unionAll(tu.select(lit("union").as("part"),
+            when(col("n") < 128, col("n")).otherwise(
+              expr("cast(127 as decimal(38,0)) * cast(1152921504606846976 as decimal(38,0)) div th"))
+              .cast("long").as("est")))
+          .unionAll(common.select(lit("intersection").as("part"),
+            when(col("thi") === 1152921504606846976L, col("c")).otherwise(
+              expr("cast(c as decimal(38,0)) * cast(1152921504606846976 as decimal(38,0)) div thi"))
+              .cast("long").as("est")))
+      val spine = spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("base"), org.apache.spark.sql.Row("delta"),
+          org.apache.spark.sql.Row("union"), org.apache.spark.sql.Row("intersection")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("part",
+            org.apache.spark.sql.types.StringType))))
+      spine.join(ests, Seq("part"), "left")
+        .join(exacts, Seq("part"), "left")
+        .select(col("part"),
+          coalesce(col("est"), lit(0L)).as("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"))
+        .select(col("part"), col("est"), col("exact"),
+          when(col("exact") === 0, lit(null).cast("long"))
+            .otherwise(expr("abs(est - exact) * 1000000 div exact")).as("err_ppm"))
+        .orderBy(col("part"))
+    },
+    Some(s"""WITH span AS (SELECT MIN(o_orderdate) AS dmin, MAX(o_orderdate) AS dmax
+                           FROM orders),
+             tagged AS (SELECT o_custkey AS k,
+                          CASE WHEN (CAST(o_orderdate AS DATE) - CAST(span.dmin AS DATE)) * 2 <=
+                                    (CAST(span.dmax AS DATE) - CAST(span.dmin AS DATE))
+                               THEN 'base' ELSE 'delta' END AS vintage
+                        FROM orders, span),
+             keyed AS (SELECT vintage, k,
+                         CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                       FROM tagged),
+             sa AS (SELECT DISTINCT h FROM keyed WHERE vintage = 'base'
+                    ORDER BY h LIMIT 128),
+             sb AS (SELECT DISTINCT h FROM keyed WHERE vintage = 'delta'
+                    ORDER BY h LIMIT 128),
+             su AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+                    ORDER BY h LIMIT 128),
+             ta AS (SELECT COUNT(*) AS n,
+                      CASE WHEN COUNT(*) < 128 THEN 1152921504606846976
+                           ELSE COALESCE(MAX(h), 1152921504606846976) END AS th
+                    FROM sa),
+             tb AS (SELECT COUNT(*) AS n,
+                      CASE WHEN COUNT(*) < 128 THEN 1152921504606846976
+                           ELSE COALESCE(MAX(h), 1152921504606846976) END AS th
+                    FROM sb),
+             tu AS (SELECT COUNT(*) AS n,
+                      CASE WHEN COUNT(*) < 128 THEN 1152921504606846976
+                           ELSE COALESCE(MAX(h), 1152921504606846976) END AS th
+                    FROM su),
+             thi AS (SELECT LEAST(ta.th, tb.th) AS thi FROM ta, tb),
+             common AS (SELECT COUNT(*) AS c FROM sa JOIN sb ON sa.h = sb.h, thi
+                        WHERE sa.h < thi.thi),
+             ests AS (
+               SELECT 'base' AS part,
+                 CAST(CASE WHEN ta.n < 128 THEN ta.n
+                      ELSE (CAST(127 AS HUGEINT) * 1152921504606846976) // ta.th
+                      END AS BIGINT) AS est FROM ta
+               UNION ALL
+               SELECT 'delta',
+                 CAST(CASE WHEN tb.n < 128 THEN tb.n
+                      ELSE (CAST(127 AS HUGEINT) * 1152921504606846976) // tb.th
+                      END AS BIGINT) FROM tb
+               UNION ALL
+               SELECT 'union',
+                 CAST(CASE WHEN tu.n < 128 THEN tu.n
+                      ELSE (CAST(127 AS HUGEINT) * 1152921504606846976) // tu.th
+                      END AS BIGINT) FROM tu
+               UNION ALL
+               SELECT 'intersection',
+                 CAST(CASE WHEN thi.thi = 1152921504606846976 THEN common.c
+                      ELSE (CAST(common.c AS HUGEINT) * 1152921504606846976) // thi.thi
+                      END AS BIGINT) FROM common, thi),
+             exacts AS (
+               SELECT vintage AS part, CAST(COUNT(DISTINCT k) AS BIGINT) AS exact
+               FROM keyed GROUP BY vintage
+               UNION ALL
+               SELECT 'union', CAST(COUNT(DISTINCT k) AS BIGINT) FROM keyed
+               UNION ALL
+               SELECT 'intersection', CAST(COUNT(*) AS BIGINT) FROM
+                 (SELECT DISTINCT k FROM keyed WHERE vintage = 'base') a
+                 JOIN (SELECT DISTINCT k FROM keyed WHERE vintage = 'delta') b
+                 ON a.k = b.k),
+             spine AS (SELECT * FROM (VALUES ('base'), ('delta'), ('union'),
+                                      ('intersection')) AS t(part))
+             SELECT spine.part,
+               COALESCE(e.est, 0) AS est,
+               COALESCE(x.exact, 0) AS exact,
+               CASE WHEN COALESCE(x.exact, 0) = 0 THEN NULL
+                    ELSE CAST(ABS(COALESCE(e.est, 0) - x.exact) * 1000000
+                      // x.exact AS BIGINT)
+               END AS err_ppm
+             FROM spine LEFT JOIN ests e ON e.part = spine.part
+             LEFT JOIN exacts x ON x.part = spine.part
+             ORDER BY spine.part"""))
+
   val all: Seq[Q] = Seq(hllMerge, bloomIncremental, bottomkSample,
-    cmsMerge, quantileMerge, weightedSample)
+    cmsMerge, quantileMerge, weightedSample, thetaSketch)
 }

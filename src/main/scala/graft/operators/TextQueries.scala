@@ -1709,11 +1709,74 @@ object TextQueries {
             FROM head CROSS JOIN n
             ORDER BY total_count DESC, w"""))
 
+  /** Per-source keyword extraction: top-3 terms by an integer TF·IDF
+    * rank (idf as the exact milli-ratio (N·1000) div df — a float
+    * ln(N/df) would put engine-specific libm ulp into the ORDERING,
+    * which no pround can absorb; the integer ratio preserves the
+    * ranking semantics and crosses engines exactly). The corpus-explorer
+    * counterpart of q_tfidf's per-document weights: which terms
+    * CHARACTERIZE each source, tf from the source's token stream, df
+    * from corpus-wide distinct-document counts.
+    *
+    * Scale posture: tf and df are two partial+final aggregates off one
+    * exploded pass (df map-side-dedups (doc, word) via the distinct
+    * shingle expression); the rank window partitions by source over the
+    * vocabulary-bounded scored relation.
+    */
+  private val keywordExtract = Q(
+    "q_keyword_extract",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.spreadIfUnderSplitAtScale(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text")))
+      val words = graft.Caches.persisted(
+        docs.select(col("doc_id"), col("source"),
+          explode(TextOps.wordsNative(col("text"))).as("word")))
+      val n = docs.agg(countDistinct(col("doc_id")).as("n"))
+      val tf = words.groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val df = words.select(col("doc_id"), col("word")).distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, "word").crossJoin(broadcast(n))
+        .select(col("source"), col("word"), col("tf"), col("df"),
+          (col("tf") * expr("(n * 1000) div df")).as("score"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("score").desc, col("word"))))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk").cast("int").as("rk"), col("word"),
+          col("tf").cast("bigint").as("tf"), col("df").cast("bigint").as("df"),
+          col("score").cast("bigint").as("score"))
+        .orderBy(col("source"), col("rk"))
+    },
+    Some("""WITH w AS (SELECT doc_id, source, word
+                       FROM (SELECT doc_id, source,
+                               UNNEST(string_split(text, ' ')) AS word
+                             FROM documents)
+                       WHERE word <> ''),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+            tf AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM w GROUP BY source, word),
+            df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+                   FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY word),
+            scored AS (SELECT source, tf.word, tf, df,
+                         tf * ((n.n * 1000) // df) AS score
+                       FROM tf JOIN df ON tf.word = df.word, n),
+            ranked AS (SELECT source, word, tf, df, score,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY score DESC, word) AS rk
+                       FROM scored)
+            SELECT source, CAST(rk AS INT) AS rk, word, tf, df,
+              CAST(score AS BIGINT) AS score
+            FROM ranked WHERE rk <= 3 ORDER BY source, rk"""))
+
   val all: Seq[Q] = Seq(charCount, wordCount, invertedIndex, textStats,
     tokenCount, langId, qualityScore, fingerprint, tfidf, textClean, bigramLm,
     repetitionFilter, zipfStats, lmPerplexity, charEntropy, ngramCoverage,
     piiRedact, vocabCoverage, pmiCollocations, bm25, cosinePairs, probeScan,
     ccnetBucket, bpePairs, knBigram, nucleusVocab, tokenizerFertility, langMix,
     freqOfFreq, bpeMerge2, goodTuring, ngramNovelty, bpeTrain, bpeEncode,
-    stupidBackoff, burstiness, bpeSampled)
+    stupidBackoff, burstiness, bpeSampled, keywordExtract)
 }

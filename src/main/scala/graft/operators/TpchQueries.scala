@@ -712,6 +712,428 @@ object TpchQueries {
             FROM l JOIN pq ON l_partkey = pk
             WHERE 5 * qc * n < tot"""))
 
+  /** TPC-H Q1 (pricing summary report) — faithful to the spec shape
+    * (the fixture carries every Q1 column): one partial+final hash
+    * aggregate over the shipped slice, grouped by the 6 (returnflag,
+    * linestatus) cells. Money funnels: base price in exact cents,
+    * discount/tax in exact basis points; disc_price = cents × (10⁴−bp)
+    * and charge = cents × (10⁴−bp) × (10⁴+bp) accumulate in
+    * decimal(38,0) (the q_welch_t posture — the per-row charge term is
+    * ~10¹⁵, so a bigint SUM wraps past ~10⁴ rows; DuckDB mirrors with
+    * HUGEINT then casts). Averages are exact integer divisions of the
+    * sums (centi-units), so no float ever aggregates.
+    */
+  private val tpchQ1 = Q(
+    "q_tpch_q1",
+    (spark, dir) => {
+      val l = Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-08-06").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          floor(col("l_quantity") + 0.5).cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("extc"),
+          floor(col("l_discount") * 10000 + 0.5).cast("long").as("dbp"),
+          floor(col("l_tax") * 10000 + 0.5).cast("long").as("tbp"))
+      val extd = col("extc").cast(DecimalType(19, 0))
+      l.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("qty")).cast("bigint").as("sum_qty"),
+          sum(col("extc")).cast("bigint").as("sum_base_price_c"),
+          sum(extd * (lit(10000) - col("dbp")).cast(DecimalType(19, 0)))
+            .cast(DecimalType(38, 0)).as("sum_disc_price_cbp"),
+          sum(extd * (lit(10000) - col("dbp")).cast(DecimalType(19, 0))
+            * (lit(10000) + col("tbp")).cast(DecimalType(19, 0)))
+            .cast(DecimalType(38, 0)).as("sum_charge_cbp2"),
+          sum(col("dbp")).cast("bigint").as("sum_disc_bp"),
+          count(lit(1)).cast("bigint").as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sum_base_price_c"), col("sum_disc_price_cbp"), col("sum_charge_cbp2"),
+          expr("sum_qty * 100 div count_order").as("avg_qty_centi"),
+          expr("sum_base_price_c div count_order").as("avg_price_c"),
+          expr("sum_disc_bp div count_order").as("avg_disc_bp"),
+          col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""WITH l AS (SELECT l_returnflag, l_linestatus,
+                   CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+                   CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS extc,
+                   CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS dbp,
+                   CAST(FLOOR(l_tax * 10000 + 0.5) AS BIGINT) AS tbp
+                 FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-08-06')
+            SELECT l_returnflag, l_linestatus,
+              CAST(SUM(qty) AS BIGINT) AS sum_qty,
+              CAST(SUM(extc) AS BIGINT) AS sum_base_price_c,
+              CAST(SUM(extc * (10000 - dbp)) AS DECIMAL(38, 0)) AS sum_disc_price_cbp,
+              CAST(SUM(extc * (10000 - dbp) * (10000 + tbp)) AS DECIMAL(38, 0)) AS sum_charge_cbp2,
+              CAST(SUM(qty) * 100 // COUNT(*) AS BIGINT) AS avg_qty_centi,
+              CAST(SUM(extc) // COUNT(*) AS BIGINT) AS avg_price_c,
+              CAST(SUM(dbp) // COUNT(*) AS BIGINT) AS avg_disc_bp,
+              CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM l GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** TPC-H Q2 (minimum-cost supplier), adapted to the fixture: there is
+    * no partsupp table, so the part↔supplier offer relation is the
+    * DISTINCT (part, supplier, unit cost) set observed in lineitem,
+    * with unit cost = FLOOR(extendedprice·100/quantity + 0.5) — one
+    * float division evaluated in the same order on both engines, then
+    * exact integer cents. The correlated-min shape is intact: per part
+    * the MIN unit cost among region-eligible suppliers, re-joined to
+    * keep exactly the offers achieving it. Plan shape: dimension chain
+    * (nation⋈region) broadcasts into supplier; parts filter-pushes
+    * size/type to the scan; the min-per-part aggregate and the
+    * achieving-offer join reuse the same partitioning.
+    */
+  private val tpchQ2 = Q(
+    "q_tpch_q2",
+    (spark, dir) => {
+      val eligible = Tables(spark, dir, "supplier")
+        .join(broadcast(Tables(spark, dir, "nation")
+          .join(Tables(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "EUROPE")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          floor(col("s_acctbal") * 100 + 0.5).cast("long").as("s_acctbal_c"))
+      val parts = Tables(spark, dir, "part")
+        .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"))
+      val offers = graft.Caches.persisted(
+        Tables(spark, dir, "lineitem")
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(eligible.select(col("s_suppkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("l_suppkey"),
+            floor(col("l_extendedprice") * 100.0 / col("l_quantity") + 0.5)
+              .cast("long").as("uc_c"))
+          .distinct())
+      val minc = offers.groupBy(col("p_partkey").as("mpk"))
+        .agg(min(col("uc_c")).as("min_uc"))
+      offers
+        .join(minc, col("p_partkey") === col("mpk") && col("uc_c") === col("min_uc"))
+        .select(col("p_partkey"), col("l_suppkey"), col("uc_c"))
+        .join(broadcast(eligible), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal_c"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("uc_c"))
+        .orderBy(col("s_acctbal_c").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+    Some("""WITH eligible AS (SELECT s_suppkey, s_name, n_name,
+                   CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS s_acctbal_c
+                 FROM supplier
+                 JOIN nation ON s_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+                 WHERE r_name = 'EUROPE'),
+            offers AS (SELECT DISTINCT p_partkey, l_suppkey,
+                   CAST(FLOOR(l_extendedprice * 100.0 / l_quantity + 0.5) AS BIGINT) AS uc_c
+                 FROM lineitem
+                 JOIN part ON l_partkey = p_partkey
+                 JOIN eligible ON l_suppkey = s_suppkey
+                 WHERE p_size = 15 AND p_type = 'STANDARD'),
+            minc AS (SELECT p_partkey AS mpk, MIN(uc_c) AS min_uc
+                     FROM offers GROUP BY 1)
+            SELECT e.s_acctbal_c, e.s_name, e.n_name, o.p_partkey, o.uc_c
+            FROM offers o
+            JOIN minc ON o.p_partkey = mpk AND o.uc_c = min_uc
+            JOIN eligible e ON o.l_suppkey = e.s_suppkey
+            ORDER BY e.s_acctbal_c DESC, e.n_name, e.s_name, o.p_partkey
+            LIMIT 100"""))
+
+  /** TPC-H Q4 (order priority checking), adapted: the fixture lacks
+    * commitdate/receiptdate, so the "late" witness is a lineitem shipped
+    * more than 30 days after the order date — the EXISTS semi-join shape
+    * (one quarter of orders, counted by priority) is intact. Plan
+    * shape: the date filter pushes to the orders scan; the semi join is
+    * the only shuffle and carries keys + two dates.
+    */
+  private val tpchQ4 = Q(
+    "q_tpch_q4",
+    (spark, dir) => {
+      val o = Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("bigint").as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+              AND o_orderdate < TIMESTAMP '1997-06-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q9 (product type profit), adapted: no partsupp.supplycost in
+    * the fixture, so unit cost is proxied at half the part's retail
+    * price (exact: cents(retail)·qty integer-halved per row). Profit =
+    * revenue cents − cost cents, summed per (supplier nation, order
+    * year) — the spec's shape: a part-name class filter fanned through
+    * the full fact chain into a nation×year rollup. Plan shape: part
+    * and supplier dimensions broadcast; the one big shuffle is
+    * lineitem⋈orders on orderkey; everything after is partial+final
+    * into ≤ nations×years rows.
+    */
+  private val tpchQ9 = Q(
+    "q_tpch_q9",
+    (spark, dir) => {
+      val p = Tables(spark, dir, "part")
+        .filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"),
+          floor(col("p_retailprice") * 100 + 0.5).cast("long").as("retailc"))
+      val s = Tables(spark, dir, "supplier")
+        .join(broadcast(Tables(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val o = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      Tables(spark, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name"), col("o_year"),
+          (revCents - expr("(cast(floor(l_quantity + 0.5) as bigint) * retailc) div 2"))
+            .as("profit_c"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sum(col("profit_c")).cast("bigint").as("sum_profit_c"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    },
+    Some("""SELECT n_name, o_year, CAST(SUM(profit_c) AS BIGINT) AS sum_profit_c
+            FROM (SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+                    CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                      - (CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                         * CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)) // 2
+                      AS profit_c
+                  FROM lineitem
+                  JOIN part ON l_partkey = p_partkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN orders ON l_orderkey = o_orderkey
+                  WHERE p_name LIKE '%widget%')
+            GROUP BY n_name, o_year ORDER BY n_name, o_year DESC"""))
+
+  /** TPC-H Q11 (important stock identification), adapted: no
+    * partsupp.availqty×supplycost, so a part's "value" is the revenue
+    * cents booked through one nation's suppliers, and the HAVING
+    * threshold is SCALE-INVARIANT — parts worth more than twice the
+    * mean part value, as the exact integer comparison
+    * value·n_parts > 2·total (the spec's fixed fraction-of-total is
+    * degenerate off its design scale: at 10× the parts it admits
+    * nothing, at 0.1× everything). Shape intact: group-per-part vs a
+    * broadcast 1-row grand total. Plan shape: the nation's suppliers
+    * broadcast into the fact scan; per-part partial+final sum; the
+    * 1-row total joins broadcast-nested-loop; top-100 head.
+    */
+  private val tpchQ11 = Q(
+    "q_tpch_q11",
+    (spark, dir) => {
+      val s3 = Tables(spark, dir, "supplier")
+        .filter(col("s_nationkey") === 3).select(col("s_suppkey"))
+      val pv = graft.Caches.persisted(
+        Tables(spark, dir, "lineitem")
+          .join(broadcast(s3), col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey"), revCents.as("cents"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("cents")).cast("bigint").as("value_c")))
+      val total = pv.agg(sum(col("value_c")).cast("bigint").as("total_c"),
+        count(lit(1)).cast("bigint").as("np"))
+      pv.crossJoin(broadcast(total))
+        .filter(col("value_c") * col("np") > col("total_c") * 2)
+        .select(col("l_partkey"), col("value_c"))
+        .orderBy(col("value_c").desc, col("l_partkey"))
+        .limit(100)
+    },
+    Some("""WITH pv AS (SELECT l_partkey,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
+                 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                 WHERE s_nationkey = 3
+                 GROUP BY l_partkey),
+            total AS (SELECT CAST(SUM(value_c) AS BIGINT) AS total_c,
+                        CAST(COUNT(*) AS BIGINT) AS np FROM pv)
+            SELECT l_partkey, value_c FROM pv, total
+            WHERE value_c * np > total_c * 2
+            ORDER BY value_c DESC, l_partkey LIMIT 100"""))
+
+  /** TPC-H Q12 (shipping modes and order priority), adapted: no
+    * shipmode/receiptdate in the fixture, so the two-class census runs
+    * per returnflag over lines shipped in 1997 more than 60 days after
+    * their order date; the CASE-sum split (URGENT/HIGH vs the rest) is
+    * the spec's. One join + one partial+final aggregate.
+    */
+  private val tpchQ12 = Q(
+    "q_tpch_q12",
+    (spark, dir) => {
+      val o = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      Tables(spark, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .cast("bigint").as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .cast("bigint").as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag IN ('A', 'R')
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** TPC-H Q16 (parts/supplier relationship), adapted: the
+    * part↔supplier bridge is the DISTINCT (partkey, suppkey) pair set
+    * from lineitem (no partsupp), and the excluded-supplier subquery
+    * (spec: complaint comments) is suppliers with negative account
+    * balance — the NOT-IN anti-join shape is intact. Distinct-supplier
+    * counts per (brand, type, size) cell. Plan shape: the map-side
+    * distinct bounds the shuffle to unique pairs; the exclusion set
+    * broadcasts as an anti join; countDistinct lands on a
+    * cell-bounded relation.
+    */
+  private val tpchQ16 = Q(
+    "q_tpch_q16",
+    (spark, dir) => {
+      val p = Tables(spark, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val excl = Tables(spark, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val bridge = Tables(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      bridge.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).cast("bigint").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+    Some("""SELECT p_brand, p_type, p_size,
+              CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+
+  /** TPC-H Q20 (potential part promotion), adapted: no
+    * partsupp.availqty, so the "excess stock" witness for a (supplier,
+    * part) pair is 1997 shipments exceeding half the pair's all-time
+    * shipments (exact integers: 2·q97 > qtotal, q97 > 0) over a
+    * part-name class, for one nation's suppliers — the nested-agg +
+    * semi-join shape is intact. Plan shape: per-pair partial+final
+    * conditional sums, then a distinct-supplier semi join into the
+    * nation-filtered dimension.
+    */
+  private val tpchQ20 = Q(
+    "q_tpch_q20",
+    (spark, dir) => {
+      val p = Tables(spark, dir, "part")
+        .filter(col("p_name").like("small %")).select(col("p_partkey"))
+      val pair = Tables(spark, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(
+          sum(when(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"),
+            floor(col("l_quantity") + 0.5).cast("long")).otherwise(0L)).as("q97"),
+          sum(floor(col("l_quantity") + 0.5).cast("long")).as("qtot"))
+        .filter(col("q97") > 0 && col("q97") * 2 > col("qtot"))
+        .select(col("l_suppkey")).distinct()
+      Tables(spark, dir, "supplier")
+        .filter(col("s_nationkey") === 3)
+        .join(pair, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"),
+          floor(col("s_acctbal") * 100 + 0.5).cast("long").as("s_acctbal_c"))
+        .orderBy(col("s_name"))
+    },
+    Some("""WITH pair AS (SELECT l_suppkey,
+                   SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                             AND l_shipdate < TIMESTAMP '1998-01-01'
+                            THEN CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                            ELSE 0 END) AS q97,
+                   SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS qtot
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 WHERE p_name LIKE 'small %'
+                 GROUP BY l_suppkey, l_partkey)
+            SELECT s_name, CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS s_acctbal_c
+            FROM supplier
+            WHERE s_nationkey = 3
+              AND s_suppkey IN (SELECT l_suppkey FROM pair
+                                WHERE q97 > 0 AND q97 * 2 > qtot)
+            ORDER BY s_name"""))
+
+  /** TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" is
+    * shipping more than 90 days after the order date (no
+    * receipt/commit dates), over finished ('F') orders. The spec's
+    * exists/not-exists double self-join is REFORMULATED as one
+    * aggregation per order — distinct suppliers, distinct LATE
+    * suppliers, and the sole late supplier via MAX — keeping orders
+    * with ≥ 2 suppliers and exactly 1 late one. Same answer, one
+    * shuffle on orderkey instead of three lineitem self-joins: the
+    * formulation you'd want at 100 TB.
+    */
+  private val tpchQ21 = Q(
+    "q_tpch_q21",
+    (spark, dir) => {
+      val o = Tables(spark, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+      val perOrder = Tables(spark, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(late, col("l_suppkey"))).as("n_late"),
+          max(when(late, col("l_suppkey"))).as("late_supp"))
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      perOrder.groupBy(col("late_supp"))
+        .agg(count(lit(1)).cast("bigint").as("numwait"))
+        .join(broadcast(Tables(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("late_supp") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+    Some("""WITH perorder AS (SELECT l_orderkey,
+                   COUNT(DISTINCT l_suppkey) AS n_supp,
+                   COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                                       THEN l_suppkey END) AS n_late,
+                   MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                            THEN l_suppkey END) AS late_supp
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 WHERE o_orderstatus = 'F'
+                 GROUP BY l_orderkey)
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM perorder JOIN supplier ON late_supp = s_suppkey
+            WHERE n_supp >= 2 AND n_late = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 100"""))
+
   val all: Seq[Q] = Seq(tpchQ3, tpchQ5, anova, ewma, tpchQ10, tpchQ7, tpchQ18,
-    tpchQ6, tpchQ13, tpchQ14, tpchQ19, tpchQ22, tpchQ8, tpchQ15, tpchQ17)
+    tpchQ6, tpchQ13, tpchQ14, tpchQ19, tpchQ22, tpchQ8, tpchQ15, tpchQ17,
+    tpchQ1, tpchQ2, tpchQ4, tpchQ9, tpchQ11, tpchQ12, tpchQ16, tpchQ20, tpchQ21)
 }

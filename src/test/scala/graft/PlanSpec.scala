@@ -839,6 +839,103 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_theta_sketch builds samples via TakeOrdered heads, no cartesian beyond 1-row scalars") {
+    val plan = executedPlan("q_theta_sketch")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the bottom-128 samples must plan as per-partition top-k merges:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_cdc_chunking windows per document and partial-aggregates the chunk census") {
+    val plan = executedPlan("q_cdc_chunking")
+    assert(plan.contains("Window"), s"the running chunk-id needs a per-doc window:\n$plan")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(plan).nonEmpty, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_keyword_extract ranks over the vocabulary-bounded scored relation") {
+    val plan = executedPlan("q_keyword_extract")
+    assert(plan.contains("Window"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"tf census must partial-aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_tpch_q1 is one join-free partial+final aggregate over the pushed shipdate slice") {
+    val plan = executedPlan("q_tpch_q1")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"the 6-cell rollup must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("Join"), s"Q1 has no join:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"the shipdate cut must reach the parquet scan:\n$plan")
+    Caches.releaseAll()
+  }
+
+  test("q_tpch_q2 broadcasts dimensions and the min-per-part re-join, no cartesian") {
+    val plan = executedPlan("q_tpch_q2")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_tpch_q4 plans the late-witness EXISTS as a semi join") {
+    val plan = executedPlan("q_tpch_q4")
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_tpch_q9 broadcasts part and supplier dimensions into the fact chain") {
+    val plan = executedPlan("q_tpch_q9")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"part and supplier+nation must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_tpch_q11 joins the 1-row grand total back as a broadcast") {
+    val plan = executedPlan("q_tpch_q11")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    Caches.releaseAll()
+  }
+
+  test("q_tpch_q12 is one equi-join plus one partial+final CASE census") {
+    val plan = executedPlan("q_tpch_q12")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_tpch_q16 anti-joins the broadcast exclusion set off the distinct bridge") {
+    val plan = executedPlan("q_tpch_q16")
+    assert(plan.contains("LeftAnti"), s"NOT IN must plan as an anti join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_tpch_q20 semi-joins the excess-shipment winners into the nation dimension") {
+    val plan = executedPlan("q_tpch_q20")
+    assert(plan.contains("LeftSemi"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    Caches.releaseAll()
+  }
+
+  test("q_tpch_q21 reformulation: one orderkey shuffle, no lineitem self-join, top-k head") {
+    val plan = executedPlan("q_tpch_q21")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the spec's exists/not-exists would need 3 lineitem scans; the census needs 1
+    assert("lineitem".r.findAllIn(plan).size <= 2,
+      s"the per-order census must scan lineitem once (plan may name it in scan+filter):\n$plan")
+    Caches.releaseAll()
+  }
+
   test("q_span_coverage joins the two pair sets without a cartesian, windows pair-partitioned") {
     val plan = executedPlan("q_span_coverage")
     assert(!plan.contains("CartesianProduct"), plan)

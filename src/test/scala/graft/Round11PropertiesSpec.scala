@@ -361,6 +361,283 @@ class Round11PropertiesSpec extends AnyFunSuite {
     assert(got("merged") === rep(m, ds.length))
   }
 
+  test("q_theta_sketch equals the naive KMV replay; sketch estimates degrade to exact below k") {
+    val rows = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val dmin = rows.map(_._2.toEpochDay).min; val dmax = rows.map(_._2.toEpochDay).max
+    val base = rows.filter(t => (t._2.toEpochDay - dmin) * 2 <= dmax - dmin).map(_._1)
+    val delta = rows.filter(t => (t._2.toEpochDay - dmin) * 2 > dmax - dmin).map(_._1)
+    val pow = BigInt(1152921504606846976L)
+    def sample(ks: Seq[Long]): Seq[Long] =
+      ks.distinct.map(k => hash60(k.toString)).sorted.take(128)
+    val sa = sample(base.toSeq); val sb = sample(delta.toSeq)
+    def th(s: Seq[Long]): BigInt = if (s.size < 128) pow else BigInt(s.max)
+    def est(s: Seq[Long]): Long =
+      if (s.size < 128) s.size.toLong else ((BigInt(127) * pow) / th(s)).toLong
+    val su = (sa ++ sb).distinct.sorted.take(128)
+    val thi = th(sa).min(th(sb))
+    val c = sa.toSet.intersect(sb.toSet).count(h => BigInt(h) < thi)
+    val estI = if (thi == pow) c.toLong else ((BigInt(c) * pow) / thi).toLong
+    val exacts = Map(
+      "base" -> base.distinct.size.toLong, "delta" -> delta.distinct.size.toLong,
+      "union" -> rows.map(_._1).distinct.size.toLong,
+      "intersection" -> base.toSet.intersect(delta.toSet).size.toLong)
+    val ests = Map("base" -> est(sa), "delta" -> est(sb), "union" -> est(su),
+      "intersection" -> estI)
+    val want = Seq("base", "delta", "intersection", "union").map { p =>
+      (p, ests(p), exacts(p),
+        if (exacts(p) == 0) null
+        else java.lang.Long.valueOf(math.abs(ests(p) - exacts(p)) * 1000000L / exacts(p)))
+    }
+    val got = run("q_theta_sketch").map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)))).toSeq
+    assert(got === want, s"got=$got want=$want")
+  }
+
+  test("q_cdc_chunking equals the naive replay, and an insertion only re-chunks its neighborhood") {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def chunksOf(text: String): Seq[String] = {
+      val ws = text.split(" ", -1).filter(_.nonEmpty)
+      if (ws.isEmpty) Seq.empty
+      else {
+        val cids = ws.scanLeft(0L) { (acc, w) =>
+          acc + (if (hash60(w) % 16 == 0) 1L else 0L)
+        }.tail
+        ws.zip(cids).groupBy(_._2).toSeq.sortBy(_._1).map(_._2.map(_._1).mkString(" "))
+      }
+    }
+    val all = docs.flatMap(d => chunksOf(d._3).map(c => (d._1, d._2, c)))
+    val dupSet = all.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val want = all.groupBy(_._2).toSeq.map { case (src, g) =>
+      val nTok = g.map(_._3.split(" ").length.toLong).sum
+      (src, g.size.toLong, g.map(c => md5hex(c._3)).distinct.size.toLong,
+        g.count(c => dupSet(c._3)).toLong, nTok * 100 / g.size)
+    }.sortBy(_._1)
+    val got = run("q_cdc_chunking").map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want, s"got=$got want=$want")
+    // the CDC robustness property: inserting one token early in a doc
+    // changes only chunks at/adjacent to the insertion point — the
+    // suffix chunks (those after the next boundary) are unchanged,
+    // whereas fixed 32-token windows would ALL shift
+    val victim = docs.maxBy(_._3.length)
+    val before = chunksOf(victim._3)
+    val ws = victim._3.split(" ", -1).filter(_.nonEmpty)
+    val after = chunksOf((ws.take(3) ++ Seq("INSERTED") ++ ws.drop(3)).mkString(" "))
+    val commonSuffix = before.reverse.zip(after.reverse).takeWhile(t => t._1 == t._2).size
+    assert(commonSuffix >= before.size - 2,
+      s"CDC must preserve all chunks after the edited one: kept $commonSuffix of ${before.size}")
+  }
+
+  test("q_keyword_extract equals the naive integer tf-idf replay") {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val words = docs.flatMap(d =>
+      d._3.split(" ", -1).filter(_.nonEmpty).map(w => (d._1, d._2, w)))
+    val n = docs.map(_._1).distinct.size.toLong
+    val tf = words.groupBy(t => (t._2, t._3)).map { case (k, g) => k -> g.size.toLong }
+    val df = words.map(t => (t._1, t._3)).distinct.groupBy(_._2)
+      .map { case (w, g) => w -> g.size.toLong }
+    val want = tf.toSeq.map { case ((src, w), t) =>
+      (src, w, t, df(w), t * ((n * 1000) / df(w)))
+    }.groupBy(_._1).toSeq.flatMap { case (src, g) =>
+      g.sortBy(t => (-t._5, t._2)).take(3).zipWithIndex
+        .map { case ((s, w, t, d, sc), i) => (s, i + 1, w, t, d, sc) }
+    }.sortBy(t => (t._1, t._2))
+    val got = run("q_keyword_extract").map(r => (r.getString(0), r.getInt(1),
+      r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want, s"got=$got want=$want")
+  }
+
+  // ---- TPC-H completion wave: exact in-memory replays over sf0.001 ----
+
+  private case class Li(ok: Long, pk: Long, sk: Long, qty: Long, extc: Long,
+      dbp: Long, tbp: Long, rf: String, ls: String, ship: java.time.LocalDateTime,
+      revc: Long)
+  private lazy val liRows: Seq[Li] = {
+    Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+      col("l_suppkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+      col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .collect().map { r =>
+        Li(r.getLong(0), r.getLong(1), r.getLong(2),
+          math.floor(r.getDouble(3) + 0.5).toLong,
+          math.floor(r.getDouble(4) * 100 + 0.5).toLong,
+          math.floor(r.getDouble(5) * 10000 + 0.5).toLong,
+          math.floor(r.getDouble(6) * 10000 + 0.5).toLong,
+          r.getString(7), r.getString(8), r.getTimestamp(9).toLocalDateTime,
+          math.floor(r.getDouble(4) * (1.0 - r.getDouble(5)) * 100 + 0.5).toLong)
+      }.toSeq
+  }
+  private case class Ord(ok: Long, date: java.time.LocalDateTime, prio: String,
+      status: String)
+  private lazy val ordRows: Seq[Ord] =
+    Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+      col("o_orderpriority"), col("o_orderstatus")).collect()
+      .map(r => Ord(r.getLong(0), r.getTimestamp(1).toLocalDateTime,
+        r.getString(2), r.getString(3))).toSeq
+  private case class Prt(pk: Long, name: String, brand: String, typ: String,
+      size: Int, retailc: Long)
+  private lazy val prtRows: Seq[Prt] =
+    Tables(spark, dir, "part").select(col("p_partkey"), col("p_name"),
+      col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+      .collect().map(r => Prt(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getInt(4), math.floor(r.getDouble(5) * 100 + 0.5).toLong)).toSeq
+  private case class Sup(sk: Long, name: String, nk: Int, acctbalC: Long)
+  private lazy val supRows: Seq[Sup] =
+    Tables(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"),
+      col("s_nationkey"), col("s_acctbal")).collect()
+      .map(r => Sup(r.getLong(0), r.getString(1), r.getInt(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong)).toSeq
+  private lazy val nations: Map[Int, (String, Int)] =
+    Tables(spark, dir, "nation").select(col("n_nationkey"), col("n_name"),
+      col("n_regionkey")).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getInt(2))).toMap
+  private lazy val regions: Map[Int, String] =
+    Tables(spark, dir, "region").select(col("r_regionkey"), col("r_name"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+
+  private def ts(s: String) = java.time.LocalDateTime.parse(s + "T00:00:00")
+
+  test("q_tpch_q1 equals the naive replay (decimal charge accumulator included)") {
+    val cut = ts("2001-08-06")
+    val want = liRows.filter(!_.ship.isAfter(cut))
+      .groupBy(l => (l.rf, l.ls)).toSeq.map { case ((rf, ls), g) =>
+        val sq = g.map(_.qty).sum; val sb = g.map(_.extc).sum
+        val sdp = g.map(l => BigInt(l.extc) * (10000 - l.dbp)).sum
+        val sch = g.map(l => BigInt(l.extc) * (10000 - l.dbp) * (10000 + l.tbp)).sum
+        val sd = g.map(_.dbp).sum; val n = g.size.toLong
+        (rf, ls, sq, sb, sdp, sch, sq * 100 / n, sb / n, sd / n, n)
+      }.sortBy(t => (t._1, t._2))
+    val got = run("q_tpch_q1").map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), BigInt(r.getDecimal(4).toBigInteger),
+      BigInt(r.getDecimal(5).toBigInteger), r.getLong(6), r.getLong(7),
+      r.getLong(8), r.getLong(9))).toSeq
+    assert(got === want)
+  }
+
+  test("q_tpch_q2 equals the naive min-cost-offer replay") {
+    val eur = supRows.filter(s => regions(nations(s.nk)._2) == "EUROPE")
+    val eurKeys = eur.map(_.sk).toSet
+    val pks = prtRows.filter(p => p.size == 15 && p.typ == "STANDARD").map(_.pk).toSet
+    // uc replay must match the engine exactly — FLOOR(extprice*100.0/qty+0.5)
+    // computed from the raw doubles, not from the cents funnel
+    val raw = Tables(spark, dir, "lineitem").select(col("l_partkey"),
+      col("l_suppkey"), col("l_extendedprice"), col("l_quantity")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .filter(t => pks(t._1) && eurKeys(t._2))
+    val offs = raw.map(t => (t._1, t._2,
+      math.floor(t._3 * 100.0 / t._4 + 0.5).toLong)).distinct
+    val minUc = offs.groupBy(_._1).map { case (pk, g) => pk -> g.map(_._3).min }
+    val supBy = eur.map(s => s.sk -> s).toMap
+    val wantSorted = offs.filter(o => o._3 == minUc(o._1)).toSeq
+      .map(o => (supBy(o._2).acctbalC, supBy(o._2).name, nations(supBy(o._2).nk)._1,
+        o._1, o._3))
+      .sortBy(t => (-t._1, t._3, t._2, t._4)).take(100)
+    val got = run("q_tpch_q2").map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === wantSorted)
+  }
+
+  test("q_tpch_q4 equals the naive exists replay") {
+    val lo = ts("1997-03-01"); val hi = ts("1997-06-01")
+    val byOk = liRows.groupBy(_.ok)
+    val want = ordRows.filter(o => !o.date.isBefore(lo) && o.date.isBefore(hi))
+      .filter(o => byOk.getOrElse(o.ok, Seq.empty)
+        .exists(l => l.ship.isAfter(o.date.plusDays(30))))
+      .groupBy(_.prio).toSeq.map { case (p, g) => (p, g.size.toLong) }.sortBy(_._1)
+    val got = run("q_tpch_q4").map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
+
+  test("q_tpch_q9 equals the naive profit replay") {
+    val widgets = prtRows.filter(_.name.contains("widget")).map(p => p.pk -> p.retailc).toMap
+    val supNat = supRows.map(s => s.sk -> nations(s.nk)._1).toMap
+    val ordYear = ordRows.map(o => o.ok -> o.date.getYear).toMap
+    val want = liRows.filter(l => widgets.contains(l.pk))
+      .map(l => ((supNat(l.sk), ordYear(l.ok)),
+        l.revc - (l.qty * widgets(l.pk)) / 2))
+      .groupBy(_._1).toSeq.map { case ((n, y), g) => (n, y, g.map(_._2).sum) }
+      .sortBy(t => (t._1, -t._2))
+    val got = run("q_tpch_q9").map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
+  test("q_tpch_q11 equals the naive threshold replay") {
+    val n3 = supRows.filter(_.nk == 3).map(_.sk).toSet
+    val pv = liRows.filter(l => n3(l.sk)).groupBy(_.pk)
+      .map { case (pk, g) => (pk, g.map(_.revc).sum) }.toSeq
+    val total = pv.map(_._2).sum
+    val np = pv.size.toLong
+    val want = pv.filter(_._2 * np > total * 2).sortBy(t => (-t._2, t._1)).take(100)
+    val got = run("q_tpch_q11").map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
+
+  test("q_tpch_q12 equals the naive census replay") {
+    val lo = ts("1997-01-01"); val hi = ts("1998-01-01")
+    val ordBy = ordRows.map(o => o.ok -> o).toMap
+    val high = Set("1-URGENT", "2-HIGH")
+    val want = liRows.filter(l => Set("A", "R")(l.rf) &&
+        !l.ship.isBefore(lo) && l.ship.isBefore(hi) &&
+        l.ship.isAfter(ordBy(l.ok).date.plusDays(60)))
+      .groupBy(_.rf).toSeq.map { case (rf, g) =>
+        (rf, g.count(l => high(ordBy(l.ok).prio)).toLong,
+          g.count(l => !high(ordBy(l.ok).prio)).toLong)
+      }.sortBy(_._1)
+    val got = run("q_tpch_q12").map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
+  test("q_tpch_q16 equals the naive bridge replay") {
+    val sizes = Set(1, 4, 9, 14, 19, 23, 36, 45)
+    val cells = prtRows.filter(p => p.brand != "Brand#5" && p.typ != "MEDIUM" &&
+      sizes(p.size)).map(p => p.pk -> (p.brand, p.typ, p.size)).toMap
+    val excl = supRows.filter(_.acctbalC < 0).map(_.sk).toSet
+    val want = liRows.map(l => (l.pk, l.sk)).distinct
+      .filter(t => cells.contains(t._1) && !excl(t._2))
+      .groupBy(t => cells(t._1)).toSeq
+      .map { case ((b, ty, sz), g) => (b, ty, sz, g.map(_._2).distinct.size.toLong) }
+      .sortBy(t => (-t._4, t._1, t._2, t._3))
+    val got = run("q_tpch_q16").map(r => (r.getString(0), r.getString(1),
+      r.getInt(2), r.getLong(3))).toSeq
+    assert(got === want)
+  }
+
+  test("q_tpch_q20 equals the naive excess-shipment replay") {
+    val lo = ts("1997-01-01"); val hi = ts("1998-01-01")
+    val smalls = prtRows.filter(_.name.startsWith("small ")).map(_.pk).toSet
+    val winners = liRows.filter(l => smalls(l.pk)).groupBy(l => (l.sk, l.pk))
+      .map { case ((sk, _), g) =>
+        val q97 = g.filter(l => !l.ship.isBefore(lo) && l.ship.isBefore(hi)).map(_.qty).sum
+        (sk, q97, g.map(_.qty).sum)
+      }.filter(t => t._2 > 0 && t._2 * 2 > t._3).map(_._1).toSet
+    val want = supRows.filter(s => s.nk == 3 && winners(s.sk))
+      .map(s => (s.name, s.acctbalC)).sortBy(_._1)
+    val got = run("q_tpch_q20").map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
+
+  test("q_tpch_q21 equals the naive sole-late-supplier replay") {
+    val fOrders = ordRows.filter(_.status == "F").map(o => o.ok -> o.date).toMap
+    val perOrder = liRows.filter(l => fOrders.contains(l.ok)).groupBy(_.ok)
+      .flatMap { case (ok, g) =>
+        val late = g.filter(_.ship.isAfter(fOrders(ok).plusDays(90)))
+        val nSupp = g.map(_.sk).distinct.size
+        val lateSupp = late.map(_.sk).distinct
+        if (nSupp >= 2 && lateSupp.size == 1) Some(lateSupp.head) else None
+      }.toSeq
+    val supName = supRows.map(s => s.sk -> s.name).toMap
+    val want = perOrder.groupBy(identity).toSeq
+      .map { case (sk, g) => (supName(sk), g.size.toLong) }
+      .sortBy(t => (-t._2, t._1)).take(100)
+    val got = run("q_tpch_q21").map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
+
   test("streaming content dedup == batch keep-first on an arrival-ordered planted stream") {
     import spark.implicits._
     import graft.streaming.Streams
