@@ -1729,6 +1729,94 @@ object DedupQueries {
           ORDER BY doc_id, kind, match_doc"""
     })
 
+  /** Day-2 of the incremental loop — signature-store MAINTENANCE:
+    * q_dedup_incremental proved a delta dedups against a bucketed store
+    * without re-scanning base text; this query proves the store GROWS
+    * correctly. The base corpus's band signatures persist once
+    * (bucketBy(8, bandkey), the same sink), yesterday's delta
+    * (doc_id ≡ 1 mod 10) is APPENDED into the same bucketed table via
+    * insertInto — each append adds one file per bucket, never a
+    * rewrite — and today's delta (≡ 0) dedups against the GROWN store.
+    * The match_vintage column attributes every hit to base / delta1 /
+    * within-delta2, so a live append is visible in the output (a
+    * delta1 hit can only exist if the appended files are read), and
+    * the within-today self-check keeps arrival-order semantics.
+    *
+    * Scale posture: identical to q_dedup_incremental — the grown store
+    * rides the stored bucket layout with zero store-side exchange
+    * (plan-pinned); append cost is one signature pass over yesterday's
+    * delta; nothing ever rewrites or re-shuffles the base signatures.
+    */
+  private val storeAppend = Q(
+    "q_store_append",
+    (spark, dir) => {
+      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val dh = Integer.toHexString(dir.hashCode)
+      val wh = s"/tmp/graft_incstore2_${tok}_$dh"
+      val bandsT = s"g_inc2_bands_${tok}_$dh"
+      val docs = Tables.spreadIfUnderSplitAtScale(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+      val base = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 1)
+      val delta1 = docs.filter(col("doc_id") % 10 === 1)
+      val delta2 = docs.filter(col("doc_id") % 10 === 0)
+      IncStore.once(wh) {
+        BucketedWorkspace.cleanupOnExit(wh)
+        bandKeyed(minhashSigs(shingleRelOf(base)))
+          .write.mode("overwrite").bucketBy(8, "bandkey").sortBy("bandkey")
+          .option("path", s"$wh/bands").saveAsTable(bandsT)
+        // the nightly append: yesterday's signatures INSERT INTO the
+        // same bucketed table (positional — bandKeyed fixes the order)
+        bandKeyed(minhashSigs(shingleRelOf(delta1)))
+          .write.mode("append").insertInto(bandsT)
+      }
+      val store = spark.table(bandsT).select(
+        col("doc_id").as("m") +: col("bandkey") +:
+          (0 until 16).map(i => col(s"mh$i")): _*)
+      val dBandsRaw = graft.Caches.persisted(
+        bandKeyed(minhashSigs(shingleRelOf(delta2))))
+      val dBands = dBandsRaw.select(
+        col("doc_id").as("d") +: col("bandkey") +:
+          (0 until 16).map(i => col(s"mh$i").as(s"dm$i")): _*)
+      val dAsStore = dBandsRaw.select(
+        col("doc_id").as("m") +: col("bandkey") +:
+          (0 until 16).map(i => col(s"mh$i")): _*)
+      val mm = (0 until 16).map(i =>
+        when(col(s"dm$i") === col(s"mh$i"), 1L).otherwise(0L)).reduce(_ + _)
+      dBands.join(store.hint("merge"), "bandkey")
+        .unionAll(dBands.join(dAsStore, "bandkey").filter(col("m") < col("d")))
+        .select(col("d"), col("m"), mm.as("mm"))
+        .distinct()
+        .filter(col("mm") >= 8)
+        .select(col("d").cast("bigint").as("doc_id"),
+          col("m").cast("bigint").as("match_doc"),
+          when(col("m") % 10 === 0, lit("delta2"))
+            .when(col("m") % 10 === 1, lit("delta1"))
+            .otherwise(lit("base")).as("match_vintage"),
+          (col("mm") * 625L).cast("bigint").as("est_bp"))
+        .orderBy(col("doc_id"), col("match_doc"))
+    },
+    Some {
+      val mmE = (0 until 16).map(i =>
+        s"CASE WHEN d.mh$i = s.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH grown AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+          delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+          ${bandKeyedCteFrom("grown", "g")},
+          ${bandKeyedCteFrom("delta", "d")},
+          ncand AS (SELECT d.doc_id AS dd, s.doc_id AS m, $mmE AS mm
+                    FROM dbands d JOIN gbands s ON d.bandkey = s.bandkey
+                    UNION ALL
+                    SELECT d.doc_id, s.doc_id, $mmE
+                    FROM dbands d JOIN dbands s
+                      ON d.bandkey = s.bandkey AND s.doc_id < d.doc_id),
+          npairs AS (SELECT DISTINCT dd, m, mm FROM ncand)
+          SELECT CAST(dd AS BIGINT) AS doc_id, CAST(m AS BIGINT) AS match_doc,
+            CASE WHEN m % 10 = 0 THEN 'delta2'
+                 WHEN m % 10 = 1 THEN 'delta1' ELSE 'base' END AS match_vintage,
+            CAST(mm * 625 AS BIGINT) AS est_bp
+          FROM npairs WHERE mm >= 8
+          ORDER BY doc_id, match_doc"""
+    })
+
   /** Content-defined chunking (LBFS/FastCDC lineage: Muthitacharoen et
     * al. 2001) — the storage-dedup primitive q_chunk_dedup's FIXED
     * 32-token windows cannot provide: fixed windows shift after any
@@ -1812,5 +1900,5 @@ object DedupQueries {
     minhashPrecision, spanDedup, spanLeakage, simhashHamming, spanScrub,
     minhashEstError, lshBandSweep, boilerplatePrefix, spanDedupGlobal,
     spanScrubGlobal, spanCoverage, bbitMinhash, dedupSurvivorship,
-    dedupIncremental, cdcChunking)
+    dedupIncremental, cdcChunking, storeAppend)
 }

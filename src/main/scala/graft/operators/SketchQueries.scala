@@ -797,6 +797,121 @@ object SketchQueries {
              LEFT JOIN exacts x ON x.part = spine.part
              ORDER BY spine.part"""))
 
+  /** Theta-sketch A-NOT-B (set difference) across vintages — churn
+    * measurement from the same KMV samples q_theta_sketch built:
+    * customers active in the base half but NOT the delta half (churned)
+    * and vice versa (new), estimated as the sample hashes below
+    * θ = min(θ_a, θ_b) present on one side only, scaled by 2⁶⁰/θ — the
+    * retention/churn numbers a corpus or user-base report needs nightly
+    * WITHOUT a distinct-join re-scan. Same degrade-to-exact contract
+    * and decimal(38,0) integer estimator as q_theta_sketch.
+    *
+    * Scale posture: two TakeOrdered(128) sample heads; the difference
+    * and its exact yardstick anti-join run on ≤ 256-row / key-distinct
+    * relations.
+    */
+  private val thetaDiff = Q(
+    "q_theta_diff",
+    (spark, dir) => {
+      val o = Tables(spark, dir, "orders")
+      val span = broadcast(o.agg(min(col("o_orderdate")).as("dmin"),
+        max(col("o_orderdate")).as("dmax")))
+      val tagged = o.crossJoin(span)
+        .select(col("o_custkey").as("k"),
+          when(datediff(col("o_orderdate"), col("dmin")) * 2 <=
+            datediff(col("dmax"), col("dmin")), lit("base")).otherwise(lit("delta"))
+            .as("vintage"))
+      val keyed = graft.Caches.persisted(
+        tagged.select(col("vintage"), col("k"),
+          Portable.hash60(col("k").cast("string")).as("h")))
+      val pow = lit(1152921504606846976L)
+      def sample(v: String): DataFrame =
+        keyed.filter(col("vintage") === v).select(col("h")).distinct()
+          .orderBy(col("h")).limit(128)
+      val sa = graft.Caches.persisted(sample("base"))
+      val sb = graft.Caches.persisted(sample("delta"))
+      def theta(s: DataFrame): DataFrame =
+        s.agg(count(lit(1)).as("n"), coalesce(max(col("h")), pow).as("mx"))
+          .select(when(col("n") < 128, pow).otherwise(col("mx")).as("th"))
+      val thAB = broadcast(theta(sa).crossJoin(theta(sb).withColumnRenamed("th", "thb"))
+        .select(least(col("th"), col("thb")).as("thi")))
+      def oneSide(x: DataFrame, y: DataFrame, part: String): DataFrame =
+        x.join(y.select(col("h").as("hy")), col("h") === col("hy"), "left_anti")
+          .crossJoin(thAB)
+          .filter(col("h") < col("thi"))
+          .agg(count(lit(1)).as("c"))
+          .crossJoin(thAB)
+          .select(lit(part).as("part"),
+            when(col("thi") === 1152921504606846976L, col("c")).otherwise(
+              expr("cast(c as decimal(38,0)) * cast(1152921504606846976 as decimal(38,0)) div thi"))
+              .cast("long").as("est"))
+      val ests = oneSide(sa, sb, "churned").unionAll(oneSide(sb, sa, "new"))
+      def exactDiff(v1: String, v2: String, part: String): DataFrame =
+        keyed.filter(col("vintage") === v1).select(col("k")).distinct()
+          .join(keyed.filter(col("vintage") === v2).select(col("k").as("k2"))
+            .distinct(), col("k") === col("k2"), "left_anti")
+          .agg(count(lit(1)).cast("bigint").as("exact"))
+          .select(lit(part).as("part"), col("exact"))
+      val exacts = exactDiff("base", "delta", "churned")
+        .unionAll(exactDiff("delta", "base", "new"))
+      ests.join(exacts, Seq("part"))
+        .select(col("part"), col("est"), col("exact"),
+          when(col("exact") === 0, lit(null).cast("long"))
+            .otherwise(expr("abs(est - exact) * 1000000 div exact")).as("err_ppm"))
+        .orderBy(col("part"))
+    },
+    Some("""WITH span AS (SELECT MIN(o_orderdate) AS dmin, MAX(o_orderdate) AS dmax
+                          FROM orders),
+            tagged AS (SELECT o_custkey AS k,
+                         CASE WHEN (CAST(o_orderdate AS DATE) - CAST(span.dmin AS DATE)) * 2 <=
+                                   (CAST(span.dmax AS DATE) - CAST(span.dmin AS DATE))
+                              THEN 'base' ELSE 'delta' END AS vintage
+                       FROM orders, span),
+            keyed AS (SELECT vintage, k,
+                        CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                      FROM tagged),
+            sa AS (SELECT DISTINCT h FROM keyed WHERE vintage = 'base'
+                   ORDER BY h LIMIT 128),
+            sb AS (SELECT DISTINCT h FROM keyed WHERE vintage = 'delta'
+                   ORDER BY h LIMIT 128),
+            ta AS (SELECT CASE WHEN COUNT(*) < 128 THEN 1152921504606846976
+                          ELSE COALESCE(MAX(h), 1152921504606846976) END AS th FROM sa),
+            tb AS (SELECT CASE WHEN COUNT(*) < 128 THEN 1152921504606846976
+                          ELSE COALESCE(MAX(h), 1152921504606846976) END AS th FROM sb),
+            thi AS (SELECT LEAST(ta.th, tb.th) AS thi FROM ta, tb),
+            ests AS (
+              SELECT 'churned' AS part,
+                CAST(CASE WHEN thi.thi = 1152921504606846976 THEN c
+                     ELSE (CAST(c AS HUGEINT) * 1152921504606846976) // thi.thi
+                     END AS BIGINT) AS est
+              FROM (SELECT COUNT(*) AS c FROM sa, thi
+                    WHERE sa.h < thi.thi
+                      AND NOT EXISTS (SELECT 1 FROM sb WHERE sb.h = sa.h)), thi
+              UNION ALL
+              SELECT 'new',
+                CAST(CASE WHEN thi.thi = 1152921504606846976 THEN c
+                     ELSE (CAST(c AS HUGEINT) * 1152921504606846976) // thi.thi
+                     END AS BIGINT)
+              FROM (SELECT COUNT(*) AS c FROM sb, thi
+                    WHERE sb.h < thi.thi
+                      AND NOT EXISTS (SELECT 1 FROM sa WHERE sa.h = sb.h)), thi),
+            exacts AS (
+              SELECT 'churned' AS part, CAST(COUNT(*) AS BIGINT) AS exact
+              FROM (SELECT DISTINCT k FROM keyed WHERE vintage = 'base') a
+              WHERE NOT EXISTS (SELECT 1 FROM keyed b
+                                WHERE b.vintage = 'delta' AND b.k = a.k)
+              UNION ALL
+              SELECT 'new', CAST(COUNT(*) AS BIGINT)
+              FROM (SELECT DISTINCT k FROM keyed WHERE vintage = 'delta') a
+              WHERE NOT EXISTS (SELECT 1 FROM keyed b
+                                WHERE b.vintage = 'base' AND b.k = a.k))
+            SELECT e.part, e.est, x.exact,
+              CASE WHEN x.exact = 0 THEN NULL
+                   ELSE CAST(ABS(e.est - x.exact) * 1000000 // x.exact AS BIGINT)
+              END AS err_ppm
+            FROM ests e JOIN exacts x ON x.part = e.part
+            ORDER BY e.part"""))
+
   val all: Seq[Q] = Seq(hllMerge, bloomIncremental, bottomkSample,
-    cmsMerge, quantileMerge, weightedSample, thetaSketch)
+    cmsMerge, quantileMerge, weightedSample, thetaSketch, thetaDiff)
 }

@@ -96,6 +96,26 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("h")
 
+  /** Streaming HyperLogLog — the q_hll_merge register sketch maintained
+    * incrementally over an unbounded key stream: the 256 registers are a
+    * streaming MAX aggregate, so state is EXACTLY 256 rows FOREVER (the
+    * O(m) bound that makes HLL the streaming distinct counter — compare
+    * dropDuplicates' one-row-per-key state, which grows with cardinality
+    * and needs a watermark to evict; a MAX register never needs
+    * eviction). Complete output mode: every trigger emits the current
+    * 256-row sketch, and at any stream prefix the registers equal the
+    * batch funnel over the same rows — the agreement the spec pins.
+    * Input: any streaming relation with a `k` column.
+    */
+  def hllRegistersStream(keys: DataFrame): DataFrame =
+    keys
+      .select(graft.functions.Portable.hash60(col("k").cast("string")).as("h"))
+      .select((col("h") % 256).cast("int").as("j"), expr("h div 256").as("w"))
+      .select(col("j"),
+        when(col("w") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("w")))).cast("int").as("r"))
+      .groupBy(col("j")).agg(max(col("r")).as("m"))
+
   /** Stream-stream interval join: purchases joined to same-user error
     * events from the preceding hour. Both sides carry watermarks and the
     * join condition bounds event time, so state eviction is automatic —

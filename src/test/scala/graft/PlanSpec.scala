@@ -839,6 +839,27 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_store_append reads the GROWN store bucketed (append preserved the layout), undemoted") {
+    val df = Registry.byName("q_store_append").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("Bucketed: true"),
+      s"the grown store scan must ride the stored bucket layout:\n$plan")
+    assert(plan.contains("SelectedBucketsCount: 8 out of 8"), plan)
+    assert(!plan.contains("Bucketed: false"),
+      s"the grown store scan was demoted to a shuffled read — the append broke the layout:\n$plan")
+    Caches.releaseAll()
+  }
+
+  test("q_theta_diff anti-joins the 128-row samples, TakeOrdered heads, no cartesian blowup") {
+    val plan = executedPlan("q_theta_diff")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("LeftAnti"), s"A-not-B needs the sample anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_theta_sketch builds samples via TakeOrdered heads, no cartesian beyond 1-row scalars") {
     val plan = executedPlan("q_theta_sketch")
     assert(plan.contains("TakeOrderedAndProject"),

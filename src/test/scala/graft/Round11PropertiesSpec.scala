@@ -453,6 +453,130 @@ class Round11PropertiesSpec extends AnyFunSuite {
     assert(got === want, s"got=$got want=$want")
   }
 
+  test("q_theta_diff equals the naive A-not-B replay") {
+    val rows = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val dmin = rows.map(_._2.toEpochDay).min; val dmax = rows.map(_._2.toEpochDay).max
+    val base = rows.filter(t => (t._2.toEpochDay - dmin) * 2 <= dmax - dmin).map(_._1)
+    val delta = rows.filter(t => (t._2.toEpochDay - dmin) * 2 > dmax - dmin).map(_._1)
+    val pow = BigInt(1152921504606846976L)
+    def sample(ks: Seq[Long]): Seq[Long] =
+      ks.distinct.map(k => hash60(k.toString)).sorted.take(128)
+    val sa = sample(base.toSeq); val sb = sample(delta.toSeq)
+    def th(s: Seq[Long]): BigInt = if (s.size < 128) pow else BigInt(s.max)
+    val thi = th(sa).min(th(sb))
+    def estDiff(x: Seq[Long], y: Seq[Long]): Long = {
+      val c = x.filterNot(y.toSet).count(h => BigInt(h) < thi)
+      if (thi == pow) c.toLong else ((BigInt(c) * pow) / thi).toLong
+    }
+    val exacts = Map(
+      "churned" -> (base.toSet -- delta.toSet).size.toLong,
+      "new" -> (delta.toSet -- base.toSet).size.toLong)
+    val ests = Map("churned" -> estDiff(sa, sb), "new" -> estDiff(sb, sa))
+    val want = Seq("churned", "new").map { p =>
+      (p, ests(p), exacts(p),
+        if (exacts(p) == 0) null
+        else java.lang.Long.valueOf(math.abs(ests(p) - exacts(p)) * 1000000L / exacts(p)))
+    }
+    val got = run("q_theta_diff").map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)))).toSeq
+    assert(got === want, s"got=$got want=$want")
+  }
+
+  /** Naive near pairs of a delta against a grown store (base ∪ delta1),
+    * vintage-attributed — the q_store_append contract.
+    */
+  private def naiveStoreAppend(corpus: Seq[(Long, String)])
+      : Seq[(Long, Long, String, Long)] = {
+    val sigs = corpus.map { case (id, t) => id -> naiveSigs(t) }.toMap
+    val grown = corpus.map(_._1).filter(_ % 10 != 0)
+    val delta2 = corpus.map(_._1).filter(_ % 10 == 0)
+    val pairs = for {
+      d <- delta2; m <- grown ++ delta2.filter(_ < d)
+      if m != d
+      sd <- sigs(d).toSeq; sm <- sigs(m).toSeq
+      if bandKeys(sd).intersect(bandKeys(sm)).nonEmpty
+      mm = sd.zip(sm).count(t => t._1 == t._2)
+      if mm >= 8
+    } yield (d, m,
+      if (m % 10 == 0) "delta2" else if (m % 10 == 1) "delta1" else "base",
+      mm * 625L)
+    pairs.distinct.sortBy(t => (t._1, t._2))
+  }
+
+  test("q_store_append: delta1 matches prove the bucketed-store append is live (planted corpus)") {
+    // plant: base doc 2 (b-words); delta1 doc 31 = near-copy of nothing in
+    // base but an exact vocab twin of delta2 doc 40; delta2 doc 30
+    // near-matches base doc 2; delta2 doc 40 must match APPENDED doc 31
+    val t2 = (0 until 60).map(i => s"b$i").mkString(" ")
+    val t31 = (0 until 60).map(i => s"z$i").mkString(" ")
+    val t30 = ((0 until 30).map(i => s"b$i") ++ Seq("CHANGED") ++
+      (31 until 60).map(i => s"b$i")).mkString(" ")
+    val t40 = ((0 until 30).map(i => s"z$i") ++ Seq("EDITED") ++
+      (31 until 60).map(i => s"z$i")).mkString(" ")
+    val corpus = Seq(
+      1L -> (0 until 60).map(i => s"a$i").mkString(" "),
+      2L -> t2,
+      13L -> (0 until 60).map(i => s"c$i").mkString(" "),
+      31L -> t31,
+      30L -> t30,
+      40L -> t40)
+    val tmp = stageDocs(corpus)
+    val got = Registry.byName("q_store_append").build(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    Caches.releaseAll()
+    val want = naiveStoreAppend(corpus)
+    assert(got === want, s"got=$got want=$want")
+    assert(got.exists(p => p._1 == 40L && p._2 == 31L && p._3 == "delta1"),
+      "delta2 doc 40 must match doc 31, which lives ONLY in the appended store files")
+    assert(got.exists(p => p._1 == 30L && p._2 == 2L && p._3 == "base"))
+  }
+
+  test("q_store_append equals the naive grown-store replay on the real corpus") {
+    val corpus = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = run("q_store_append")
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === naiveStoreAppend(corpus))
+  }
+
+  test("streaming HLL registers == batch registers at every stream prefix (256-row state bound)") {
+    import spark.implicits._
+    import graft.streaming.Streams
+    val keys = Tables(spark, dir, "orders").select(col("o_custkey")).collect()
+      .map(_.getLong(0)).toSeq
+    val (half1, half2) = keys.splitAt(keys.size / 2)
+    val staged = java.nio.file.Files.createTempDirectory("graft-shll").toString
+    Seq(half1, half2).zipWithIndex.foreach { case (ks, i) =>
+      ks.toDF("k").coalesce(1).write.parquet(s"$staged/f$i.parquet")
+      import java.nio.file.{Files, Paths, FileVisitOption}
+      import java.nio.file.attribute.FileTime
+      Files.walk(Paths.get(s"$staged/f$i.parquet"), FileVisitOption.FOLLOW_LINKS)
+        .filter(Files.isRegularFile(_))
+        .forEach(p => Files.setLastModifiedTime(p,
+          FileTime.fromMillis(1704067200000L + i * 60000L)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$staged/*.parquet")
+    val q = Streams.hllRegistersStream(stream).writeStream
+      .format("memory").queryName("hll_regs").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hll_regs").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    def registers(ks: Seq[Long]): Map[Int, Int] =
+      ks.map { k =>
+        val h = hash60(k.toString)
+        val w = h / 256
+        ((h % 256).toInt, if (w == 0) 53 else 53 - java.lang.Long.toBinaryString(w).length)
+      }.groupBy(_._1).map { case (j, g) => j -> g.map(_._2).max }
+    assert(got === registers(keys), "final streaming registers must equal the batch funnel")
+    assert(got.size <= 256, "state is bounded by the register count")
+  }
+
   // ---- TPC-H completion wave: exact in-memory replays over sf0.001 ----
 
   private case class Li(ok: Long, pk: Long, sk: Long, qty: Long, extc: Long,
