@@ -1895,10 +1895,125 @@ object DedupQueries {
               CAST(SUM(len) * 100 // COUNT(*) AS BIGINT) AS mean_len_centi
             FROM chunks GROUP BY source ORDER BY source"""))
 
+  /** ROUGE-N overlap metrics for LSH candidate pairs (Lin 2004) — the
+    * pair-level VERIFICATION step between "the bands collided" and "drop
+    * the document": clipped 3-gram overlap Σ min(count_a, count_b) with
+    * MULTIPLICITY (Jaccard's distinct sets hide repeated boilerplate;
+    * ROUGE counts it), precision/recall/F1 in exact basis points
+    * (integer division — no float ratio crosses engines). Same candidate
+    * generator as q_dedup_minhash, so this is the drop-in refinement of
+    * its estimate.
+    *
+    * Scale posture: the n-gram census is one partial+final count per
+    * (doc, gram); the overlap join fans candidates over the gram census
+    * (LSH-bounded pair count × grams per doc); totals broadcast back.
+    */
+  private val rougePair = Q(
+    "q_rouge_pair",
+    (spark, dir) => {
+      val docs = Tables.spreadIfUnderSplitAtScale(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+      val cand = minhashCandidates(shingleRelOf(docs))
+      val grams = graft.Caches.persisted(
+        docs.select(col("doc_id"),
+            explode(TextOps.wordNGramsAll(col("text"), 3)).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c")))
+      val totals = grams.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+      val overlap = cand
+        .join(grams.select(col("doc_id").as("doc_a"), col("g"), col("c").as("ca")), "doc_a")
+        .join(grams.select(col("doc_id").as("doc_b"), col("g"), col("c").as("cb")),
+          Seq("doc_b", "g"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(least(col("ca"), col("cb"))).as("ov"))
+      overlap
+        .join(totals.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(totals.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          col("ov").cast("bigint").as("overlap"),
+          col("na").cast("bigint").as("na"), col("nb").cast("bigint").as("nb"),
+          expr("ov * 10000 div nb").as("prec_bp"),
+          expr("ov * 10000 div na").as("rec_bp"))
+        .select(col("doc_a"), col("doc_b"), col("overlap"), col("na"), col("nb"),
+          col("prec_bp"), col("rec_bp"),
+          when(col("prec_bp") + col("rec_bp") === 0, lit(null).cast("long"))
+            .otherwise(expr("2 * prec_bp * rec_bp div (prec_bp + rec_bp)"))
+            .as("f1_bp"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""WITH $minhashCandCte,
+             grams AS (SELECT doc_id,
+                         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                       FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+                       WHERE len(ws) >= 3
+                       GROUP BY doc_id, g),
+             totals AS (SELECT doc_id, SUM(c) AS n FROM grams GROUP BY doc_id),
+             ov AS (SELECT c.doc_a, c.doc_b, SUM(LEAST(a.c, b.c)) AS ov
+                    FROM cand c
+                    JOIN grams a ON a.doc_id = c.doc_a
+                    JOIN grams b ON b.doc_id = c.doc_b AND b.g = a.g
+                    GROUP BY c.doc_a, c.doc_b)
+             SELECT o.doc_a, o.doc_b,
+               CAST(o.ov AS BIGINT) AS overlap,
+               CAST(ta.n AS BIGINT) AS na, CAST(tb.n AS BIGINT) AS nb,
+               CAST(o.ov * 10000 // tb.n AS BIGINT) AS prec_bp,
+               CAST(o.ov * 10000 // ta.n AS BIGINT) AS rec_bp,
+               CASE WHEN o.ov * 10000 // tb.n + o.ov * 10000 // ta.n = 0 THEN NULL
+                    ELSE CAST(2 * (o.ov * 10000 // tb.n) * (o.ov * 10000 // ta.n)
+                      // ((o.ov * 10000 // tb.n) + (o.ov * 10000 // ta.n)) AS BIGINT)
+               END AS f1_bp
+             FROM ov o
+             JOIN totals ta ON ta.doc_id = o.doc_a
+             JOIN totals tb ON tb.doc_id = o.doc_b
+             ORDER BY o.doc_a, o.doc_b"""))
+
+  /** Exact edit distance for LSH candidate pairs — the
+    * character-granularity verification metric (Levenshtein; both
+    * engines implement the classic unit-cost DP, exact integers): raw
+    * distance, both lengths, and similarity in basis points
+    * ((maxlen − lev)·10⁴ div maxlen). Character edits catch
+    * reorder-insensitive n-gram metrics' blind spot (ROUGE scores a
+    * shuffled copy high; Levenshtein does not).
+    *
+    * Scale posture: the DP is O(len_a·len_b) PER CANDIDATE PAIR —
+    * affordable precisely because LSH bounded the pair set first (the
+    * reason this is a verification metric, never a discovery join).
+    */
+  private val editDistance = Q(
+    "q_edit_distance",
+    (spark, dir) => {
+      val docs = Tables.spreadIfUnderSplitAtScale(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+      val cand = minhashCandidates(shingleRelOf(docs))
+      cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).cast("bigint").as("lev"),
+          length(col("ta")).cast("bigint").as("len_a"),
+          length(col("tb")).cast("bigint").as("len_b"))
+        .select(col("doc_a"), col("doc_b"), col("lev"), col("len_a"), col("len_b"),
+          expr("(greatest(len_a, len_b) - lev) * 10000 div greatest(len_a, len_b)")
+            .as("sim_bp"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""WITH $minhashCandCte
+             SELECT c.doc_a, c.doc_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+               CAST(length(a.text) AS BIGINT) AS len_a,
+               CAST(length(b.text) AS BIGINT) AS len_b,
+               CAST((GREATEST(length(a.text), length(b.text))
+                     - levenshtein(a.text, b.text)) * 10000
+                 // GREATEST(length(a.text), length(b.text)) AS BIGINT) AS sim_bp
+             FROM cand c
+             JOIN documents a ON a.doc_id = c.doc_a
+             JOIN documents b ON b.doc_id = c.doc_b
+             ORDER BY c.doc_a, c.doc_b"""))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupContainment, minhashRecall, chunkDedup, dupRatioBySource,
     minhashPrecision, spanDedup, spanLeakage, simhashHamming, spanScrub,
     minhashEstError, lshBandSweep, boilerplatePrefix, spanDedupGlobal,
     spanScrubGlobal, spanCoverage, bbitMinhash, dedupSurvivorship,
-    dedupIncremental, cdcChunking, storeAppend)
+    dedupIncremental, cdcChunking, storeAppend, rougePair, editDistance)
 }

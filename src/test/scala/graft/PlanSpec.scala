@@ -839,6 +839,21 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_rouge_pair fans LSH-bounded candidates over the gram census, partial-aggregated") {
+    val plan = executedPlan("q_rouge_pair")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(plan).nonEmpty, plan)
+    assert(!plan.contains("CartesianProduct"),
+      s"pair metrics must ride the LSH candidate set, never all-pairs:\n$plan")
+    Caches.releaseAll()
+  }
+
+  test("q_edit_distance joins texts onto the LSH candidate set, never all-pairs") {
+    val plan = executedPlan("q_edit_distance")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("levenshtein"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_store_append reads the GROWN store bucketed (append preserved the layout), undemoted") {
     val df = Registry.byName("q_store_append").build(spark, dir)
     df.collect()

@@ -577,6 +577,66 @@ class Round11PropertiesSpec extends AnyFunSuite {
     assert(got.size <= 256, "state is bounded by the register count")
   }
 
+  /** Naive LSH candidate pairs over an in-memory corpus (doc_a < doc_b). */
+  private def naiveCandidates(corpus: Seq[(Long, String)]): Seq[(Long, Long)] = {
+    val sigs = corpus.flatMap { case (id, t) => naiveSigs(t).map(id -> _) }.toMap
+    (for {
+      (a, sa) <- sigs.toSeq; (b, sb) <- sigs.toSeq
+      if a < b && bandKeys(sa).intersect(bandKeys(sb)).nonEmpty
+    } yield (a, b)).sorted
+  }
+
+  test("q_rouge_pair equals the naive clipped-3-gram replay") {
+    val corpus = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    def grams(t: String): Map[String, Long] =
+      tokens(t).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    val gm = corpus.map { case (id, t) => id -> grams(t) }.toMap
+    val want = naiveCandidates(corpus).map { case (a, b) =>
+      val ga = gm(a); val gb = gm(b)
+      val ov = ga.keySet.intersect(gb.keySet).toSeq.map(g => math.min(ga(g), gb(g))).sum
+      val na = ga.values.sum; val nb = gb.values.sum
+      val p = ov * 10000 / nb; val r = ov * 10000 / na
+      (a, b, ov, na, nb, p, r,
+        if (p + r == 0) null else java.lang.Long.valueOf(2 * p * r / (p + r)))
+    }
+    val got = run("q_rouge_pair").map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+      if (r.isNullAt(7)) null else java.lang.Long.valueOf(r.getLong(7)))).toSeq
+    assert(got === want, s"got=$got want=$want")
+  }
+
+  test("q_edit_distance equals the naive Levenshtein replay") {
+    val corpus = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    def lev(a: String, b: String): Long = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length).toLong
+    }
+    val byId = corpus.toMap
+    val want = naiveCandidates(corpus).map { case (a, b) =>
+      val d = lev(byId(a), byId(b))
+      val la = byId(a).length.toLong; val lb = byId(b).length.toLong
+      val mx = math.max(la, lb)
+      (a, b, d, la, lb, (mx - d) * 10000 / mx)
+    }
+    val got = run("q_edit_distance").map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want, s"got=$got want=$want")
+  }
+
   // ---- TPC-H completion wave: exact in-memory replays over sf0.001 ----
 
   private case class Li(ok: Long, pk: Long, sk: Long, qty: Long, extc: Long,
