@@ -2010,10 +2010,109 @@ object DedupQueries {
              JOIN documents b ON b.doc_id = c.doc_b
              ORDER BY c.doc_a, c.doc_b"""))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS plagiarism detector): from each window of 4 consecutive
+    * 3-gram hashes keep the RIGHTMOST MINIMUM, giving the positional
+    * guarantee the set-sketch family lacks — any shared token run of
+    * length ≥ w + k − 1 = 6 produces at least one shared fingerprint
+    * (minhash can miss a short plagiarized passage inside two otherwise
+    * different documents; winnowing cannot). Output: document pairs
+    * sharing ≥ 2 selected fingerprints, with per-doc fingerprint counts
+    * and containment similarity in basis points.
+    *
+    * Scale posture: with w = 4 the "rightmost minimum of some window"
+    * test is LOCAL — position p is selected iff for some window start
+    * t ∈ [p−3, p] every earlier in-window hash is ≥ h(p) and every
+    * later one is > h(p) — so the whole selection is 3 lags + 3 leads
+    * in ONE per-document window pass: no ×w explode, no per-window
+    * aggregate, no self-join (the explode+join formulation measured
+    * ~5× slower at sf1 and was replaced; the naive replay pins the
+    * equivalence). The pair join runs on selected fingerprints (~1/w
+    * of the shingle mass), hash-keyed.
+    */
+  private val winnowing = Q(
+    "q_winnowing",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.spreadIfUnderSplitAtScale(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+      val sh = posShingleRelOf(docs)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          graft.functions.Portable.hash60(col("sh")).as("h"))
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val lagged = sh
+        .withColumn("n3", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .withColumn("p1", lag(col("h"), 1).over(byPos))
+        .withColumn("p2", lag(col("h"), 2).over(byPos))
+        .withColumn("p3", lag(col("h"), 3).over(byPos))
+        .withColumn("x1", lead(col("h"), 1).over(byPos))
+        .withColumn("x2", lead(col("h"), 2).over(byPos))
+        .withColumn("x3", lead(col("h"), 3).over(byPos))
+      val h = col("h")
+      val c0 = col("pos") <= col("n3") - 4 &&
+        col("x1") > h && col("x2") > h && col("x3") > h
+      val c1 = col("pos") - 1 >= 0 && col("pos") - 1 <= col("n3") - 4 &&
+        col("p1") >= h && col("x1") > h && col("x2") > h
+      val c2 = col("pos") - 2 >= 0 && col("pos") - 2 <= col("n3") - 4 &&
+        col("p1") >= h && col("p2") >= h && col("x1") > h
+      val c3 = col("pos") - 3 >= 0 && col("pos") - 3 <= col("n3") - 4 &&
+        col("p1") >= h && col("p2") >= h && col("p3") >= h
+      val fps = graft.Caches.persisted(
+        lagged.filter(coalesce(c0, lit(false)) || coalesce(c1, lit(false)) ||
+            coalesce(c2, lit(false)) || coalesce(c3, lit(false)))
+          .select(col("doc_id"), col("h")).distinct())
+      val counts = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+      fps.select(col("doc_id").as("doc_a"), col("h"))
+        .join(fps.select(col("doc_id").as("doc_b"), col("h")), "h")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .join(counts.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
+        .join(counts.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          col("n_shared").cast("bigint").as("n_shared"),
+          col("na").cast("bigint").as("na"), col("nb").cast("bigint").as("nb"),
+          expr("n_shared * 10000 div least(na, nb)").as("sim_bp"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                       FROM documents),
+            sh AS (SELECT doc_id, i - 1 AS pos,
+                     CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15)
+                       AS BIGINT) AS h
+                   FROM d, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+                   WHERE len(ws) >= 3),
+            n3 AS (SELECT doc_id, COUNT(*) AS n3 FROM sh GROUP BY doc_id),
+            expanded AS (SELECT s.doc_id, s.pos, s.h, t
+                         FROM sh s JOIN n3 ON n3.doc_id = s.doc_id,
+                           UNNEST(generate_series(GREATEST(0, s.pos - 3),
+                             LEAST(s.pos, n3.n3 - 4))) AS u(t)
+                         WHERE n3.n3 >= 4),
+            wmin AS (SELECT doc_id, t, MIN(h) AS mh FROM expanded GROUP BY doc_id, t),
+            fps AS (SELECT DISTINCT doc_id, h FROM
+                      (SELECT e.doc_id, e.t, MAX(e.pos) AS spos, MIN(e.h) AS h
+                       FROM expanded e JOIN wmin w
+                         ON w.doc_id = e.doc_id AND w.t = e.t AND e.h = w.mh
+                       GROUP BY e.doc_id, e.t)),
+            counts AS (SELECT doc_id, COUNT(*) AS nf FROM fps GROUP BY doc_id)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(COUNT(*) AS BIGINT) AS n_shared,
+              CAST(MIN(ca.nf) AS BIGINT) AS na, CAST(MIN(cb.nf) AS BIGINT) AS nb,
+              CAST(COUNT(*) * 10000 // LEAST(MIN(ca.nf), MIN(cb.nf)) AS BIGINT) AS sim_bp
+            FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+            JOIN counts ca ON ca.doc_id = a.doc_id
+            JOIN counts cb ON cb.doc_id = b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 2
+            ORDER BY doc_a, doc_b"""))
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
     dedupContainment, minhashRecall, chunkDedup, dupRatioBySource,
     minhashPrecision, spanDedup, spanLeakage, simhashHamming, spanScrub,
     minhashEstError, lshBandSweep, boilerplatePrefix, spanDedupGlobal,
     spanScrubGlobal, spanCoverage, bbitMinhash, dedupSurvivorship,
-    dedupIncremental, cdcChunking, storeAppend, rougePair, editDistance)
+    dedupIncremental, cdcChunking, storeAppend, rougePair, editDistance,
+    winnowing)
 }

@@ -590,6 +590,102 @@ object VectorQueries {
           FROM r WHERE rank > 10 ORDER BY probe_id, rank"""
     }))
 
+  /** Multi-probe LSH (Lv et al. 2007) — recall without more hash
+    * tables: beside the probe's own bucket, query the 4 buckets at
+    * Hamming distance 1 (one hyperplane bit flipped — the buckets a
+    * near-boundary neighbor most likely fell into), and report the
+    * single-bucket vs multi-probe candidate counts and true-top-10 hits
+    * side by side: the measured recall/candidates trade-off that
+    * decides probe depth in production. Ground truth is the bounded
+    * brute-force top-10 (the q_knn_brute oracle posture).
+    *
+    * Scale posture: the probe-key set is 5 strings broadcast into one
+    * semi-join against the bucketed scan — candidates grow 5×, hash
+    * tables and stored state do not grow at all (the multi-probe
+    * claim).
+    */
+  private val multiprobeLsh = Q(
+    "q_multiprobe_lsh",
+    (spark, dir) => {
+      val signs = planeSigns(4, embeddingDim(spark, dir))
+      val bucket = concat(
+        signs.map(s => when(signedDot(col("embedding"), s) > 0, lit("1")).otherwise(lit("0"))): _*)
+      val e = graft.Caches.persisted(
+        Tables(spark, dir, "embeddings").withColumn("bk", bucket))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p"), col("bk").as("pbk"))
+      val flips = (0 until 4).map { i =>
+        concat(substring(col("pbk"), 1, i),
+          when(substring(col("pbk"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+          substring(col("pbk"), i + 2, 4))
+      }
+      val pkeys = broadcast(probe.select(col("pbk"),
+        explode(array(col("pbk") +: flips: _*)).as("pk")))
+      val top10 = graft.Caches.persisted(
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe.select(col("p"))))
+          .select(col("vec_id"),
+            pround(VectorOps.cosine(col("embedding"), col("p")), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+          .select(col("vec_id").as("tv")))
+      val cands = graft.Caches.persisted(
+        e.filter(col("vec_id") =!= 0)
+          .join(pkeys, col("bk") === col("pk"))
+          .select(col("vec_id"), (col("pk") === col("pbk")).as("own"))
+          .distinct())
+      def report(rel: org.apache.spark.sql.DataFrame, method: String)
+          : org.apache.spark.sql.DataFrame =
+        rel.join(top10, col("vec_id") === col("tv"), "left")
+          .agg(count(lit(1)).cast("bigint").as("n_cand"),
+            count(col("tv")).cast("bigint").as("hits10"))
+          .select(lit(method).as("method"), col("n_cand"), col("hits10"))
+      report(cands.filter(col("own")), "single")
+        .unionAll(report(cands, "multiprobe"))
+        .orderBy(col("method"))
+    },
+    Some("""WITH dims AS (SELECT CAST(COALESCE(MAX(len(embedding)), 0) AS BIGINT) AS nd
+                          FROM embeddings),
+            planes AS (
+              SELECT p, d,
+                CASE WHEN substr(md5('p' || CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1)
+                     IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS sgn
+              FROM dims, UNNEST(generate_series(0, 3)) AS a(p),
+                   UNNEST(generate_series(1, dims.nd)) AS b(d)),
+            dots AS (SELECT e.vec_id, pl.p,
+                       SUM(pl.sgn * CAST(e.embedding[pl.d] AS DOUBLE)) AS dp
+                     FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p),
+            buckets AS (SELECT vec_id,
+                          string_agg(CASE WHEN dp > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bk
+                        FROM dots GROUP BY vec_id),
+            probe AS (SELECT CAST(e.embedding AS DOUBLE[]) AS p, b.bk AS pbk
+                      FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+                      WHERE e.vec_id = 0),
+            pkeys AS (SELECT pbk, pbk AS pk FROM probe
+                      UNION ALL
+                      SELECT pbk,
+                        substr(pbk, 1, i) ||
+                        (CASE WHEN substr(pbk, i + 1, 1) = '1' THEN '0' ELSE '1' END) ||
+                        substr(pbk, i + 2, 4) AS pk
+                      FROM probe, UNNEST(generate_series(0, 3)) AS u(i)),
+            top10 AS (SELECT e.vec_id AS tv
+                      FROM embeddings e, probe
+                      WHERE e.vec_id <> 0
+                      ORDER BY FLOOR((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), probe.p)) * 10000 + 0.5) / 10000 DESC,
+                        e.vec_id LIMIT 10),
+            cands AS (SELECT DISTINCT b.vec_id, k.pk = k.pbk AS own
+                      FROM buckets b JOIN pkeys k ON b.bk = k.pk
+                      WHERE b.vec_id <> 0),
+            rep AS (
+              SELECT 'single' AS method,
+                CAST(COUNT(*) AS BIGINT) AS n_cand,
+                CAST(COUNT(*) FILTER (WHERE vec_id IN (SELECT tv FROM top10)) AS BIGINT) AS hits10
+              FROM cands WHERE own
+              UNION ALL
+              SELECT 'multiprobe', CAST(COUNT(*) AS BIGINT),
+                CAST(COUNT(*) FILTER (WHERE vec_id IN (SELECT tv FROM top10)) AS BIGINT)
+              FROM cands)
+            SELECT method, n_cand, hits10 FROM rep ORDER BY method"""))
+
   val all: Seq[Q] = Seq(arrayFuncs, knnBrute, knnLsh, dedupEmbed, embedCentroid,
-    knnJoin, annRecall, dedupSemantic, knnPq, hardNegatives)
+    knnJoin, annRecall, dedupSemantic, knnPq, hardNegatives, multiprobeLsh)
 }

@@ -839,6 +839,26 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_multiprobe_lsh broadcasts the 5-key probe set; candidates join the bucketed scan") {
+    val plan = executedPlan("q_multiprobe_lsh")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 5-row probe-key set must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"only the 1-row probe may cross:\n$plan")
+    Caches.releaseAll()
+  }
+
+  test("q_winnowing selects fingerprints in ONE lag/lead window pass, no explode, no self-join") {
+    val plan = executedPlan("q_winnowing")
+    assert(plan.contains("Window"),
+      s"the rightmost-min test must be a per-doc window pass:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"the fingerprint census must partial-aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_rouge_pair fans LSH-bounded candidates over the gram census, partial-aggregated") {
     val plan = executedPlan("q_rouge_pair")
     assert("HashAggregate|ObjectHashAggregate".r.findAllIn(plan).nonEmpty, plan)

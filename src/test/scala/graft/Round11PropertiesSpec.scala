@@ -637,6 +637,79 @@ class Round11PropertiesSpec extends AnyFunSuite {
     assert(got === want, s"got=$got want=$want")
   }
 
+  test("q_winnowing equals the naive rightmost-min replay; the positional guarantee holds") {
+    val corpus = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    def fingerprints(t: String): Set[Long] = {
+      val hs = tokens(t).sliding(3).filter(_.size == 3)
+        .map(g => hash60(g.mkString(" "))).toIndexedSeq
+      if (hs.size < 4) Set.empty
+      else (0 to hs.size - 4).map { w =>
+        val win = hs.slice(w, w + 4)
+        val mn = win.min
+        // rightmost minimum: the largest in-window position achieving mn
+        win.lastIndexOf(mn) + w
+      }.toSet.map((p: Int) => hs(p))
+    }
+    val fp = corpus.map { case (id, t) => id -> fingerprints(t) }.toMap
+    val want = (for {
+      (a, fa) <- fp.toSeq; (b, fb) <- fp.toSeq
+      if a < b
+      shared = fa.intersect(fb).size.toLong
+      if shared >= 2
+    } yield (a, b, shared, fa.size.toLong, fb.size.toLong,
+      shared * 10000 / math.min(fa.size, fb.size))).sortBy(t => (t._1, t._2))
+    val got = run("q_winnowing").map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want, s"got=$got want=$want")
+    // positional guarantee on a synthetic pair: two docs sharing a 6-token
+    // run (w + k - 1) share at least one fingerprint
+    val run6 = (0 until 6).map(i => s"R$i").mkString(" ")
+    val dA = s"${(0 until 20).map(i => s"x$i").mkString(" ")} $run6 tailA"
+    val dB = s"headB $run6 ${(0 until 20).map(i => s"y$i").mkString(" ")}"
+    assert(fingerprints(dA).intersect(fingerprints(dB)).nonEmpty,
+      "a shared >= 6-token run must yield a shared fingerprint")
+  }
+
+  test("q_multiprobe_lsh equals the naive replay; multiprobe dominates single-bucket") {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val dims = vecs.head._2.length
+    def sgn(p: Int, d: Int): Double =
+      if ("89abcdef".contains(md5hex(s"p$p-$d").head)) 1.0 else -1.0
+    def bucket(v: Array[Double]): String =
+      (0 until 4).map { p =>
+        val dp = (1 to dims).map(d => sgn(p, d) * v(d - 1)).sum
+        if (dp > 0) "1" else "0"
+      }.mkString
+    val bks = vecs.map { case (id, v) => id -> bucket(v) }.toMap
+    val pv = vecs.find(_._1 == 0L).get._2
+    val pbk = bks(0L)
+    val keys = (Set(pbk) ++ (0 until 4).map(i =>
+      pbk.updated(i, if (pbk(i) == '1') '0' else '1')))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map(t => t._1 * t._2).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val top10 = vecs.filter(_._1 != 0)
+      .map { case (id, v) => (id, math.floor(cos(v, pv) * 10000 + 0.5) / 10000) }
+      .sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+    val single = vecs.filter(t => t._1 != 0 && bks(t._1) == pbk).map(_._1)
+    val multi = vecs.filter(t => t._1 != 0 && keys(bks(t._1))).map(_._1)
+    val want = Seq(
+      ("multiprobe", multi.size.toLong, multi.count(top10).toLong),
+      ("single", single.size.toLong, single.count(top10).toLong))
+    val got = run("q_multiprobe_lsh").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want, s"got=$got want=$want")
+    val gm = got.map { case (m, n, h) => m -> (n, h) }.toMap
+    assert(gm("multiprobe")._1 >= gm("single")._1 &&
+      gm("multiprobe")._2 >= gm("single")._2,
+      "multiprobe candidates and hits must dominate single-bucket")
+  }
+
   // ---- TPC-H completion wave: exact in-memory replays over sf0.001 ----
 
   private case class Li(ok: Long, pk: Long, sk: Long, qty: Long, extc: Long,
