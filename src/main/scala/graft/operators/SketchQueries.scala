@@ -912,6 +912,226 @@ object SketchQueries {
             FROM ests e JOIN exacts x ON x.part = e.part
             ORDER BY e.part"""))
 
+  /** HLL register-count accuracy sweep — the m-tuning measurement that
+    * sizes q_hll_merge's sketch in production (the q_lsh_band_sweep /
+    * q_minhash_est_error pattern applied to distinct counting): the
+    * SAME key stream sketched at m ∈ {64, 256, 1024} registers, each
+    * the full Flajolet funnel (bucket = h mod m, rank from the
+    * remaining 60−log₂m bits, exact-bigint Z, per-m α·m²·2^P literal,
+    * small-range correction below 2.5m), reported as estimate vs exact
+    * and error ppm per m — the standard-error ∝ 1.04/√m curve made
+    * measurable. State is m rows per arm; all three arms share one
+    * cached key pass.
+    */
+  private val hllPrecisionSweep = Q(
+    "q_hll_precision_sweep",
+    (spark, dir) => {
+      val keyed = graft.Caches.persisted(
+        Tables(spark, dir, "orders")
+          .select(col("o_custkey").as("k"))
+          .select(col("k"), Portable.hash60(col("k").cast("string")).as("h")))
+      val exact = broadcast(keyed.agg(countDistinct(col("k")).cast("bigint").as("exact")))
+      // (m, P = 61 - log2 m, C = α_m·m²·2^P, 2^P) — literals both engines parse
+      val arms = Seq(
+        (64, 55, 1.0462993238608057e20, 36028797018963968L),
+        (256, 53, 4.2399330249068963e20, 9007199254740992L),
+        (1024, 51, 1.7013287633207432e21, 2251799813685248L))
+      arms.map { case (m, p, c, pow) =>
+        val regs = keyed
+          .select((col("h") % m).cast("int").as("j"), expr(s"h div $m").as("w"))
+          .select(col("j"),
+            when(col("w") === 0, lit(p))
+              .otherwise(lit(p) - length(bin(col("w")))).cast("int").as("r"))
+          .groupBy(col("j")).agg(max(col("r")).as("mr"))
+        val est = regs.agg(count(lit(1)).as("nf"),
+            coalesce(sum(expr(s"shiftleft(cast(1 as bigint), $p - mr)")), lit(0L)).as("zp"))
+          .select((col("zp") + (lit(m.toLong) - col("nf")) * lit(pow)).as("z"),
+            (lit(m.toLong) - col("nf")).as("v"))
+          .select(
+            when(lit(c) / col("z").cast("double") <= m * 2.5 && col("v") > 0,
+              lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+              .otherwise(lit(c) / col("z").cast("double")).as("e"))
+          .select(lit(m.toLong).as("m"),
+            floor(col("e") + 0.5d).cast("long").as("hll_est"))
+        est.crossJoin(exact)
+      }.reduce(_ unionAll _)
+        .select(col("m"), col("hll_est"), col("exact"),
+          when(col("exact") === 0, lit(null).cast("long"))
+            .otherwise(expr("abs(hll_est - exact) * 1000000 div exact")).as("err_ppm"))
+        .orderBy(col("m"))
+    },
+    Some {
+      val arms = Seq(
+        (64, 55, "1.0462993238608057e20", 36028797018963968L),
+        (256, 53, "4.2399330249068963e20", 9007199254740992L),
+        (1024, 51, "1.7013287633207432e21", 2251799813685248L))
+      val armSql = arms.map { case (m, p, c, pow) =>
+        s"""SELECT CAST($m AS BIGINT) AS m,
+              CAST(FLOOR(CASE WHEN CAST($c AS DOUBLE) / CAST(z AS DOUBLE) <= $m * 2.5
+                               AND v > 0
+                              THEN $m.0 * ln($m.0 / CAST(v AS DOUBLE))
+                              ELSE CAST($c AS DOUBLE) / CAST(z AS DOUBLE)
+                         END + 0.5) AS BIGINT) AS hll_est
+            FROM (SELECT COALESCE(SUM(CAST(1 AS BIGINT) << ($p - mr)), 0)
+                    + ($m - COUNT(*)) * $pow AS z,
+                  $m - COUNT(*) AS v
+                  FROM (SELECT CAST(h % $m AS INT) AS j,
+                          MAX(CASE WHEN h // $m = 0 THEN $p
+                               ELSE $p - length(bin(h // $m)) END) AS mr
+                        FROM keyed GROUP BY 1))""" }.mkString("\nUNION ALL\n")
+      s"""WITH keyed AS (SELECT o_custkey AS k,
+                           CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                             AS BIGINT) AS h
+                         FROM orders),
+          exact AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS exact FROM keyed),
+          ests AS ($armSql)
+          SELECT m, hll_est, exact,
+            CASE WHEN exact = 0 THEN NULL
+                 ELSE CAST(ABS(hll_est - exact) * 1000000 // exact AS BIGINT)
+            END AS err_ppm
+          FROM ests, exact ORDER BY m"""
+    })
+
+  /** Bloom-filter geometry sweep — the m-bits tuning behind
+    * q_bloom_incremental's single point: the same base/delta membership
+    * probe at m ∈ {1024, 4096, 16384} bits (k = 4 hashes; the four
+    * log₂m-bit positions carved from one hash60 — 4×14 = 56 ≤ 60 bits
+    * even at the widest), reporting load, measured FPR in exact ppm,
+    * and the analytic (1 − e^(−kn/m))^k in pround-6 ppm beside it —
+    * the curve that picks bits-per-key in production. One positioned
+    * pass per arm; the bit relations stay ≤ m rows and broadcast.
+    */
+  private val bloomFprSweep = Q(
+    "q_bloom_fpr_sweep",
+    (spark, dir) => {
+      val docs = graft.Caches.persisted(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("ch"))
+          .select(col("doc_id"), col("ch"), Portable.hash60(col("ch")).as("hv")))
+      Seq(1024L -> 10, 4096L -> 12, 16384L -> 14).map { case (m, bits) =>
+        val positioned = docs.select(col("doc_id"), col("ch"),
+          explode(array((0 until 4).map(i =>
+            shiftright(col("hv"), bits * i).bitwiseAND(lit(m - 1))): _*)).as("bit"))
+        val baseBits = positioned.filter(col("doc_id") % 10 =!= 0)
+          .select(col("bit")).distinct()
+        val nBase = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("ch")).distinct().agg(count(lit(1)).as("n_base"))
+        val probed = positioned.filter(col("doc_id") % 10 === 0)
+          .join(broadcast(baseBits.select(col("bit").as("b"))),
+            col("bit") === col("b"), "left")
+          .groupBy(col("ch")).agg(count(col("b")).as("matched"))
+          .agg(count(lit(1)).cast("bigint").as("probes"),
+            count_if(col("matched") === 4).cast("bigint").as("bloom_hits"))
+        baseBits.agg(count(lit(1)).cast("bigint").as("bits_set"))
+          .crossJoin(broadcast(nBase))
+          .crossJoin(probed)
+          .select(lit(m).as("m_bits"), col("n_base").cast("bigint").as("n_base"),
+            col("bits_set"), col("probes"), col("bloom_hits"),
+            when(col("probes") === 0, lit(null).cast("long"))
+              .otherwise(expr("bloom_hits * 1000000 div probes")).as("fpr_ppm"),
+            Portable.pround(
+              pow(lit(1.0) - exp(lit(-4.0) * col("n_base").cast("double") /
+                lit(m.toDouble)), 4.0) * 1e6, 1).as("analytic_ppm"))
+      }.reduce(_ unionAll _).orderBy(col("m_bits"))
+    },
+    Some {
+      val armSql = Seq(1024L -> 10, 4096L -> 12, 16384L -> 14).map { case (m, bits) =>
+        s"""SELECT CAST($m AS BIGINT) AS m_bits,
+              (SELECT CAST(COUNT(DISTINCT ch) AS BIGINT) FROM docs
+               WHERE doc_id % 10 <> 0) AS n_base,
+              (SELECT CAST(COUNT(DISTINCT (hv >> ($bits * i)) & ${m - 1}) AS BIGINT)
+               FROM docs, UNNEST(generate_series(0, 3)) AS u(i)
+               WHERE doc_id % 10 <> 0) AS bits_set,
+              CAST(COUNT(*) AS BIGINT) AS probes,
+              CAST(COUNT(*) FILTER (WHERE matched = 4) AS BIGINT) AS bloom_hits
+            FROM (SELECT p.ch, COUNT(b.bit) AS matched
+                  FROM (SELECT ch, (hv >> ($bits * i)) & ${m - 1} AS bit
+                        FROM docs, UNNEST(generate_series(0, 3)) AS u(i)
+                        WHERE doc_id % 10 = 0) p
+                  LEFT JOIN (SELECT DISTINCT (hv >> ($bits * i)) & ${m - 1} AS bit
+                             FROM docs, UNNEST(generate_series(0, 3)) AS u(i)
+                             WHERE doc_id % 10 <> 0) b ON b.bit = p.bit
+                  GROUP BY p.ch)""" }.mkString("\nUNION ALL\n")
+      s"""WITH docs AS (SELECT doc_id, md5(text) AS ch,
+                          CAST('0x' || substr(md5(md5(text)), 1, 15) AS BIGINT) AS hv
+                        FROM documents),
+          arms AS ($armSql)
+          SELECT m_bits, n_base, bits_set, probes, bloom_hits,
+            CASE WHEN probes = 0 THEN NULL
+                 ELSE CAST(bloom_hits * 1000000 // probes AS BIGINT) END AS fpr_ppm,
+            FLOOR(POW(1.0 - EXP(-4.0 * CAST(n_base AS DOUBLE) / CAST(m_bits AS DOUBLE)), 4.0)
+              * 1e6 * 10 + 0.5) / 10 AS analytic_ppm
+          FROM arms ORDER BY m_bits"""
+    })
+
+  /** Count-Min width sweep — the ε-tuning behind q_cms_merge: the same
+    * word stream sketched at widths {128, 512, 2048} (depth 4; 4 rows ×
+    * 11 bits ≤ 44 of the 60 hash bits at the widest), reporting the
+    * top-10 exact words' TOTAL and WORST overcount per width — the
+    * ε = e/w error budget made measurable (every overcount is ≥ 0, the
+    * one-sided guarantee; quartering the width should roughly quadruple
+    * the collision mass). Counter state is ≤ 4·w rows per arm.
+    */
+  private val cmsWidthSweep = Q(
+    "q_cms_width_sweep",
+    (spark, dir) => {
+      val words = graft.Caches.persisted(
+        Tables.spreadIfUnderSplitAtScale(
+            Tables(spark, dir, "documents").select(col("text")))
+          .select(explode(graft.functions.TextOps.wordsNative(lower(col("text")))).as("word"))
+          .select(col("word"), Portable.hash60(col("word")).as("hv")))
+      val top10 = graft.Caches.persisted(
+        words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("word")).limit(10))
+      Seq(128L -> 7, 512L -> 9, 2048L -> 11).map { case (w, bits) =>
+        val sketch = words
+          .select(posexplode(array((0 until 4).map(i =>
+            shiftright(col("hv"), bits * i).bitwiseAND(lit(w - 1))): _*)))
+          .withColumnRenamed("pos", "d").withColumnRenamed("col", "p")
+          .groupBy(col("d"), col("p")).agg(count(lit(1)).as("c"))
+        top10
+          .select(col("word"), col("cnt"), Portable.hash60(col("word")).as("hv"))
+          .select(col("word"), col("cnt"),
+            posexplode(array((0 until 4).map(i =>
+              shiftright(col("hv"), bits * i).bitwiseAND(lit(w - 1))): _*)))
+          .withColumnRenamed("pos", "d").withColumnRenamed("col", "p")
+          .join(broadcast(sketch), Seq("d", "p"))
+          .groupBy(col("word"), col("cnt")).agg(min(col("c")).as("est"))
+          .agg(sum(col("est") - col("cnt")).cast("bigint").as("sum_overcount"),
+            max(col("est") - col("cnt")).cast("bigint").as("max_overcount"))
+          .select(lit(w).as("width"),
+            coalesce(col("sum_overcount"), lit(0L)).as("sum_overcount"),
+            coalesce(col("max_overcount"), lit(0L)).as("max_overcount"))
+      }.reduce(_ unionAll _).orderBy(col("width"))
+    },
+    Some {
+      val armSql = Seq(128L -> 7, 512L -> 9, 2048L -> 11).map { case (w, bits) =>
+        s"""SELECT CAST($w AS BIGINT) AS width,
+              CAST(COALESCE(SUM(est - cnt), 0) AS BIGINT) AS sum_overcount,
+              CAST(COALESCE(MAX(est - cnt), 0) AS BIGINT) AS max_overcount
+            FROM (SELECT t.word, t.cnt, MIN(s.c) AS est
+                  FROM (SELECT word, cnt, i AS d,
+                          (hv >> ($bits * i)) & ${w - 1} AS p
+                        FROM top10, UNNEST(generate_series(0, 3)) AS u(i)) t
+                  JOIN (SELECT i AS d, (hv >> ($bits * i)) & ${w - 1} AS p,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                        FROM words, UNNEST(generate_series(0, 3)) AS u(i)
+                        GROUP BY 1, 2) s ON s.d = t.d AND s.p = t.p
+                  GROUP BY t.word, t.cnt)""" }.mkString("\nUNION ALL\n")
+      s"""WITH words AS (SELECT word,
+                           CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS hv
+                         FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS word
+                               FROM documents)
+                         WHERE word <> ''),
+          top10 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+                      CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS hv
+                    FROM words GROUP BY word, hv
+                    ORDER BY cnt DESC, word LIMIT 10),
+          arms AS ($armSql)
+          SELECT width, sum_overcount, max_overcount FROM arms ORDER BY width"""
+    })
+
   val all: Seq[Q] = Seq(hllMerge, bloomIncremental, bottomkSample,
-    cmsMerge, quantileMerge, weightedSample, thetaSketch, thetaDiff)
+    cmsMerge, quantileMerge, weightedSample, thetaSketch, thetaDiff,
+    hllPrecisionSweep, bloomFprSweep, cmsWidthSweep)
 }

@@ -839,6 +839,27 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_hll_precision_sweep: all three register funnels partial-aggregate off one cached pass") {
+    val plan = executedPlan("q_hll_precision_sweep")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_bloom_fpr_sweep: per-arm bit sets broadcast to the probe side") {
+    val plan = executedPlan("q_bloom_fpr_sweep")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_cms_width_sweep: per-arm sketches broadcast to the 40-row probe set") {
+    val plan = executedPlan("q_cms_width_sweep")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_multiprobe_lsh broadcasts the 5-key probe set; candidates join the bucketed scan") {
     val plan = executedPlan("q_multiprobe_lsh")
     assert(plan.contains("BroadcastHashJoin"),

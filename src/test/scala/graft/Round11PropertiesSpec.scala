@@ -710,6 +710,75 @@ class Round11PropertiesSpec extends AnyFunSuite {
       "multiprobe candidates and hits must dominate single-bucket")
   }
 
+  test("q_hll_precision_sweep equals the naive per-m replay") {
+    val keys = Tables(spark, dir, "orders").select(col("o_custkey")).collect()
+      .map(_.getLong(0)).toSeq
+    val exact = keys.distinct.size.toLong
+    val arms = Seq((64, 55, 1.0462993238608057e20, 36028797018963968L),
+      (256, 53, 4.2399330249068963e20, 9007199254740992L),
+      (1024, 51, 1.7013287633207432e21, 2251799813685248L))
+    val want = arms.map { case (m, p, c, pow) =>
+      val regs = keys.map { k =>
+        val h = hash60(k.toString); val w = h / m
+        ((h % m).toInt, if (w == 0) p else p - java.lang.Long.toBinaryString(w).length)
+      }.groupBy(_._1).map { case (j, g) => j -> g.map(_._2).max }
+      val z = BigInt(regs.values.map(r => 1L << (p - r)).sum) +
+        BigInt(m - regs.size) * BigInt(pow)
+      val v = m - regs.size
+      val raw = c / z.toDouble
+      val e = if (raw <= m * 2.5 && v > 0) m * math.log(m.toDouble / v) else raw
+      val est = math.floor(e + 0.5).toLong
+      (m.toLong, est, exact, math.abs(est - exact) * 1000000L / exact)
+    }
+    val got = run("q_hll_precision_sweep").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want, s"got=$got want=$want")
+  }
+
+  test("q_bloom_fpr_sweep equals the naive per-m replay; wider filters have fewer false positives") {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), md5hex(r.getString(1))))
+    val want = Seq(1024L -> 10, 4096L -> 12, 16384L -> 14).map { case (m, bits) =>
+      def positions(ch: String) = {
+        val hv = hash60(ch); (0 until 4).map(i => (hv >> (bits * i)) & (m - 1))
+      }
+      val base = docs.filter(_._1 % 10 != 0); val delta = docs.filter(_._1 % 10 == 0)
+      val bitsSet = base.flatMap(d => positions(d._2)).toSet
+      val probes = delta.map(_._2).distinct
+      val hits = probes.count(ch => positions(ch).forall(bitsSet.contains))
+      (m, base.map(_._2).distinct.size.toLong, bitsSet.size.toLong,
+        probes.size.toLong, hits.toLong, hits * 1000000L / probes.size)
+    }
+    val got = run("q_bloom_fpr_sweep").map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want, s"got=$got want=$want")
+    assert(got.map(_._5).sliding(2).forall(s => s.head >= s.last),
+      "bloom hits must not increase with filter width")
+  }
+
+  test("q_cms_width_sweep equals the naive per-width replay; narrower sketches overcount more") {
+    val words = Tables(spark, dir, "documents")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ", -1).filter(_.nonEmpty)).toSeq
+    val counts = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val top10 = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(10)
+    val want = Seq(128L -> 7, 512L -> 9, 2048L -> 11).map { case (wd, bits) =>
+      def positions(w: String) = {
+        val hv = hash60(w); (0 until 4).map(i => (i, (hv >> (bits * i)) & (wd - 1)))
+      }
+      val sketch = words.flatMap(positions).groupBy(identity)
+        .map { case (k, g) => k -> g.size.toLong }
+      val overs = top10.map { case (w, c) => positions(w).map(sketch).min - c }
+      (wd, overs.sum, overs.max)
+    }
+    val got = run("q_cms_width_sweep").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want, s"got=$got want=$want")
+    assert(got.map(_._2).sliding(2).forall(s => s.head >= s.last),
+      "total overcount must not increase with width")
+  }
+
   // ---- TPC-H completion wave: exact in-memory replays over sf0.001 ----
 
   private case class Li(ok: Long, pk: Long, sk: Long, qty: Long, extc: Long,
