@@ -542,8 +542,12 @@ object SketchQueries {
     * full-corpus bottom-16 is reported beside it — identical by the
     * bottom-k property, so a standing weighted sample updates from a
     * delta without re-scanning the corpus. Weight = greatest(1,
-    * char length); sum_h is the sample's hash fingerprint, summed in
-    * decimal(38,0) (16 × 2^60 would wrap bigint).
+    * char length); the sample's hash fingerprint is emitted as two
+    * exact int64 splits sum_h_hi = Σ(h div 2²⁰) and sum_h_lo =
+    * Σ(h mod 2²⁰) — both stay below 2⁴⁴ at k = 16, inside the 2⁵³
+    * float64-exact window the round-12 output contract requires
+    * (decimal(38,0) cells above 2⁵³ hash-diverge in the driver's
+    * checker even when exactly equal).
     *
     * Scale posture: per vintage one TakeOrdered(16) head; the merge
     * ranks 32 driver-free rows.
@@ -569,11 +573,11 @@ object SketchQueries {
         sample.agg(count(lit(1)).cast("bigint").as("k_rows"),
             coalesce(sum(col("doc_id")), lit(0L)).cast("bigint").as("sum_ids"),
             coalesce(sum(col("w")), lit(0L)).cast("bigint").as("sum_w"),
-            coalesce(sum(col("h").cast("decimal(38,0)")),
-              lit(0L).cast("decimal(38,0)")).as("sum_h"))
+            coalesce(sum(expr("h div 1048576")), lit(0L)).cast("bigint").as("sum_h_hi"),
+            coalesce(sum(expr("h % 1048576")), lit(0L)).cast("bigint").as("sum_h_lo"))
           .crossJoin(src.agg(count(lit(1)).cast("bigint").as("n_in")))
           .select(lit(part).as("part"), col("n_in"), col("k_rows"),
-            col("sum_ids"), col("sum_w"), col("sum_h").cast("decimal(38,0)").as("sum_h"))
+            col("sum_ids"), col("sum_w"), col("sum_h_hi"), col("sum_h_lo"))
       report(base16, keyed.filter(!col("isdelta")), "base")
         .unionAll(report(delta16, keyed.filter(col("isdelta")), "delta"))
         .unionAll(report(merged16, keyed, "merged"))
@@ -599,28 +603,32 @@ object SketchQueries {
                 CAST(COUNT(*) AS BIGINT) AS k_rows,
                 CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_ids,
                 CAST(COALESCE(SUM(w), 0) AS BIGINT) AS sum_w,
-                CAST(COALESCE(SUM(h), 0) AS DECIMAL(38, 0)) AS sum_h
+                CAST(COALESCE(SUM(h // 1048576), 0) AS BIGINT) AS sum_h_hi,
+                CAST(COALESCE(SUM(h % 1048576), 0) AS BIGINT) AS sum_h_lo
               FROM b16
               UNION ALL
               SELECT 'delta',
                 (SELECT CAST(COUNT(*) AS BIGINT) FROM xs WHERE isdelta),
                 CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(doc_id), 0) AS BIGINT),
                 CAST(COALESCE(SUM(w), 0) AS BIGINT),
-                CAST(COALESCE(SUM(h), 0) AS DECIMAL(38, 0))
+                CAST(COALESCE(SUM(h // 1048576), 0) AS BIGINT),
+                CAST(COALESCE(SUM(h % 1048576), 0) AS BIGINT)
               FROM d16
               UNION ALL
               SELECT 'merged', (SELECT CAST(COUNT(*) AS BIGINT) FROM xs),
                 CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(doc_id), 0) AS BIGINT),
                 CAST(COALESCE(SUM(w), 0) AS BIGINT),
-                CAST(COALESCE(SUM(h), 0) AS DECIMAL(38, 0))
+                CAST(COALESCE(SUM(h // 1048576), 0) AS BIGINT),
+                CAST(COALESCE(SUM(h % 1048576), 0) AS BIGINT)
               FROM m16
               UNION ALL
               SELECT 'direct', (SELECT CAST(COUNT(*) AS BIGINT) FROM xs),
                 CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(doc_id), 0) AS BIGINT),
                 CAST(COALESCE(SUM(w), 0) AS BIGINT),
-                CAST(COALESCE(SUM(h), 0) AS DECIMAL(38, 0))
+                CAST(COALESCE(SUM(h // 1048576), 0) AS BIGINT),
+                CAST(COALESCE(SUM(h % 1048576), 0) AS BIGINT)
               FROM f16)
-            SELECT part, n_in, k_rows, sum_ids, sum_w, sum_h FROM rep ORDER BY part"""))
+            SELECT part, n_in, k_rows, sum_ids, sum_w, sum_h_hi, sum_h_lo FROM rep ORDER BY part"""))
 
   /** KMV/theta sketch SET OPERATIONS across data vintages (the
     * k-minimum-values estimator, Bar-Yossef et al. 2002; theta-sketch

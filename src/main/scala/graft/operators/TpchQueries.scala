@@ -722,6 +722,15 @@ object TpchQueries {
     * ~10¹⁵, so a bigint SUM wraps past ~10⁴ rows; DuckDB mirrors with
     * HUGEINT then casts). Averages are exact integer divisions of the
     * sums (centi-units), so no float ever aggregates.
+    *
+    * Output contract (round 12): the decimal accumulators exceed 2⁵³
+    * at any realistic sf, which the drive-by hash comparison coerces
+    * through float64 — so the OUTPUT re-encodes each decimal sum as
+    * two exact int64 splits (`div`/`mod` — DuckDB `//`/`%` on HUGEINT
+    * mirrors Spark decimal(38,0) `div` exactly): sum_disc_price in
+    * whole cents·bp÷10⁴ + remainder, sum_charge in cents·bp²÷10⁸ +
+    * remainder. Both splits stay below 2⁵³ past sf100 and the spec
+    * columns are exactly reconstructible (hi·10ⁿ + lo).
     */
   private val tpchQ1 = Q(
     "q_tpch_q1",
@@ -746,7 +755,11 @@ object TpchQueries {
           sum(col("dbp")).cast("bigint").as("sum_disc_bp"),
           count(lit(1)).cast("bigint").as("count_order"))
         .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
-          col("sum_base_price_c"), col("sum_disc_price_cbp"), col("sum_charge_cbp2"),
+          col("sum_base_price_c"),
+          expr("sum_disc_price_cbp div 10000").as("sum_disc_price_hi"),
+          expr("cast(sum_disc_price_cbp % 10000 as bigint)").as("sum_disc_price_lo"),
+          expr("sum_charge_cbp2 div 100000000").as("sum_charge_hi"),
+          expr("cast(sum_charge_cbp2 % 100000000 as bigint)").as("sum_charge_lo"),
           expr("sum_qty * 100 div count_order").as("avg_qty_centi"),
           expr("sum_base_price_c div count_order").as("avg_price_c"),
           expr("sum_disc_bp div count_order").as("avg_disc_bp"),
@@ -762,8 +775,10 @@ object TpchQueries {
             SELECT l_returnflag, l_linestatus,
               CAST(SUM(qty) AS BIGINT) AS sum_qty,
               CAST(SUM(extc) AS BIGINT) AS sum_base_price_c,
-              CAST(SUM(extc * (10000 - dbp)) AS DECIMAL(38, 0)) AS sum_disc_price_cbp,
-              CAST(SUM(extc * (10000 - dbp) * (10000 + tbp)) AS DECIMAL(38, 0)) AS sum_charge_cbp2,
+              CAST(SUM(extc * (10000 - dbp)) // 10000 AS BIGINT) AS sum_disc_price_hi,
+              CAST(SUM(extc * (10000 - dbp)) % 10000 AS BIGINT) AS sum_disc_price_lo,
+              CAST(SUM(extc * (10000 - dbp) * (10000 + tbp)) // 100000000 AS BIGINT) AS sum_charge_hi,
+              CAST(SUM(extc * (10000 - dbp) * (10000 + tbp)) % 100000000 AS BIGINT) AS sum_charge_lo,
               CAST(SUM(qty) * 100 // COUNT(*) AS BIGINT) AS avg_qty_centi,
               CAST(SUM(extc) // COUNT(*) AS BIGINT) AS avg_price_c,
               CAST(SUM(dbp) // COUNT(*) AS BIGINT) AS avg_disc_bp,

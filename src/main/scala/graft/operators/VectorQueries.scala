@@ -34,19 +34,20 @@ object VectorQueries {
   private def signedDot(emb: Column, signs: Seq[Double]): Column =
     VectorOps.signedDot(emb, signs.toArray)
 
-  /** Fixture embedding dimensionality, read from the DATA (a one-row
-    * head — bounded driver scalar, the q_knn_join count() precedent)
-    * instead of a hardcoded 64: all vectors share one dim (TESTDATA
-    * contract), and each oracle derives the same number via
-    * MAX(len(embedding)), so a fixture-dim change can no longer diverge
-    * the engines silently (the q_knn_pq len(v) fix, applied to the whole
-    * hyperplane family). Empty corpus → 0 dims → empty plane grid on
-    * both engines.
+  /** Fixture embedding dimensionality, read from the DATA (a bounded
+    * driver scalar, the q_knn_join count() precedent) instead of a
+    * hardcoded 64, and derived EXACTLY the way every oracle derives it
+    * — MAX(len(embedding)) — so a fixture-dim change or a stray NULL
+    * embedding can no longer diverge the engines silently (ADVICE r11:
+    * the earlier limit(1) head threw on a NULL embedding row and only
+    * matched the oracle's MAX under the uniform-dim fixture contract).
+    * Empty corpus → 0 dims → empty plane grid on both engines.
     */
   private[graft] def embeddingDim(spark: org.apache.spark.sql.SparkSession,
       dir: String): Int =
-    Tables(spark, dir, "embeddings").select(size(col("embedding")))
-      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+    Tables(spark, dir, "embeddings")
+      .agg(coalesce(max(size(col("embedding"))), lit(0)))
+      .collect()(0).getInt(0)
 
   /** Scale-adaptive LSH depth: the smallest plane count k ≥ 4 such that
     * the expected bucket population n / 2^k stays ≤ `target` rows — so
@@ -686,6 +687,146 @@ object VectorQueries {
               FROM cands)
             SELECT method, n_cand, hits10 FROM rep ORDER BY method"""))
 
+  /** Once-per-JVM ANN-index build guard (the DedupQueries.IncStore
+    * shape): the bucketed LSH index is written the first time a
+    * (session, fixture-dir) pair asks for it and reused by every later
+    * build in the same JVM — the production posture (the index is built
+    * once at ingest; query batches only read it), and what makes the
+    * steady-state TimeQuery/Bench reading the honest PROBE cost rather
+    * than index-build + probe.
+    */
+  private object AnnStore {
+    private val built = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    def once(key: String)(write: => Unit): Unit =
+      built.computeIfAbsent(key, _ => { write; java.lang.Boolean.TRUE })
+  }
+
+  /** PERSISTED ANN index + delta probe — the vector twin of
+    * q_dedup_incremental's signature store (VERDICT r11 task 3): the
+    * base corpus's LSH bucket assignments (vec_id, bucket key, vector)
+    * persist ONCE as an 8-bucket sorted external table keyed on the
+    * bucket string (the q_bucketed_join sink), and tonight's probe
+    * batch (vec_id ≡ 0 mod 10) reads the STORED layout with zero
+    * store-side exchange (plan-pinned undemoted; the only exchanges
+    * hash the probe-derived relation into the 8 store buckets — probe
+    * cost scales with batch mass, not corpus mass). Each probe gets its
+    * top-3 cosine neighbors from its bucket's candidates (rounded-then-
+    * ranked, vec_id tiebreak — the q_knn_join discipline). Plane depth
+    * is data-driven from the BASE population ([[planesFor]]), so the
+    * stored index keeps buckets task-sized as the corpus grows.
+    *
+    * The recall audit rides along on a bounded probe subset (vec_id <
+    * 50, ≤5 probes at any sf — the q_knn_join vec_a < 50 posture): hit
+    * = 1 iff the index-served neighbor is in that probe's exact
+    * brute-force top-3 over the full base side, NULL for unaudited
+    * probes. The full probe batch flows through the index channel; only
+    * the quadratic ground-truth arm is sampled — exactly what a
+    * production recall monitor does.
+    *
+    * Oracle: DuckDB replays the store contents as pure CTEs (base-count
+    * plane depth, identical md5 plane grid, identical round-then-rank),
+    * so the replay is exact.
+    */
+  private val annIncremental = Q(
+    "q_ann_incremental",
+    (spark, dir) => {
+      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val dh = Integer.toHexString(dir.hashCode)
+      val wh = s"/tmp/graft_annstore_${tok}_$dh"
+      val storeT = s"g_ann_store_${tok}_$dh"
+      val e = Tables(spark, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 10 =!= 0)
+      // bounded driver scalars (the q_knn_join precedent): base count
+      // drives the stored LSH depth; dim read as MAX(size) like every oracle
+      val nBase = base.count()
+      val signs = planeSigns(planesFor(nBase), embeddingDim(spark, dir))
+      val bucket = concat(
+        signs.map(s => when(signedDot(col("embedding"), s) > 0, lit("1")).otherwise(lit("0"))): _*)
+      AnnStore.once(wh) {
+        graft.operators.BucketedWorkspace.cleanupOnExit(wh)
+        base.select(col("vec_id"), bucket.as("bk"), col("embedding"))
+          .write.mode("overwrite").bucketBy(8, "bk").sortBy("bk")
+          .option("path", s"$wh/index").saveAsTable(storeT)
+      }
+      val store = spark.table(storeT)
+        .select(col("vec_id").as("nb"), col("bk"), col("embedding").as("se"))
+      val probes = graft.Caches.persisted(
+        e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("pid"), bucket.as("bk"), col("embedding").as("pe")))
+      val cand = probes.join(store.hint("merge"), "bk")
+        .select(col("pid"),
+          pround(VectorOps.cosine(col("pe"), col("se")), 4).as("cos"), col("nb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid")).orderBy(col("cos").desc, col("nb"))
+      val ann = cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      // ground-truth arm: bounded probe sample × full base side
+      val baseAll = e.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("xm"), col("embedding").as("xe"))
+      val exCand = baseAll
+        .crossJoin(broadcast(probes.filter(col("pid") < 50)
+          .select(col("pid").as("xp"), col("pe").as("xpe"))))
+        .select(col("xp"),
+          pround(VectorOps.cosine(col("xpe"), col("xe")), 4).as("xcos"), col("xm"))
+      val xw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("xp")).orderBy(col("xcos").desc, col("xm"))
+      val exact = exCand.withColumn("xrn", row_number().over(xw))
+        .filter(col("xrn") <= 3).select(col("xp"), col("xm"))
+      ann.join(exact, col("pid") === col("xp") && col("nb") === col("xm"), "left")
+        .select(col("pid").as("probe_id"), col("rn").cast("int").as("rn"),
+          col("nb"), col("cos"),
+          when(col("pid") >= 50, lit(null).cast("int"))
+            .otherwise(when(col("xp").isNotNull, lit(1)).otherwise(lit(0)).cast("int"))
+            .as("hit"))
+        .orderBy(col("probe_id"), col("rn"))
+    },
+    Some("""WITH bcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+                          WHERE vec_id % 10 <> 0),
+            np AS (SELECT MIN(k) AS np
+                   FROM UNNEST(generate_series(4, 20)) AS t(k), bcnt
+                   WHERE (CAST(32 AS BIGINT) << k) >= bcnt.n OR k = 20),
+            dims AS (SELECT CAST(COALESCE(MAX(len(embedding)), 0) AS BIGINT) AS nd
+                     FROM embeddings),
+            planes AS (
+              SELECT p, d,
+                CASE WHEN substr(md5('p' || CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1)
+                     IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS sgn
+              FROM np, dims, UNNEST(generate_series(0, np.np - 1)) AS a(p),
+                   UNNEST(generate_series(1, dims.nd)) AS b(d)),
+            dots AS (SELECT e.vec_id, pl.p,
+                       SUM(pl.sgn * CAST(e.embedding[pl.d] AS DOUBLE)) AS dp
+                     FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p),
+            buckets AS (SELECT vec_id,
+                          string_agg(CASE WHEN dp > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bk
+                        FROM dots GROUP BY vec_id),
+            store AS (SELECT b.vec_id AS nb, b.bk, CAST(e.embedding AS DOUBLE[]) AS se
+                      FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+                      WHERE b.vec_id % 10 <> 0),
+            probes AS (SELECT b.vec_id AS pid, b.bk, CAST(e.embedding AS DOUBLE[]) AS pe
+                       FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+                       WHERE b.vec_id % 10 = 0),
+            cand AS (SELECT p.pid,
+                       FLOOR((list_cosine_similarity(p.pe, s.se)) * 10000 + 0.5) / 10000 AS cos,
+                       s.nb
+                     FROM probes p JOIN store s ON p.bk = s.bk),
+            ranked AS (SELECT pid, cos, nb,
+                         row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nb) AS rn
+                       FROM cand),
+            ann AS (SELECT pid, rn, nb, cos FROM ranked WHERE rn <= 3),
+            xcand AS (SELECT p.pid AS xp,
+                        FLOOR((list_cosine_similarity(p.pe, s.se)) * 10000 + 0.5) / 10000 AS xcos,
+                        s.nb AS xm
+                      FROM probes p CROSS JOIN store s WHERE p.pid < 50),
+            xranked AS (SELECT xp, xm,
+                          row_number() OVER (PARTITION BY xp ORDER BY xcos DESC, xm) AS xrn
+                        FROM xcand),
+            ex AS (SELECT xp, xm FROM xranked WHERE xrn <= 3)
+            SELECT a.pid AS probe_id, CAST(a.rn AS INT) AS rn, a.nb, a.cos,
+              CASE WHEN a.pid >= 50 THEN CAST(NULL AS INT)
+                   WHEN EXISTS (SELECT 1 FROM ex WHERE ex.xp = a.pid AND ex.xm = a.nb)
+                   THEN 1 ELSE 0 END AS hit
+            FROM ann a ORDER BY probe_id, rn"""))
+
   val all: Seq[Q] = Seq(arrayFuncs, knnBrute, knnLsh, dedupEmbed, embedCentroid,
-    knnJoin, annRecall, dedupSemantic, knnPq, hardNegatives, multiprobeLsh)
+    knnJoin, annRecall, dedupSemantic, knnPq, hardNegatives, multiprobeLsh,
+    annIncremental)
 }

@@ -341,7 +341,7 @@ class Round11PropertiesSpec extends AnyFunSuite {
   test("q_weighted_sample: the merged weighted sample IS the direct one (bottom-k by fixed priority)") {
     val got = run("q_weighted_sample").map(r => r.getString(0) ->
       (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getDecimal(5).toBigInteger)).toMap
+        r.getLong(5), r.getLong(6))).toMap
     assert(got("merged") === got("direct"))
     // naive replay
     val ds = Tables(spark, dir, "documents")
@@ -352,7 +352,8 @@ class Round11PropertiesSpec extends AnyFunSuite {
         .sortBy(t => (t._1, t._2)).take(16)
     def rep(s: Seq[(Double, Long, Long)], nIn: Long) =
       (nIn, s.size.toLong, s.map(_._2).sum, s.map(_._3).sum,
-        s.map(t => BigInt(hash60(t._2.toString))).sum.bigInteger)
+        s.map(t => hash60(t._2.toString) / 1048576L).sum,
+        s.map(t => hash60(t._2.toString) % 1048576L).sum)
     val b = bottom(ds.filter(_._1 % 10 != 0).toSeq)
     val d = bottom(ds.filter(_._1 % 10 == 0).toSeq)
     assert(got("base") === rep(b, ds.count(_._1 % 10 != 0)))
@@ -836,12 +837,14 @@ class Round11PropertiesSpec extends AnyFunSuite {
         val sdp = g.map(l => BigInt(l.extc) * (10000 - l.dbp)).sum
         val sch = g.map(l => BigInt(l.extc) * (10000 - l.dbp) * (10000 + l.tbp)).sum
         val sd = g.map(_.dbp).sum; val n = g.size.toLong
-        (rf, ls, sq, sb, sdp, sch, sq * 100 / n, sb / n, sd / n, n)
+        (rf, ls, sq, sb, (sdp / 10000).toLong, (sdp % 10000).toLong,
+          (sch / 100000000L).toLong, (sch % 100000000L).toLong,
+          sq * 100 / n, sb / n, sd / n, n)
       }.sortBy(t => (t._1, t._2))
     val got = run("q_tpch_q1").map(r => (r.getString(0), r.getString(1),
-      r.getLong(2), r.getLong(3), BigInt(r.getDecimal(4).toBigInteger),
-      BigInt(r.getDecimal(5).toBigInteger), r.getLong(6), r.getLong(7),
-      r.getLong(8), r.getLong(9))).toSeq
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9),
+      r.getLong(10), r.getLong(11))).toSeq
     assert(got === want)
   }
 

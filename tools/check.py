@@ -79,6 +79,33 @@ def main():
                   f"them to strings (concat_ws / array_to_string)")
             n_fail += 1
             continue
+        # driver-hash blind spot (round 12): the driver's checker coerces
+        # decimal cells through float64 on one side of its hash compare, so
+        # a decimal cell with |value| > 2^53 hash-diverges even when the
+        # values are exactly equal (int64 survives at any magnitude). Fail
+        # locally so the gate sees what the driver sees — emit such sums as
+        # int64 div/mod splits instead (q_tpch_q1 / q_weighted_sample fix).
+        F64_EXACT = 2 ** 53
+        dec_cols = [c for c, t in {**etypes, **gtypes}.items()
+                    if t.startswith("decimal")]
+        big_dec = None
+        for rows in (got, exp):
+            for i, r in enumerate(rows):
+                for c in dec_cols:
+                    v = r.get(c)
+                    if v is not None and abs(v) > F64_EXACT:
+                        big_dec = (i, c, v)
+                        break
+                if big_dec:
+                    break
+            if big_dec:
+                break
+        if big_dec:
+            print(f"FAIL {name}: decimal cell above 2^53 at row {big_dec[0]} "
+                  f"col {big_dec[1]} = {big_dec[2]} — the driver hash coerces "
+                  f"decimals through float64; emit exact int64 div/mod splits")
+            n_fail += 1
+            continue
         got_cols = sorted(got[0].keys()) if got else []
         exp_cols_s = sorted(exp_cols)
         if got and got_cols != exp_cols_s:
