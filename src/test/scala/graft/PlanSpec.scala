@@ -1231,4 +1231,29 @@ class PlanSpec extends AnyFunSuite {
       s"census must partial-aggregate:\n$plan")
     Caches.releaseAll()
   }
+
+  test("q_ann_incremental reads the persisted LSH index bucketed; only probe-side exchanges") {
+    val df = Registry.byName("q_ann_incremental").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the index scan rides the stored bucket layout...
+    assert(plan.contains("Bucketed: true"),
+      s"the index scan must read the bucket layout:\n$plan")
+    assert(plan.contains("SelectedBucketsCount: 8 out of 8"), plan)
+    // ...and is never demoted to a shuffled read
+    assert(!plan.contains("Bucketed: false"),
+      s"the index scan was demoted to a shuffled read:\n$plan")
+    // every bk-keyed exchange hashes the PROBE relation (pid, bk, pe)
+    // into the store buckets — the index is never re-shuffled
+    val exch = ("(?s)\\(\\d+\\) Exchange[^\\n]*\\nInput[^\\n]*: \\[([a-z_]+)#" +
+      "[^\\n]*\\]\\s*\\nArguments: hashpartitioning\\(([a-z_]+)#").r
+    for (m <- exch.findAllMatchIn(plan) if m.group(2) == "bk")
+      assert(m.group(1) == "pid",
+        s"a bk-keyed exchange hashes a non-probe relation (${m.group(1)}):\n$plan")
+    // the only nested-loop join is the bounded ground-truth arm's
+    // broadcast of ≤5 probes — never an unbounded cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
 }
