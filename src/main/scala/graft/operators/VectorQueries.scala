@@ -687,20 +687,6 @@ object VectorQueries {
               FROM cands)
             SELECT method, n_cand, hits10 FROM rep ORDER BY method"""))
 
-  /** Once-per-JVM ANN-index build guard (the DedupQueries.IncStore
-    * shape): the bucketed LSH index is written the first time a
-    * (session, fixture-dir) pair asks for it and reused by every later
-    * build in the same JVM — the production posture (the index is built
-    * once at ingest; query batches only read it), and what makes the
-    * steady-state TimeQuery/Bench reading the honest PROBE cost rather
-    * than index-build + probe.
-    */
-  private object AnnStore {
-    private val built = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-    def once(key: String)(write: => Unit): Unit =
-      built.computeIfAbsent(key, _ => { write; java.lang.Boolean.TRUE })
-  }
-
   /** PERSISTED ANN index + delta probe — the vector twin of
     * q_dedup_incremental's signature store (VERDICT r11 task 3): the
     * base corpus's LSH bucket assignments (vec_id, bucket key, vector)
@@ -742,7 +728,7 @@ object VectorQueries {
       val signs = planeSigns(planesFor(nBase), embeddingDim(spark, dir))
       val bucket = concat(
         signs.map(s => when(signedDot(col("embedding"), s) > 0, lit("1")).otherwise(lit("0"))): _*)
-      AnnStore.once(wh) {
+      StoreOnce(wh) {
         graft.operators.BucketedWorkspace.cleanupOnExit(wh)
         base.select(col("vec_id"), bucket.as("bk"), col("embedding"))
           .write.mode("overwrite").bucketBy(8, "bk").sortBy("bk")

@@ -1256,4 +1256,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     Caches.releaseAll()
   }
+
+  test("q_hll_store reads the persisted register table; register MAX partial-aggregates") {
+    val df = Registry.byName("q_hll_store").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the day1/day2/today arms read the external store table, not the corpus
+    assert(plan.contains("g_hll_store"),
+      s"the persisted register store must be scanned:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"register MAX must partial-aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_cms_store reads the persisted counter table; probes join a broadcast sketch") {
+    val df = Registry.byName("q_cms_store").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("g_cms_store"),
+      s"the persisted counter store must be scanned:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 40-key probe must join a broadcast sketch:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
 }

@@ -78,4 +78,75 @@ class Round12PropertiesSpec extends AnyFunSuite {
     assert(got.filter(_._1 < 50).forall(_._5 != null))
     assert(got.filter(_._1 >= 50).forall(_._5 == null))
   }
+
+  private val Pow53 = 9007199254740992L
+  private val HllC = 4.2399330249068963e20
+
+  test("q_hll_store: the store-served estimate equals the full recompute (naive replay)") {
+    val ks = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def rank(w: Long): Int =
+      if (w == 0) 53 else 53 - java.lang.Long.toBinaryString(w).length
+    def regs(keys: Seq[Long]): Map[Int, Int] =
+      keys.map { k => val h = hash60(k.toString); ((h % 256).toInt, rank(h / 256)) }
+        .groupBy(_._1).map { case (j, g) => j -> g.map(_._2).max }
+    def merge(ms: Map[Int, Int]*): Map[Int, Int] =
+      ms.flatten.groupBy(_._1).map { case (j, g) => j -> g.map(_._2).max }
+    def est(m: Map[Int, Int]): Long = {
+      val z = m.values.map(r => 1L << (53 - r)).sum + (256L - m.size) * Pow53
+      val v = 256 - m.size
+      val raw = HllC / z.toDouble
+      val corrected =
+        if (raw <= 640.0 && v > 0) 256.0 * math.log(256.0 / v) else raw
+      math.floor(corrected + 0.5).toLong
+    }
+    val base = regs(ks.filter(_._1 % 10 >= 2).map(_._2))
+    val d1 = regs(ks.filter(_._1 % 10 == 1).map(_._2))
+    val d0 = regs(ks.filter(_._1 % 10 == 0).map(_._2))
+    def row(part: String, keys: Seq[Long], m: Map[Int, Int]) = {
+      val exact = keys.distinct.size.toLong
+      val e = est(m)
+      val err: Any =
+        if (exact == 0) null else math.abs(e - exact) * 1000000L / exact
+      (part, exact, e, err)
+    }
+    val want = Seq(
+      row("day1", ks.filter(_._1 % 10 >= 2).map(_._2), base),
+      row("day2", ks.filter(_._1 % 10 != 0).map(_._2), merge(base, d1)),
+      row("full", ks.map(_._2), regs(ks.map(_._2))),
+      row("today", ks.map(_._2), merge(base, d1, d0))).sortBy(_._1)
+    val got = run("q_hll_store").map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), if (r.isNullAt(3)) null else r.getLong(3))).toSeq
+    assert(got === want)
+    // THE property: the store-served arm IS the recompute, exactly
+    val byPart = got.map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(byPart("today") === byPart("full"))
+  }
+
+  test("q_cms_store: store-served estimates equal the full recompute (naive replay)") {
+    val ws = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => r.getString(1).toLowerCase.split(" ", -1).filter(_.nonEmpty))
+      .toSeq
+    val counts = ws.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val top10 = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(10)
+    def positions(w: String): Seq[(Int, Long)] = {
+      val h = hash60(w)
+      (0 until 4).map(i => (i, (h >> (9 * i)) & 511L))
+    }
+    val sketch: Map[(Int, Long), Long] = ws.flatMap(positions)
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val want = top10.map { case (w, c) =>
+      val e = positions(w).map(sketch).min
+      (w, c, e, e, e - c)
+    }.sortBy(_._1)
+    val got = run("q_cms_store").map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+    // THE property: the store ⊕ today channel IS the recompute, exactly
+    assert(got.forall(t => t._3 == t._4))
+    // one-sided CMS guarantee
+    assert(got.forall(_._5 >= 0))
+  }
 }
