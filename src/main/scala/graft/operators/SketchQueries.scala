@@ -409,13 +409,16 @@ object SketchQueries {
     * Scale posture: each histogram is one partial+final COUNT into ≤ 64
     * rows; the merge is a 64-row SUM; the exact arm (the accuracy
     * yardstick) is the only corpus-width aggregation, and it is a
-    * distinct-cents rollup + cumulative window, never a global sort of
-    * raw rows.
+    * distinct-cents rollup + a DISTRIBUTED prefix sum under the total
+    * (vintage, cents) order ([[graft.functions.Prefix]] — range
+    * repartition, per-partition sums, broadcast offsets), never a
+    * global sort of raw rows and never a vintage-partitioned window
+    * (which would funnel each vintage's distinct cents through one
+    * task).
     */
   private val quantileMerge = Q(
     "q_quantile_merge",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val o = Tables(spark, dir, "orders")
       val spanD = broadcast(o.agg(
         min(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("minc"),
@@ -438,11 +441,26 @@ object SketchQueries {
         .agg(sum(col("c")).as("c")).withColumn("vintage", lit("merged"))
       val hists = vhist.select(col("vintage"), col("b"), col("minc"), col("span"), col("c"))
         .unionAll(mhist.select(col("vintage"), col("b"), col("minc"), col("span"), col("c")))
-      val wcum = Window.partitionBy(col("vintage")).orderBy(col("b"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = hists
-        .withColumn("cumc", sum(col("c")).over(wcum))
-        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("vintage"))))
+      // per-vintage totals (3 rows) and the totals of order-prior
+      // vintages — shared by BOTH cumulative arms below so neither
+      // needs a vintage-partitioned window (VERDICT r11 task 6): the
+      // histogram totals per vintage equal the row totals per vintage
+      // (each row lands in exactly one bucket)
+      val vtot = graft.Caches.persisted(
+        hists.groupBy(col("vintage")).agg(sum(col("c")).as("n")))
+      val vtotB = vtot.select(col("vintage").as("bv"), col("n").as("bn"))
+      val prior = broadcast(
+        vtot.join(broadcast(vtotB), col("bv") < col("vintage"), "left")
+          .groupBy(col("vintage"), col("n"))
+          .agg(coalesce(sum(col("bn")), lit(0L)).as("prior")))
+      // running bucket counts via the distributed prefix sum under the
+      // total (vintage, b) order — vintages are contiguous under it, so
+      // the per-vintage running count is the global one minus the prior
+      // vintages' totals
+      val cum = graft.functions.Prefix.withRunningTotals(
+          hists, Seq(col("vintage"), col("b")), Seq("c"))
+        .join(prior, Seq("vintage"))
+        .withColumn("cumc", col("c_cum") - col("prior"))
       val ps = Seq(50, 90)
       val est = ps.map { p =>
         cum.filter(col("cumc") >= expr(s"(n * $p + 99) div 100"))
@@ -453,14 +471,21 @@ object SketchQueries {
           .select(col("vintage"), lit(p).as("p"), col("n"),
             (col("minc") + expr("((2 * bsel + 1) * span) div 128")).as("est_cents"))
       }.reduce(_ unionAll _)
-      // exact type-1 quantile per part, via distinct-cents cumulative counts
+      // exact type-1 quantile per part, via distinct-cents cumulative
+      // counts — the same distributed-prefix-sum shape under the total
+      // (vintage, cents) order, reusing the shared per-vintage totals
+      // (NOT a vintage-partitioned window, which would funnel every
+      // distinct cent of a vintage through one task — VERDICT r11 task
+      // 6; the q_pareto_share/q_seq_pack posture, now modeled by the
+      // yardstick it grades).
       val parts = rows.select(col("vintage"), col("cents"))
         .unionAll(rows.select(lit("merged").as("vintage"), col("cents")))
-      val vc = parts.groupBy(col("vintage"), col("cents")).agg(count(lit(1)).as("c"))
-        .withColumn("cumc", sum(col("c")).over(
-          Window.partitionBy(col("vintage")).orderBy(col("cents"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("vintage"))))
+      val vcCounts = parts.groupBy(col("vintage"), col("cents")).agg(count(lit(1)).as("c"))
+      val vc = graft.functions.Prefix.withRunningTotals(
+          vcCounts, Seq(col("vintage"), col("cents")), Seq("c"))
+        .join(prior, Seq("vintage"))
+        .select(col("vintage"), col("cents"),
+          (col("c_cum") - col("prior")).as("cumc"), col("n"))
       val exact = ps.map { p =>
         vc.filter(col("cumc") >= expr(s"(n * $p + 99) div 100"))
           .groupBy(col("vintage")).agg(min(col("cents")).as("exact_cents"))

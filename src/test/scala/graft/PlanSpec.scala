@@ -831,6 +831,17 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_quantile_merge runs NO window — both cumulative arms are distributed prefix sums") {
+    // VERDICT r11 task 6: the exact-yardstick arm used to cumulate via a
+    // vintage-partitioned window (one task per vintage over all distinct
+    // cents); both arms now ride functions.Prefix (range repartition +
+    // broadcast offsets), so no WindowExec of any kind may appear
+    val plan = executedPlan("q_quantile_merge")
+    assert(!plan.contains("Window"),
+      s"q_quantile_merge must not contain a window operator:\n$plan")
+    Caches.releaseAll()
+  }
+
   test("q_weighted_sample takes per-vintage bottom-16 via TakeOrdered heads (no global sort)") {
     val plan = executedPlan("q_weighted_sample")
     assert(plan.contains("TakeOrderedAndProject"),
