@@ -574,6 +574,61 @@ object StatsTests {
                      * 100 + 0.5) / 100 END AS df
             FROM v"""))
 
+  /** Grouped EXACT quantiles at UNBOUNDED key cardinality — the one
+    * quantile shape the suite lacked (exact percentiles existed globally
+    * — q_pareto_share / q_percentile_rank via [[Prefix]]/Ranks — and per
+    * bounded group only): exact type-1 p50/p90 of order price cents PER
+    * CUSTOMER, for every customer.
+    *
+    * Scale posture — why a window is RIGHT here and was wrong in
+    * q_quantile_merge's yardstick: the cumulative count partitions by
+    * o_custkey, a HIGH-cardinality key, so the window parallelizes
+    * without bound — each task holds ONE customer's distinct price
+    * points (bounded by that customer's order count), the opposite of
+    * the 3-partition vintage trap task 6 removed. Per-group counting
+    * runs FIRST (groupBy (custkey, cents)), so the window input is
+    * distinct values per group, not raw rows, and both quantiles come
+    * from ONE conditional aggregation over the cumulated relation — no
+    * self-join, no double consumption, no second shuffle.
+    */
+  private val groupedMedian = Q(
+    "q_grouped_median",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vc = Tables(spark, dir, "orders")
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("o_custkey"), col("cents")).agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy(col("o_custkey")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vc.withColumn("cum", sum(col("c")).over(wcum))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("o_custkey"))))
+        .groupBy(col("o_custkey"), col("n"))
+        .agg(
+          min(when(col("cum") * 100 >= col("n") * 50, col("cents"))).as("p50"),
+          min(when(col("cum") * 100 >= col("n") * 90, col("cents"))).as("p90"))
+        .select(col("o_custkey"), col("n").cast("bigint").as("n_orders"),
+          col("p50").cast("bigint").as("p50_cents"),
+          col("p90").cast("bigint").as("p90_cents"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""WITH vc AS (SELECT o_custkey,
+                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                  CAST(COUNT(*) AS BIGINT) AS c
+                FROM orders GROUP BY 1, 2),
+            cum AS (SELECT o_custkey, cents,
+                      CAST(SUM(c) OVER (PARTITION BY o_custkey ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum,
+                      CAST(SUM(c) OVER (PARTITION BY o_custkey) AS BIGINT) AS n
+                    FROM vc)
+            SELECT o_custkey, n AS n_orders,
+              CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN cents END) AS BIGINT)
+                AS p50_cents,
+              CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN cents END) AS BIGINT)
+                AS p90_cents
+            FROM cum GROUP BY o_custkey, n ORDER BY o_custkey"""))
+
   val all: Seq[Q] = Seq(mannWhitney, ksTest, chi2, paretoShare, percentileRank,
-    kendallTau, theilIndex, bootstrapCi, welchT)
+    kendallTau, theilIndex, bootstrapCi, welchT, groupedMedian)
 }

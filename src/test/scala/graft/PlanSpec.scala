@@ -1281,6 +1281,22 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_grouped_median windows partition by the high-cardinality custkey, one shuffle") {
+    val df = Registry.byName("q_grouped_median").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // both window passes and the final aggregate share the custkey
+    // partitioning: exactly one hashpartitioning exchange on o_custkey
+    // feeds them (plus the range exchange for the output ORDER BY)
+    assert(plan.contains("Window"), s"expected the grouped cumulative window:\n$plan")
+    val hashEx = "hashpartitioning\\(o_custkey".r.findAllIn(plan).size
+    assert(hashEx >= 1, s"the window must partition by o_custkey:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"no stage may collapse to one partition:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_cms_store reads the persisted counter table; probes join a broadcast sketch") {
     val df = Registry.byName("q_cms_store").build(spark, dir)
     df.collect()

@@ -149,4 +149,23 @@ class Round12PropertiesSpec extends AnyFunSuite {
     // one-sided CMS guarantee
     assert(got.forall(_._5 >= 0))
   }
+
+  test("q_grouped_median equals the naive per-customer type-1 quantile replay") {
+    val cents = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .toSeq
+    def t1(xs: Seq[Long], p: Int): Long = {
+      val s = xs.sorted
+      // smallest value whose cumulative count reaches ceil(n·p/100)
+      s((((s.size.toLong * p) + 99) / 100 - 1).toInt)
+    }
+    val want = cents.groupBy(_._1).toSeq.map { case (ck, g) =>
+      val xs = g.map(_._2)
+      (ck, xs.size.toLong, t1(xs, 50), t1(xs, 90))
+    }.sortBy(_._1)
+    val got = run("q_grouped_median").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+  }
 }
