@@ -189,13 +189,21 @@ object SketchQueries {
       val deltaP = positioned.filter(col("doc_id") % 10 === 0)
       val baseBits = graft.Caches.persisted(baseP.select(col("bit")).distinct())
       val baseHashes = baseP.select(col("ch")).distinct()
-      val probeMatch = deltaP
+      // dedup (ch, bit) BEFORE the probe join (ADVICE r11): repeated
+      // delta content hashes would otherwise double the per-ch matched
+      // count (matched = 8 for a genuine duplicate pair ≠ 4 → silent
+      // miss), and a doc whose 4 carved positions collide would need
+      // fewer than 4 distinct matches; the hit test compares distinct
+      // matched bits against the ch's own distinct-bit count
+      val deltaPairs = deltaP.select(col("ch"), col("bit")).distinct()
+      val probeMatch = deltaPairs
         .join(broadcast(baseBits.select(col("bit").as("b"))),
           col("bit") === col("b"), "left")
-        .groupBy(col("ch")).agg(count(col("b")).as("matched"))
+        .groupBy(col("ch")).agg(count(col("b")).as("matched"),
+          count(lit(1)).as("need"))
       val probed = probeMatch
         .join(baseHashes.select(col("ch").as("bh")), col("ch") === col("bh"), "left")
-        .select((col("matched") === 4).as("hit"), col("bh").isNotNull.as("indeed"))
+        .select((col("matched") === col("need")).as("hit"), col("bh").isNotNull.as("indeed"))
       val counts = probed.agg(
         count(lit(1)).cast("bigint").as("probes"),
         count_if(col("hit")).cast("bigint").as("bloom_hits"),
@@ -219,10 +227,11 @@ object SketchQueries {
                            FROM hp, UNNEST(generate_series(0, 3)) AS u(i)),
             basebits AS (SELECT DISTINCT bit FROM positioned WHERE doc_id % 10 <> 0),
             basehashes AS (SELECT DISTINCT ch FROM positioned WHERE doc_id % 10 <> 0),
-            probem AS (SELECT p.ch, COUNT(b.bit) AS matched
-                       FROM positioned p LEFT JOIN basebits b ON b.bit = p.bit
-                       WHERE p.doc_id % 10 = 0 GROUP BY p.ch),
-            probed AS (SELECT pm.matched = 4 AS hit, bh.ch IS NOT NULL AS indeed
+            dpairs AS (SELECT DISTINCT ch, bit FROM positioned WHERE doc_id % 10 = 0),
+            probem AS (SELECT p.ch, COUNT(b.bit) AS matched, COUNT(*) AS need
+                       FROM dpairs p LEFT JOIN basebits b ON b.bit = p.bit
+                       GROUP BY p.ch),
+            probed AS (SELECT pm.matched = pm.need AS hit, bh.ch IS NOT NULL AS indeed
                        FROM probem pm LEFT JOIN basehashes bh ON bh.ch = pm.ch),
             counts AS (SELECT CAST(COUNT(*) AS BIGINT) AS probes,
                          CAST(COUNT(*) FILTER (WHERE hit) AS BIGINT) AS bloom_hits,
@@ -1049,12 +1058,16 @@ object SketchQueries {
           .select(col("bit")).distinct()
         val nBase = docs.filter(col("doc_id") % 10 =!= 0)
           .select(col("ch")).distinct().agg(count(lit(1)).as("n_base"))
+        // dedup (ch, bit) before the probe join; hit = all of the ch's
+        // DISTINCT bits matched (the q_bloom_incremental ADVICE-r11 fix)
         val probed = positioned.filter(col("doc_id") % 10 === 0)
+          .select(col("ch"), col("bit")).distinct()
           .join(broadcast(baseBits.select(col("bit").as("b"))),
             col("bit") === col("b"), "left")
-          .groupBy(col("ch")).agg(count(col("b")).as("matched"))
+          .groupBy(col("ch")).agg(count(col("b")).as("matched"),
+            count(lit(1)).as("need"))
           .agg(count(lit(1)).cast("bigint").as("probes"),
-            count_if(col("matched") === 4).cast("bigint").as("bloom_hits"))
+            count_if(col("matched") === col("need")).cast("bigint").as("bloom_hits"))
         baseBits.agg(count(lit(1)).cast("bigint").as("bits_set"))
           .crossJoin(broadcast(nBase))
           .crossJoin(probed)
@@ -1076,9 +1089,9 @@ object SketchQueries {
                FROM docs, UNNEST(generate_series(0, 3)) AS u(i)
                WHERE doc_id % 10 <> 0) AS bits_set,
               CAST(COUNT(*) AS BIGINT) AS probes,
-              CAST(COUNT(*) FILTER (WHERE matched = 4) AS BIGINT) AS bloom_hits
-            FROM (SELECT p.ch, COUNT(b.bit) AS matched
-                  FROM (SELECT ch, (hv >> ($bits * i)) & ${m - 1} AS bit
+              CAST(COUNT(*) FILTER (WHERE matched = need) AS BIGINT) AS bloom_hits
+            FROM (SELECT p.ch, COUNT(b.bit) AS matched, COUNT(*) AS need
+                  FROM (SELECT DISTINCT ch, (hv >> ($bits * i)) & ${m - 1} AS bit
                         FROM docs, UNNEST(generate_series(0, 3)) AS u(i)
                         WHERE doc_id % 10 = 0) p
                   LEFT JOIN (SELECT DISTINCT (hv >> ($bits * i)) & ${m - 1} AS bit

@@ -1418,9 +1418,14 @@ object TextQueries {
     * the mass), then ONE full-corpus scan computing raw + both encodes
     * in a single projection feeding a 1-row aggregate, stacked to the
     * 2-row report. Degenerate guards: empty corpus → two rows of zeros
-    * with NULL compression on both engines; the oracle's unrolled
-    * cross-join chains share q_bpe_encode's all-rounds-find-a-winner
-    * assumption (documented there).
+    * with NULL compression on both engines; an empty or dry SAMPLE →
+    * sampled encode is a no-op (bpe_sampled = raw_units, compression
+    * 1.0) on BOTH engines — the oracle's sampled-winner applications
+    * LEFT JOIN each (≤1-row) winner and fall back to the previous text
+    * when a round found none (ADVICE r11; property-tested on a planted
+    * empty-sample corpus). The full-corpus training chain keeps
+    * q_bpe_encode's all-rounds-find-a-winner fixture assumption
+    * (documented there).
     */
   private val bpeSampled = Q(
     "q_bpe_sampled",
@@ -1458,9 +1463,17 @@ object TextQueries {
     Some {
       val sampledSrc = "(SELECT text FROM documents WHERE " +
         "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0)"
+      // each sampled-winner application LEFT-JOINs the (≤1-row) winner
+      // and falls back to the previous text when the round found none
+      // (ADVICE r11): an empty/dry SAMPLE must encode as a no-op —
+      // matching Spark, which folds over only the winners actually
+      // found — not collapse the chain to zero rows (the plain
+      // cross-join behavior)
       val encs = (1 to 4).map { r =>
         val prev = if (r == 1) "t0" else s"e${r - 1}"
-        s"e$r AS (SELECT replace($prev.t, sw$r.mp, chr($r)) AS t FROM $prev, sw$r)"
+        s"""e$r AS (SELECT CASE WHEN sw$r.mp IS NULL THEN $prev.t
+                         ELSE replace($prev.t, sw$r.mp, chr($r)) END AS t
+                    FROM $prev LEFT JOIN sw$r ON TRUE)"""
       }.mkString(", ")
       s"""WITH ${bpeRoundsCteBody(carrySource = false, materializeLast = true)},
           ${bpeRoundsCteBody(carrySource = false, materializeLast = false,

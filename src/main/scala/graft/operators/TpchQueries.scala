@@ -960,8 +960,14 @@ object TpchQueries {
           .agg(sum(col("cents")).cast("bigint").as("value_c")))
       val total = pv.agg(sum(col("value_c")).cast("bigint").as("total_c"),
         count(lit(1)).cast("bigint").as("np"))
+      // the scale-invariant threshold compares two big products; both
+      // run in decimal(38,0) (DuckDB HUGEINT) — value_c·np at large sf
+      // wraps a silent non-ANSI bigint multiply while DuckDB raises,
+      // breaking the cross-engine match exactly where the docstring
+      // claims scale invariance (ADVICE r11; the q_welch_t posture)
       pv.crossJoin(broadcast(total))
-        .filter(col("value_c") * col("np") > col("total_c") * 2)
+        .filter(col("value_c").cast(DecimalType(38, 0)) * col("np") >
+          col("total_c").cast(DecimalType(38, 0)) * 2)
         .select(col("l_partkey"), col("value_c"))
         .orderBy(col("value_c").desc, col("l_partkey"))
         .limit(100)
@@ -974,7 +980,7 @@ object TpchQueries {
             total AS (SELECT CAST(SUM(value_c) AS BIGINT) AS total_c,
                         CAST(COUNT(*) AS BIGINT) AS np FROM pv)
             SELECT l_partkey, value_c FROM pv, total
-            WHERE value_c * np > total_c * 2
+            WHERE CAST(value_c AS HUGEINT) * np > CAST(total_c AS HUGEINT) * 2
             ORDER BY value_c DESC, l_partkey LIMIT 100"""))
 
   /** TPC-H Q12 (shipping modes and order priority), adapted: no

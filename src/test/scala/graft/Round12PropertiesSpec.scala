@@ -150,6 +150,31 @@ class Round12PropertiesSpec extends AnyFunSuite {
     assert(got.forall(_._5 >= 0))
   }
 
+  test("q_bpe_sampled: an EMPTY hash-sample encodes as a no-op (ADVICE r11 edge)") {
+    // plant a corpus whose every doc_id falls OUT of the hash60 mod-10
+    // sample: sampled training finds no winners, so the sampled encode
+    // must be the identity (bpe_sampled = raw_units, compression 1.0) —
+    // the oracle's LEFT-JOIN winner guard reproduces the same no-op
+    // (verified cross-engine on this corpus during the round-12 build)
+    import spark.implicits._
+    val ids = (1L to 200L).filter(i => hash60(i.toString) % 10 != 0).take(10)
+    assert(ids.size == 10)
+    val out = java.nio.file.Files.createTempDirectory("graft-bpe-empty").toString
+    ids.map(i => (i, s"the cat sat on the mat $i", "en", "s", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val got = Registry.byName("q_bpe_sampled").build(spark, out).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    Caches.releaseAll()
+    val (nS, rawS, bpeS, compS) = got("sampled")
+    assert(nS === 0L)
+    assert(bpeS === rawS)
+    assert(compS === 1.0)
+    // the full trainer did find winners on the same corpus
+    assert(got("full")._3 < got("full")._2)
+  }
+
   test("q_grouped_median equals the naive per-customer type-1 quantile replay") {
     val cents = Tables(spark, dir, "orders")
       .select(col("o_custkey"), col("o_totalprice")).collect()
