@@ -812,7 +812,105 @@ object VectorQueries {
                    THEN 1 ELSE 0 END AS hit
             FROM ann a ORDER BY probe_id, rn"""))
 
+  /** Day-2 of the ANN-index loop — index MAINTENANCE (the vector twin
+    * of q_store_append): q_ann_incremental proved probes ride a
+    * persisted LSH index; this query proves the index GROWS correctly.
+    * The base corpus's bucket assignments (vec_id ≡ 2..9 mod 10)
+    * persist once (bucketBy(8, bk), the same sink); yesterday's new
+    * vectors (≡ 1) APPEND into the same bucketed table via insertInto —
+    * one new file per bucket, never a rewrite, and the plane set is the
+    * one FIXED AT INGEST (data-driven from the base population;
+    * re-deriving planes per append would re-bucket the whole index,
+    * i.e. a rebuild — exactly what maintenance must not do). Today's
+    * probe batch (≡ 0) reads the GROWN store: top-3 cosine neighbors
+    * per probe with a src column attributing each neighbor to
+    * base/delta1 — a delta1 neighbor can only appear if the appended
+    * files are read, so a live append is visible in the output; the
+    * naive replay additionally proves grown-store probes ≡ from-scratch
+    * recompute over base ∪ delta1.
+    *
+    * Scale posture: identical to q_ann_incremental — the grown store
+    * rides the stored bucket layout with zero store-side exchange
+    * (plan-pinned undemoted); append cost is one bucket-assignment pass
+    * over yesterday's vectors; nothing rewrites or re-shuffles the base
+    * index.
+    */
+  private val annStoreAppend = Q(
+    "q_ann_store_append",
+    (spark, dir) => {
+      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val dh = Integer.toHexString(dir.hashCode)
+      val wh = s"/tmp/graft_annstore2_${tok}_$dh"
+      val storeT = s"g_ann_store2_${tok}_$dh"
+      val e = Tables(spark, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 10 >= 2)
+      val nBase = base.count()
+      val signs = planeSigns(planesFor(nBase), embeddingDim(spark, dir))
+      val bucket = concat(
+        signs.map(s => when(signedDot(col("embedding"), s) > 0, lit("1")).otherwise(lit("0"))): _*)
+      StoreOnce(wh) {
+        graft.operators.BucketedWorkspace.cleanupOnExit(wh)
+        base.select(col("vec_id"), bucket.as("bk"), col("embedding"))
+          .write.mode("overwrite").bucketBy(8, "bk").sortBy("bk")
+          .option("path", s"$wh/index").saveAsTable(storeT)
+        // day-2 maintenance: yesterday's vectors append per bucket,
+        // bucketed with the INGEST-time planes
+        e.filter(col("vec_id") % 10 === 1)
+          .select(col("vec_id"), bucket.as("bk"), col("embedding"))
+          .write.insertInto(storeT)
+      }
+      val store = spark.table(storeT)
+        .select(col("vec_id").as("nb"), col("bk"), col("embedding").as("se"))
+      val probes = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("pid"), bucket.as("bk"), col("embedding").as("pe"))
+      val cand = probes.join(store.hint("merge"), "bk")
+        .select(col("pid"),
+          pround(VectorOps.cosine(col("pe"), col("se")), 4).as("cos"), col("nb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid")).orderBy(col("cos").desc, col("nb"))
+      cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("pid").as("probe_id"), col("rn").cast("int").as("rn"),
+          col("nb"), col("cos"),
+          when(col("nb") % 10 === 1, lit("delta1")).otherwise(lit("base")).as("src"))
+        .orderBy(col("probe_id"), col("rn"))
+    },
+    Some("""WITH bcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+                          WHERE vec_id % 10 >= 2),
+            np AS (SELECT MIN(k) AS np
+                   FROM UNNEST(generate_series(4, 20)) AS t(k), bcnt
+                   WHERE (CAST(32 AS BIGINT) << k) >= bcnt.n OR k = 20),
+            dims AS (SELECT CAST(COALESCE(MAX(len(embedding)), 0) AS BIGINT) AS nd
+                     FROM embeddings),
+            planes AS (
+              SELECT p, d,
+                CASE WHEN substr(md5('p' || CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1)
+                     IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS sgn
+              FROM np, dims, UNNEST(generate_series(0, np.np - 1)) AS a(p),
+                   UNNEST(generate_series(1, dims.nd)) AS b(d)),
+            dots AS (SELECT e.vec_id, pl.p,
+                       SUM(pl.sgn * CAST(e.embedding[pl.d] AS DOUBLE)) AS dp
+                     FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p),
+            buckets AS (SELECT vec_id,
+                          string_agg(CASE WHEN dp > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bk
+                        FROM dots GROUP BY vec_id),
+            store AS (SELECT b.vec_id AS nb, b.bk, CAST(e.embedding AS DOUBLE[]) AS se
+                      FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+                      WHERE b.vec_id % 10 <> 0),
+            probes AS (SELECT b.vec_id AS pid, b.bk, CAST(e.embedding AS DOUBLE[]) AS pe
+                       FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+                       WHERE b.vec_id % 10 = 0),
+            cand AS (SELECT p.pid,
+                       FLOOR((list_cosine_similarity(p.pe, s.se)) * 10000 + 0.5) / 10000 AS cos,
+                       s.nb
+                     FROM probes p JOIN store s ON p.bk = s.bk),
+            ranked AS (SELECT pid, cos, nb,
+                         row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nb) AS rn
+                       FROM cand)
+            SELECT pid AS probe_id, CAST(rn AS INT) AS rn, nb, cos,
+              CASE WHEN nb % 10 = 1 THEN 'delta1' ELSE 'base' END AS src
+            FROM ranked WHERE rn <= 3 ORDER BY probe_id, rn"""))
+
   val all: Seq[Q] = Seq(arrayFuncs, knnBrute, knnLsh, dedupEmbed, embedCentroid,
     knnJoin, annRecall, dedupSemantic, knnPq, hardNegatives, multiprobeLsh,
-    annIncremental)
+    annIncremental, annStoreAppend)
 }

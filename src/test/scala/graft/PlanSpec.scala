@@ -1268,6 +1268,20 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_ann_store_append reads the GROWN index bucketed (append preserved the layout), undemoted") {
+    val df = Registry.byName("q_ann_store_append").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("Bucketed: true"),
+      s"the grown index scan must read the bucket layout:\n$plan")
+    assert(plan.contains("SelectedBucketsCount: 8 out of 8"), plan)
+    assert(!plan.contains("Bucketed: false"),
+      s"the grown index scan was demoted to a shuffled read:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_hll_store reads the persisted register table; register MAX partial-aggregates") {
     val df = Registry.byName("q_hll_store").build(spark, dir)
     df.collect()

@@ -79,6 +79,34 @@ class Round12PropertiesSpec extends AnyFunSuite {
     assert(got.filter(_._1 >= 50).forall(_._5 == null))
   }
 
+  test("q_ann_store_append: grown-store probes == from-scratch recompute over base ∪ delta1, delta1 neighbors attributed") {
+    val base = vecs.filter(_._1 % 10 >= 2)
+    val grown = vecs.filter(_._1 % 10 != 0)
+    val probes = vecs.filter(_._1 % 10 == 0)
+    // ingest-time depth: derived from the BASE population only
+    val np = graft.operators.VectorQueries.planesFor(base.size.toLong)
+    val dims = vecs.map(_._2.length).max
+    val signs = graft.operators.VectorQueries.planeSigns(np, dims)
+    def bucket(v: Array[Double]): String =
+      signs.map { s =>
+        var d = 0d; var i = 0
+        while (i < v.length) { d += s(i) * v(i); i += 1 }
+        if (d > 0) "1" else "0"
+      }.mkString
+    val grownBk = grown.map { case (id, v) => (id, bucket(v), v) }
+    val want = probes.flatMap { case (pid, pv) =>
+      val bk = bucket(pv)
+      grownBk.filter(_._2 == bk).map { case (m, _, v) => (m, cos4(pv, v)) }
+        .sortBy { case (m, c) => (-c, m) }.take(3)
+        .zipWithIndex.map { case ((m, c), i) =>
+          (pid, i + 1, m, c, if (m % 10 == 1) "delta1" else "base")
+        }
+    }.sortBy(t => (t._1, t._2))
+    val got = run("q_ann_store_append").map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getDouble(3), r.getString(4))).toSeq
+    assert(got === want)
+  }
+
   private val Pow53 = 9007199254740992L
   private val HllC = 4.2399330249068963e20
 
