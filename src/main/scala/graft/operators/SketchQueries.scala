@@ -1423,7 +1423,116 @@ object SketchQueries {
             FROM es JOIN ef ON ef.word = es.word
             ORDER BY es.word"""))
 
+  /** PERSISTED Bloom-filter bit store + day-2 merge — the membership
+    * member of the store family (q_hll_store / q_cms_store / the
+    * q_dedup_incremental signature stores): Bloom filters merge by bit
+    * UNION (bits(A ∪ B) = bits(A) ∪ bits(B)), so the store is the
+    * distinct 12-bit positions set by the base corpus (doc_id ≡ 2..9
+    * mod 10, 4096-bit/4-hash geometry — the q_bloom_incremental
+    * funnel), persisted once; yesterday's bit set (≡ 1) APPENDS via
+    * insertInto (≤m rows; duplicate positions across vintages are
+    * deduped on read — union semantics, never a rewrite). Today's
+    * probes (≡ 0) test the GROWN filter with the deduped
+    * (ch, bit)/matched-vs-need discipline. bits_day1 vs bits_set makes
+    * the append visible in the output; true-dup attribution uses the
+    * grown key set (base ∪ delta1), so a probe duplicating yesterday's
+    * doc counts as a true hit — which only happens if the appended
+    * rows are read.
+    *
+    * Scale posture: the store is ≤m distinct integers; append is one
+    * positioned pass over yesterday's delta; probes join the broadcast
+    * grown bit set — O(m) state at any corpus size.
+    */
+  private val bloomStore = Q(
+    "q_bloom_store",
+    (spark, dir) => {
+      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val dh = Integer.toHexString(dir.hashCode)
+      val wh = s"/tmp/graft_bloomstore_${tok}_$dh"
+      val bT = s"g_bloom_store_${tok}_$dh"
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("ch"))
+      val hv = Portable.hash60(col("ch"))
+      val positioned = graft.Caches.persisted(
+        docs.select(col("doc_id"), col("ch"), hv.as("hv"))
+          .select(col("doc_id"), col("ch"),
+            explode(array((0 until 4).map(i =>
+              shiftright(col("hv"), 12 * i).bitwiseAND(lit(4095L))): _*)).as("bit")))
+      StoreOnce(wh) {
+        BucketedWorkspace.cleanupOnExit(wh)
+        positioned.filter(col("doc_id") % 10 >= 2)
+          .select(lit("base").as("vintage"), col("bit")).distinct()
+          .write.mode("overwrite").option("path", s"$wh/bits").saveAsTable(bT)
+        // day-2 maintenance: yesterday's bit set unions in as rows
+        positioned.filter(col("doc_id") % 10 === 1)
+          .select(lit("delta1").as("vintage"), col("bit")).distinct()
+          .write.insertInto(bT)
+      }
+      val store = spark.table(bT)
+      val grownBits = graft.Caches.persisted(store.select(col("bit")).distinct())
+      val grownHashes = positioned.filter(col("doc_id") % 10 =!= 0)
+        .select(col("ch")).distinct()
+      val deltaPairs = positioned.filter(col("doc_id") % 10 === 0)
+        .select(col("ch"), col("bit")).distinct()
+      val probeMatch = deltaPairs
+        .join(broadcast(grownBits.select(col("bit").as("b"))),
+          col("bit") === col("b"), "left")
+        .groupBy(col("ch")).agg(count(col("b")).as("matched"),
+          count(lit(1)).as("need"))
+      val probed = probeMatch
+        .join(grownHashes.select(col("ch").as("bh")), col("ch") === col("bh"), "left")
+        .select((col("matched") === col("need")).as("hit"), col("bh").isNotNull.as("indeed"))
+      val counts = probed.agg(
+        count(lit(1)).cast("bigint").as("probes"),
+        count_if(col("hit")).cast("bigint").as("bloom_hits"),
+        count_if(col("hit") && col("indeed")).cast("bigint").as("true_dups"),
+        count_if(col("hit") && !col("indeed")).cast("bigint").as("false_pos"))
+      val geom = store.filter(col("vintage") === "base")
+        .agg(count(lit(1)).cast("bigint").as("bits_day1"))
+        .crossJoin(grownBits.agg(count(lit(1)).cast("bigint").as("bits_set")))
+        .crossJoin(grownHashes.agg(count(lit(1)).cast("bigint").as("n_keys")))
+      geom.crossJoin(counts)
+        .select(lit(4096L).as("m_bits"), lit(4L).as("k_hashes"),
+          col("n_keys"), col("bits_day1"), col("bits_set"), col("probes"),
+          col("bloom_hits"), col("true_dups"), col("false_pos"),
+          when(col("probes") - col("true_dups") === 0, lit(null).cast("long"))
+            .otherwise(expr("false_pos * 1000000 div (probes - true_dups)"))
+            .as("fpr_ppm"))
+    },
+    Some("""WITH docs AS (SELECT doc_id, md5(text) AS ch FROM documents),
+            hp AS (SELECT doc_id, ch,
+                     CAST('0x' || substr(md5(ch), 1, 15) AS BIGINT) AS hv
+                   FROM docs),
+            positioned AS (SELECT doc_id, ch, (hv >> (12 * i)) & 4095 AS bit
+                           FROM hp, UNNEST(generate_series(0, 3)) AS u(i)),
+            basebits AS (SELECT DISTINCT bit FROM positioned WHERE doc_id % 10 >= 2),
+            d1bits AS (SELECT DISTINCT bit FROM positioned WHERE doc_id % 10 = 1),
+            grownbits AS (SELECT DISTINCT bit FROM
+              (SELECT bit FROM basebits UNION ALL SELECT bit FROM d1bits)),
+            grownhashes AS (SELECT DISTINCT ch FROM positioned WHERE doc_id % 10 <> 0),
+            dpairs AS (SELECT DISTINCT ch, bit FROM positioned WHERE doc_id % 10 = 0),
+            probem AS (SELECT p.ch, COUNT(b.bit) AS matched, COUNT(*) AS need
+                       FROM dpairs p LEFT JOIN grownbits b ON b.bit = p.bit
+                       GROUP BY p.ch),
+            probed AS (SELECT pm.matched = pm.need AS hit, gh.ch IS NOT NULL AS indeed
+                       FROM probem pm LEFT JOIN grownhashes gh ON gh.ch = pm.ch),
+            counts AS (SELECT CAST(COUNT(*) AS BIGINT) AS probes,
+                         CAST(COUNT(*) FILTER (WHERE hit) AS BIGINT) AS bloom_hits,
+                         CAST(COUNT(*) FILTER (WHERE hit AND indeed) AS BIGINT) AS true_dups,
+                         CAST(COUNT(*) FILTER (WHERE hit AND NOT indeed) AS BIGINT) AS false_pos
+                       FROM probed),
+            geom AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM basebits) AS bits_day1,
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM grownbits) AS bits_set,
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM grownhashes) AS n_keys)
+            SELECT CAST(4096 AS BIGINT) AS m_bits, CAST(4 AS BIGINT) AS k_hashes,
+              n_keys, bits_day1, bits_set, probes, bloom_hits, true_dups, false_pos,
+              CASE WHEN probes - true_dups = 0 THEN NULL
+                   ELSE CAST(false_pos * 1000000 // (probes - true_dups) AS BIGINT)
+              END AS fpr_ppm
+            FROM geom CROSS JOIN counts"""))
+
   val all: Seq[Q] = Seq(hllMerge, bloomIncremental, bottomkSample,
     cmsMerge, quantileMerge, weightedSample, thetaSketch, thetaDiff,
-    hllPrecisionSweep, bloomFprSweep, cmsWidthSweep, hllStore, cmsStore)
+    hllPrecisionSweep, bloomFprSweep, cmsWidthSweep, hllStore, cmsStore,
+    bloomStore)
 }

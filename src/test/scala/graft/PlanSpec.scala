@@ -1311,6 +1311,18 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_bloom_store probes the grown persisted bit set via broadcast, no sort-merge on positions") {
+    val df = Registry.byName("q_bloom_store").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("g_bloom_store"),
+      s"the persisted bit store must be scanned:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probes must join the broadcast grown bit set:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_cms_store reads the persisted counter table; probes join a broadcast sketch") {
     val df = Registry.byName("q_cms_store").build(spark, dir)
     df.collect()

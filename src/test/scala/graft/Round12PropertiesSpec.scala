@@ -178,6 +178,35 @@ class Round12PropertiesSpec extends AnyFunSuite {
     assert(got.forall(_._5 >= 0))
   }
 
+  test("q_bloom_store equals the naive grown-filter replay") {
+    val ds = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    def bits(ch: String): Seq[Long] = {
+      val h = hash60(ch); (0 until 4).map(i => (h >> (12 * i)) & 4095L)
+    }
+    val base = ds.filter(_._1 % 10 >= 2).map(d => md5hex(d._2))
+    val d1 = ds.filter(_._1 % 10 == 1).map(d => md5hex(d._2))
+    val bitsDay1 = base.flatMap(bits).toSet
+    val grownBits = bitsDay1 ++ d1.flatMap(bits)
+    val grownHashes = (base ++ d1).toSet
+    val probeChs = ds.filter(_._1 % 10 == 0).map(d => md5hex(d._2)).distinct
+    val hits = probeChs.filter(ch => bits(ch).toSet.subsetOf(grownBits))
+    val trueDups = hits.count(grownHashes)
+    val falsePos = hits.size - trueDups
+    val fpr: Any =
+      if (probeChs.size - trueDups == 0) null
+      else falsePos.toLong * 1000000L / (probeChs.size - trueDups)
+    val want = (4096L, 4L, grownHashes.size.toLong, bitsDay1.size.toLong,
+      grownBits.size.toLong, probeChs.size.toLong, hits.size.toLong,
+      trueDups.toLong, falsePos.toLong, fpr)
+    val got = run("q_bloom_store").map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+      r.getLong(7), r.getLong(8),
+      if (r.isNullAt(9)) null else r.getLong(9))).head
+    assert(got === want)
+  }
+
   test("q_bpe_sampled: an EMPTY hash-sample encodes as a no-op (ADVICE r11 edge)") {
     // plant a corpus whose every doc_id falls OUT of the hash60 mod-10
     // sample: sampled training finds no winners, so the sampled encode
