@@ -116,6 +116,25 @@ object Streams {
           .otherwise(lit(53) - length(bin(col("w")))).cast("int").as("r"))
       .groupBy(col("j")).agg(max(col("r")).as("m"))
 
+  /** Streaming Count-Min — the q_cms_merge / q_cms_store counter sketch
+    * maintained incrementally over an unbounded word stream: the depth-4
+    * × width-512 counters are a streaming COUNT aggregate keyed on
+    * (d, p), so state is AT MOST 2048 rows FOREVER — the O(d·w) bound
+    * that makes CMS the streaming frequency summary (exact per-word
+    * counting grows state with vocabulary and would need watermark
+    * eviction; a counter grid never does). Complete output mode: every
+    * trigger emits the current counters, and at any stream prefix the
+    * counters equal the batch funnel over the same rows — the agreement
+    * the spec pins. Input: any streaming relation with a `word` column.
+    */
+  def cmsCountersStream(words: DataFrame): DataFrame =
+    words
+      .select(graft.functions.Portable.hash60(col("word")).as("hv"))
+      .select(posexplode(array((0 until 4).map(i =>
+        shiftright(col("hv"), 9 * i).bitwiseAND(lit(511L))): _*)))
+      .withColumnRenamed("pos", "d").withColumnRenamed("col", "p")
+      .groupBy(col("d"), col("p")).agg(count(lit(1)).as("c"))
+
   /** Stream-stream interval join: purchases joined to same-user error
     * events from the preceding hour. Both sides carry watermarks and the
     * join condition bounds event time, so state eviction is automatic —

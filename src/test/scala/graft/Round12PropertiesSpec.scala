@@ -178,6 +178,38 @@ class Round12PropertiesSpec extends AnyFunSuite {
     assert(got.forall(_._5 >= 0))
   }
 
+  test("streaming CMS counters == batch counters at every stream prefix (2048-row state bound)") {
+    import spark.implicits._
+    import graft.streaming.Streams
+    val words = Tables(spark, dir, "documents").select(col("text")).collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ", -1).filter(_.nonEmpty)).toSeq
+    val (half1, half2) = words.splitAt(words.size / 2)
+    val staged = java.nio.file.Files.createTempDirectory("graft-scms").toString
+    Seq(half1, half2).zipWithIndex.foreach { case (ws, i) =>
+      ws.toDF("word").coalesce(1).write.parquet(s"$staged/f$i.parquet")
+      import java.nio.file.{Files, Paths, FileVisitOption}
+      import java.nio.file.attribute.FileTime
+      Files.walk(Paths.get(s"$staged/f$i.parquet"), FileVisitOption.FOLLOW_LINKS)
+        .filter(Files.isRegularFile(_))
+        .forEach(p => Files.setLastModifiedTime(p,
+          FileTime.fromMillis(1704067200000L + i * 60000L)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$staged/*.parquet")
+    val q = Streams.cmsCountersStream(stream).writeStream
+      .format("memory").queryName("cms_counters").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("cms_counters").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = words.flatMap { w =>
+      val h = hash60(w); (0 until 4).map(i => (i, (h >> (9 * i)) & 511L))
+    }.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    assert(got === want, "final streaming counters must equal the batch funnel")
+    assert(got.size <= 2048, "state is bounded by the counter-grid size")
+  }
+
   test("q_bloom_store equals the naive grown-filter replay") {
     val ds = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text")).collect()
