@@ -394,5 +394,89 @@ object IvfQueries {
                      * 10000 + 0.5) / 10000 END AS recall
             FROM brute LEFT JOIN rr ON brute.vec_id = rr.vec_id"""))
 
-  val all: Seq[Q] = Seq(knnIvf, dedupEmbedLsh, ivfRecallSweep, ivfPq)
+  /** PERSISTED IVF index with a PARTITION-PRUNED routed probe — the IVF
+    * half of the persisted-ANN story (q_ann_incremental persists LSH
+    * buckets; a production IVF deployment persists the inverted file as
+    * a CLUSTER-PARTITIONED layout): base vectors' nearest-centroid
+    * assignments (the q_knn_ivf assignment, vectors vec_id ≡ 1..9 mod
+    * 10 against the 10 fixed centroids) write once as an external table
+    * partitionBy(cluster); the probe routes DRIVER-SIDE to its nprobe=2
+    * nearest centroids (two ints of model state — the router is
+    * client-side in every real IVF serving stack) and the search reads
+    * ONLY those clusters' partitions — plan-pinned: the store scan
+    * carries a `cluster IN (…)` PartitionFilter, so the probe touches
+    * ~nprobe/k of the index files no matter how large the corpus. This
+    * is the SCALE.md "cluster id becomes the partition column" claim,
+    * turned from prose into a pinned plan.
+    *
+    * Scale posture: index build is one broadcast-centroid assignment
+    * pass (once per ingest, [[graft.operators.StoreOnce]]); each probe
+    * reads nprobe partitions + a broadcast 1-row probe vector; the
+    * top-10 is a TakeOrdered head.
+    */
+  private val ivfStore = Q(
+    "q_ivf_store",
+    (spark, dir) => {
+      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val dh = Integer.toHexString(dir.hashCode)
+      val wh = s"/tmp/graft_ivfstore_${tok}_$dh"
+      val sT = s"g_ivf_store_${tok}_$dh"
+      val e = Tables(spark, dir, "embeddings")
+      val cents = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+      StoreOnce(wh) {
+        BucketedWorkspace.cleanupOnExit(wh)
+        val byVec = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cid"))
+        e.filter(col("vec_id") % 10 =!= 0).crossJoin(cents)
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            VectorOps.cosine(col("embedding"), col("cemb")).as("ccos"))
+          .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid").cast("int").as("cluster"))
+          .write.mode("overwrite").partitionBy("cluster")
+          .option("path", s"$wh/index").saveAsTable(sT)
+      }
+      // driver-side router: nprobe = 2 nearest centroids of the probe —
+      // bounded model state (2 ints), the k-means-centroid precedent
+      val routedIds = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p")).crossJoin(cents)
+        .select(col("cid"), VectorOps.cosine(col("p"), col("cemb")).as("ccos"))
+        .orderBy(col("ccos").desc, col("cid")).limit(2)
+        .collect().map(_.getLong(0).toInt).toSeq
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p")))
+      val pruned = spark.table(sT)
+        .filter(if (routedIds.isEmpty) lit(false)
+                else col("cluster").isin(routedIds: _*))
+      pruned.crossJoin(probe)
+        .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+          pround(VectorOps.cosine(col("embedding"), col("p")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+                           FROM embeddings WHERE vec_id < 10),
+            base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+            scored AS (SELECT b.vec_id, c.cid,
+                         list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), c.cemb) AS ccos
+                       FROM base b CROSS JOIN cents c),
+            assign AS (SELECT vec_id, cid AS cluster FROM (
+                         SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ccos DESC, cid) AS rn
+                         FROM scored)
+                       WHERE rn = 1),
+            probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings
+                      WHERE vec_id = 0),
+            routed AS (SELECT c.cid FROM cents c, probe
+                       ORDER BY list_cosine_similarity(probe.p, c.cemb) DESC, c.cid
+                       LIMIT 2)
+            SELECT b.vec_id, CAST(a.cluster AS INT) AS cluster,
+              FLOOR((list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), probe.p))
+                * 10000 + 0.5) / 10000 AS cos
+            FROM base b JOIN assign a ON a.vec_id = b.vec_id, probe
+            WHERE a.cluster IN (SELECT cid FROM routed)
+            ORDER BY cos DESC, b.vec_id LIMIT 10"""))
+
+  val all: Seq[Q] = Seq(knnIvf, dedupEmbedLsh, ivfRecallSweep, ivfPq, ivfStore)
 }

@@ -1282,6 +1282,21 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_ivf_store prunes the partitioned index to the routed clusters (PartitionFilters)") {
+    val df = Registry.byName("q_ivf_store").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the probe reads only the routed clusters' partitions: the store
+    // scan must carry a static cluster IN (...) partition filter
+    val scan = plan.split("\n").filter(_.contains("PartitionFilters"))
+    assert(scan.exists(l => l.contains("cluster") && l.contains("IN")),
+      s"the index scan must partition-prune on the routed clusters:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-10 must be a TakeOrdered head:\n$plan")
+    Caches.releaseAll()
+  }
+
   test("q_hll_store reads the persisted register table; register MAX partial-aggregates") {
     val df = Registry.byName("q_hll_store").build(spark, dir)
     df.collect()

@@ -210,6 +210,24 @@ class Round12PropertiesSpec extends AnyFunSuite {
     assert(got.size <= 2048, "state is bounded by the counter-grid size")
   }
 
+  test("q_ivf_store: pruned-partition probe == naive routed search replay") {
+    val cents = vecs.filter(_._1 < 10)
+    val base = vecs.filter(_._1 % 10 != 0)
+    val probe = vecs.find(_._1 == 0L).get._2
+    val assign = base.map { case (id, v) =>
+      id -> cents.map { case (cid, c) => (cid, rawCos(v, c)) }
+        .sortBy { case (cid, cc) => (-cc, cid) }.head._1
+    }.toMap
+    val routed = cents.map { case (cid, c) => (cid, rawCos(probe, c)) }
+      .sortBy { case (cid, cc) => (-cc, cid) }.take(2).map(_._1).toSet
+    val want = base.filter(v => routed(assign(v._1)))
+      .map { case (id, v) => (id, assign(id).toInt, cos4(v, probe)) }
+      .sortBy { case (id, _, c) => (-c, id) }.take(10)
+    val got = run("q_ivf_store").map(r =>
+      (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got === want)
+  }
+
   test("q_bloom_store equals the naive grown-filter replay") {
     val ds = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text")).collect()
