@@ -1531,8 +1531,117 @@ object SketchQueries {
               END AS fpr_ppm
             FROM geom CROSS JOIN counts"""))
 
+  /** PERSISTED quantile-histogram store + day-2 merge — the fourth and
+    * last member of the mergeable-store family (HLL merges by MAX, CMS
+    * by SUM, Bloom by UNION; the fixed-bucket histogram merges by
+    * per-bucket SUM): the base corpus's 64-bucket totalprice-cents
+    * histogram (o_orderkey ≡ 2..9 mod 10) persists once as (vintage, b,
+    * c); yesterday's histogram (≡ 1) APPENDS via insertInto; today's
+    * p50/p90 estimates read ONLY the store plus today's buckets (≡ 0),
+    * with a full recompute beside them — `today` and `full` rows are
+    * IDENTICAL by count partitioning, the exactness claim. The bucket
+    * GRID IS FIXED AT INGEST (span from the BASE corpus's min/max;
+    * re-deriving the span per delta would re-bucket the store = a
+    * rebuild); values outside the ingest span clamp into the boundary
+    * buckets on both engines — the standard fixed-grid posture, and why
+    * the estimate is a summary, not the exact arm q_quantile_merge
+    * audits.
+    *
+    * Scale posture: the store is ≤64 rows per vintage; the cumulative
+    * runs as a ≤64×64 bounded self-join per arm (domain-bounded by the
+    * grid, never corpus-width — no window, no Prefix pass needed);
+    * today's arm scans only today's delta, the full arm is the audit
+    * yardstick.
+    */
+  private val quantileStore = Q(
+    "q_quantile_store",
+    (spark, dir) => {
+      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val dh = Integer.toHexString(dir.hashCode)
+      val wh = s"/tmp/graft_qstore_${tok}_$dh"
+      val hT = s"g_quantile_store_${tok}_$dh"
+      val o = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      // ingest-time grid: span from the BASE corpus only
+      val spanD = broadcast(o.filter(col("o_orderkey") % 10 >= 2)
+        .agg(coalesce(min(col("cents")), lit(0L)).as("minc"),
+          (coalesce(max(col("cents")), lit(0L)) -
+            coalesce(min(col("cents")), lit(0L)) + 1L).as("span")))
+      def histOf(rel: DataFrame, vintage: String): DataFrame =
+        rel.crossJoin(spanD)
+          .select(greatest(lit(0L), least(lit(63L),
+            expr("((cents - minc) * 64) div span"))).as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).as("c"))
+          .select(lit(vintage).as("vintage"), col("b"), col("c"))
+      StoreOnce(wh) {
+        BucketedWorkspace.cleanupOnExit(wh)
+        histOf(o.filter(col("o_orderkey") % 10 >= 2), "base")
+          .write.mode("overwrite").option("path", s"$wh/hist").saveAsTable(hT)
+        histOf(o.filter(col("o_orderkey") % 10 === 1), "delta1")
+          .write.insertInto(hT)
+      }
+      val store = spark.table(hT)
+      def arm(rows: DataFrame, part: String): DataFrame =
+        rows.groupBy(col("b")).agg(sum(col("c")).as("c"))
+          .select(lit(part).as("part"), col("b"), col("c"))
+      val hist = graft.Caches.persisted(
+        arm(store.filter(col("vintage") === "base"), "day1")
+          .unionAll(arm(store, "day2"))
+          .unionAll(arm(store.select(col("vintage"), col("b"), col("c"))
+            .unionAll(histOf(o.filter(col("o_orderkey") % 10 === 0), "today")), "today"))
+          .unionAll(arm(histOf(o, "full").select(col("vintage"), col("b"), col("c")), "full")))
+      val nrel = broadcast(hist.groupBy(col("part")).agg(sum(col("c")).as("n")))
+      val histB = hist.select(col("part").as("p2"), col("b").as("b2"), col("c").as("c2"))
+      val cum = hist.join(histB, col("p2") === col("part") && col("b2") <= col("b"))
+        .groupBy(col("part"), col("b")).agg(sum(col("c2")).as("cumc"))
+        .join(nrel, Seq("part"))
+      val est = Seq(50, 90).map { p =>
+        cum.filter(col("cumc") >= expr(s"(n * $p + 99) div 100"))
+          .groupBy(col("part"), col("n")).agg(min(col("b")).as("bsel"))
+          .crossJoin(spanD)
+          .select(col("part"), lit(p).as("p"), col("n").cast("bigint").as("n"),
+            (col("minc") + expr("((2 * bsel + 1) * span) div 128"))
+              .cast("bigint").as("est_cents"))
+      }.reduce(_ unionAll _)
+      est.orderBy(col("part"), col("p"))
+    },
+    Some("""WITH oc AS (SELECT o_orderkey % 10 AS g,
+                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                FROM orders),
+            spand AS (SELECT COALESCE(MIN(cents), 0) AS minc,
+                        COALESCE(MAX(cents), 0) - COALESCE(MIN(cents), 0) + 1 AS span
+                      FROM oc WHERE g >= 2),
+            bkt AS (SELECT g, GREATEST(0, LEAST(63, ((cents - minc) * 64) // span)) AS b
+                    FROM oc, spand),
+            hist AS (
+              SELECT 'day1' AS part, b, CAST(COUNT(*) AS BIGINT) AS c
+              FROM bkt WHERE g >= 2 GROUP BY b
+              UNION ALL
+              SELECT 'day2' AS part, b, CAST(COUNT(*) AS BIGINT) AS c
+              FROM bkt WHERE g >= 1 GROUP BY b
+              UNION ALL
+              SELECT 'today' AS part, b, CAST(COUNT(*) AS BIGINT) AS c
+              FROM bkt GROUP BY b
+              UNION ALL
+              SELECT 'full' AS part, b, CAST(COUNT(*) AS BIGINT) AS c
+              FROM bkt GROUP BY b),
+            nrel AS (SELECT part, SUM(c) AS n FROM hist GROUP BY part),
+            cum AS (SELECT h.part, h.b, SUM(h2.c) AS cumc
+                    FROM hist h JOIN hist h2 ON h2.part = h.part AND h2.b <= h.b
+                    GROUP BY h.part, h.b),
+            ps AS (SELECT UNNEST([50, 90]) AS p),
+            est AS (SELECT c.part, ps.p, nrel.n,
+                      MIN(c.b) AS bsel
+                    FROM cum c JOIN nrel ON nrel.part = c.part, ps
+                    WHERE c.cumc >= (nrel.n * ps.p + 99) // 100
+                    GROUP BY c.part, ps.p, nrel.n)
+            SELECT part, p, CAST(n AS BIGINT) AS n,
+              CAST(minc + ((2 * bsel + 1) * span) // 128 AS BIGINT) AS est_cents
+            FROM est, spand ORDER BY part, p"""))
+
   val all: Seq[Q] = Seq(hllMerge, bloomIncremental, bottomkSample,
     cmsMerge, quantileMerge, weightedSample, thetaSketch, thetaDiff,
     hllPrecisionSweep, bloomFprSweep, cmsWidthSweep, hllStore, cmsStore,
-    bloomStore)
+    bloomStore, quantileStore)
 }

@@ -1338,6 +1338,18 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_quantile_store reads the persisted histogram; no window, bounded self-join cumulative") {
+    val df = Registry.byName("q_quantile_store").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("g_quantile_store"),
+      s"the persisted histogram store must be scanned:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the grid-bounded cumulative must not use a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_cms_store reads the persisted counter table; probes join a broadcast sketch") {
     val df = Registry.byName("q_cms_store").build(spark, dir)
     df.collect()

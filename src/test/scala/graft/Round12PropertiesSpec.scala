@@ -210,6 +210,37 @@ class Round12PropertiesSpec extends AnyFunSuite {
     assert(got.size <= 2048, "state is bounded by the counter-grid size")
   }
 
+  test("q_quantile_store: store-served estimates equal the full recompute (naive replay)") {
+    val oc = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0) % 10, math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .toSeq
+    val baseCents = oc.filter(_._1 >= 2).map(_._2)
+    val minc = if (baseCents.isEmpty) 0L else baseCents.min
+    val span = (if (baseCents.isEmpty) 0L else baseCents.max) - minc + 1L
+    def bkt(c: Long): Long = math.max(0L, math.min(63L, (c - minc) * 64 / span))
+    def arm(cs: Seq[Long], part: String): Seq[(String, Int, Long, Long)] = {
+      val h = cs.map(bkt).groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+      val n = cs.size.toLong
+      Seq(50, 90).map { p =>
+        val thr = (n * p + 99) / 100
+        val bsel = h.keys.toSeq.sorted
+          .find(b => h.filter(_._1 <= b).values.sum >= thr).get
+        (part, p, n, minc + ((2 * bsel + 1) * span) / 128)
+      }
+    }
+    val want = (arm(oc.filter(_._1 >= 2).map(_._2), "day1") ++
+      arm(oc.filter(_._1 >= 1).map(_._2), "day2") ++
+      arm(oc.map(_._2), "today") ++ arm(oc.map(_._2), "full"))
+      .sortBy(t => (t._1, t._2))
+    val got = run("q_quantile_store").map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    // THE property: the store-served arm IS the recompute, exactly
+    assert(got.filter(_._1 == "today").map(t => (t._2, t._3, t._4)) ===
+      got.filter(_._1 == "full").map(t => (t._2, t._3, t._4)))
+  }
+
   test("q_ivf_store: pruned-partition probe == naive routed search replay") {
     val cents = vecs.filter(_._1 < 10)
     val base = vecs.filter(_._1 % 10 != 0)
