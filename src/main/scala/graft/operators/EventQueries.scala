@@ -753,8 +753,120 @@ object EventQueries {
               CAST(COALESCE(SUM(epoch_us(valid_to) - epoch_us(ts)), 0) AS BIGINT) AS closed_us
             FROM vers GROUP BY event_type ORDER BY event_type"""))
 
+  /** INCREMENTAL sessionization against a persisted open-session store —
+    * the day-boundary stitch every batch-incremental event pipeline
+    * needs (and the batch twin of streaming session-window state):
+    * q_sessionize recomputes all sessions from all events; in
+    * production, yesterday's events were already sessionized and
+    * REPORTED, and tonight's run must (a) read ONLY today's events plus
+    * per-user state, and (b) still produce exactly what a full
+    * recompute would — a session straddling midnight must not split.
+    *
+    * The store (built once per ingest, [[graft.operators.StoreOnce]],
+    * bucketed on user_id — the q_bucketed_join sink) holds ONE row per
+    * user active before the cut (2024-01-16): the user's last event
+    * time, last session id, and that open session's running (count,
+    * value-cents) — exactly the state a streaming session window keeps.
+    * Today's pass: today's events join the store on user_id (store side
+    * rides the bucket layout), the first per-user event's gap tests
+    * against the STORED last_us, session numbering continues from the
+    * stored last_sid, and the continued session's totals stitch the
+    * stored partial onto today's. Value sums run in exact integer cents
+    * (determinism rule 2 — stitching two float partials would re-order
+    * the addition a full recompute does in one order).
+    *
+    * THE property is the oracle itself: the stitched output ≡ a
+    * full-corpus sessionize RESTRICTED to sessions containing at least
+    * one today event (the DuckDB replay runs exactly that), so the
+    * incremental pass is proven to change NOTHING except what it reads.
+    *
+    * Scale posture: today's pass shuffles today's events once on
+    * user_id (the window + both store joins reuse it); the store is one
+    * row per active user, read bucketed. Nothing re-reads yesterday's
+    * events — the cost tracks today's mass, exactly like
+    * q_dedup_incremental.
+    */
+  private val sessionStore = Q(
+    "q_session_store",
+    (spark, dir) => {
+      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val dh = Integer.toHexString(dir.hashCode)
+      val wh = s"/tmp/graft_sessstore_${tok}_$dh"
+      val sT = s"g_session_store_${tok}_$dh"
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val evs = Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      StoreOnce(wh) {
+        BucketedWorkspace.cleanupOnExit(wh)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val perSess = evs.filter(col("ts") < cut)
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("new_s", when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+          .withColumn("sid", sum(col("new_s")).over(run).cast("bigint"))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(count(lit(1)).cast("long").as("n"), sum(col("vc")).cast("long").as("c"),
+            max(col("us")).as("mx"))
+        val wLast = Window.partitionBy(col("user_id")).orderBy(col("sid").desc)
+        perSess.withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+          .select(col("user_id"), col("mx").as("last_us"), col("sid").as("last_sid"),
+            col("n").as("last_n"), col("c").as("last_c"))
+          .write.mode("overwrite").bucketBy(8, "user_id").sortBy("user_id")
+          .option("path", s"$wh/state").saveAsTable(sT)
+      }
+      val store = spark.table(sT)
+      val today = evs.filter(col("ts") >= cut)
+        .select(col("user_id"), col("event_id"), col("us"), col("vc"))
+      val tw = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val trun = tw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val marked = today.join(store.hint("merge"), Seq("user_id"), "left")
+        .withColumn("prev_us", lag(col("us"), 1).over(tw))
+        .withColumn("prev_eff", coalesce(col("prev_us"), col("last_us")))
+        .withColumn("new_s", when(col("prev_eff").isNull ||
+          col("us") - col("prev_eff") > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id",
+          (coalesce(col("last_sid"), lit(0L)) + sum(col("new_s")).over(trun))
+            .cast("bigint"))
+      val grouped = marked.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_t"), sum(col("vc")).as("c_t"))
+      val st2 = store.select(col("user_id").as("su"), col("last_sid").as("ssid"),
+        col("last_n").as("sn"), col("last_c").as("sc"))
+      grouped.join(broadcast(st2),
+          col("user_id") === col("su") && col("session_id") === col("ssid"), "left")
+        .select(col("user_id"), col("session_id"),
+          (col("n_t") + coalesce(col("sn"), lit(0L))).cast("bigint").as("n_events"),
+          (col("c_t") + coalesce(col("sc"), lit(0L))).cast("bigint").as("sum_value_c"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+                FROM events),
+            l AS (SELECT user_id, event_id, ts, us, vc,
+                    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+                  FROM e),
+            f AS (SELECT user_id, event_id, ts, us, vc,
+                    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                         THEN 1 ELSE 0 END AS new_s
+                  FROM l),
+            g AS (SELECT user_id, ts, vc,
+                    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                      AS session_id
+                  FROM f),
+            s AS (SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                    CAST(SUM(vc) AS BIGINT) AS sum_value_c,
+                    BOOL_OR(ts >= TIMESTAMP '2024-01-16 00:00:00') AS has_today
+                  FROM g GROUP BY user_id, session_id)
+            SELECT user_id, session_id, n_events, sum_value_c
+            FROM s WHERE has_today ORDER BY user_id, session_id"""))
+
   val all: Seq[Q] = Seq(jsonFuncs, timeWindow, sessionize, histogram,
     eventWindowJoin, windowRangeTime, decileStats, decileApprox, funnel,
     retention, markovTransitions, eventPattern, histogram2d, cohortMatrix,
-    attribution, timeToConvert, sessionPaths, coldStart, growthWow, scd2)
+    attribution, timeToConvert, sessionPaths, coldStart, growthWow, scd2,
+    sessionStore)
 }

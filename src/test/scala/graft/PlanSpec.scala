@@ -1326,6 +1326,22 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_session_store reads the per-user state store; today's pass never scans pre-cut events") {
+    val df = Registry.byName("q_session_store").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("g_session_store"),
+      s"the persisted session-state store must be scanned:\n$plan")
+    // the only events scans in the live plan carry the today-side
+    // pushed filter (ts >= cut) — yesterday's events are never re-read
+    val scans = plan.split("\n").filter(l =>
+      l.contains("events.parquet") && l.contains("PushedFilters"))
+    assert(scans.nonEmpty && scans.forall(_.contains("GreaterThanOrEqual(ts")),
+      s"every events scan must push the today-side cut:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_bloom_store probes the grown persisted bit set via broadcast, no sort-merge on positions") {
     val df = Registry.byName("q_bloom_store").build(spark, dir)
     df.collect()

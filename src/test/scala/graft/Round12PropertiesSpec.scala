@@ -210,6 +210,40 @@ class Round12PropertiesSpec extends AnyFunSuite {
     assert(got.size <= 2048, "state is bounded by the counter-grid size")
   }
 
+  test("q_session_store stitches a midnight-straddling session exactly (planted corpus)") {
+    // the real fixture's events are too sparse to straddle the cut (no
+    // 30-min-adjacent pairs across 2024-01-16), so the stitch path gets
+    // a planted corpus: a continued session, a broken one, a today-only
+    // user, and a yesterday-only user
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 1: old session, then an open one continued across the cut
+      (1L, ts("2024-01-15 10:00:00"), 1L, "click", 1.00, "{}"),
+      (2L, ts("2024-01-15 23:50:00"), 1L, "click", 2.00, "{}"),
+      (3L, ts("2024-01-16 00:05:00"), 1L, "click", 4.00, "{}"),
+      (4L, ts("2024-01-16 00:10:00"), 1L, "click", 8.00, "{}"),
+      // user 2: open session NOT continued (gap > 30 min across the cut)
+      (5L, ts("2024-01-15 22:00:00"), 2L, "click", 16.00, "{}"),
+      (6L, ts("2024-01-16 01:00:00"), 2L, "click", 32.00, "{}"),
+      // user 3: today-only (no store row — numbering starts at 1)
+      (7L, ts("2024-01-16 09:00:00"), 3L, "click", 64.00, "{}"),
+      (8L, ts("2024-01-16 09:10:00"), 3L, "click", 128.00, "{}"),
+      // user 4: yesterday-only (must not appear)
+      (9L, ts("2024-01-15 12:00:00"), 4L, "click", 256.00, "{}"))
+    val out = java.nio.file.Files.createTempDirectory("graft-sess-store").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val got = Registry.byName("q_session_store").build(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    Caches.releaseAll()
+    val want = Seq(
+      (1L, 2L, 3L, 1400L), // 23:50 + 00:05 + 00:10 stitched: 200+400+800 cents
+      (2L, 2L, 1L, 3200L), // broken: today's event alone, numbered after sid 1
+      (3L, 1L, 2L, 19200L)) // today-only user starts at session 1
+    assert(got === want)
+  }
+
   test("q_quantile_store: store-served estimates equal the full recompute (naive replay)") {
     val oc = Tables(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice")).collect()
