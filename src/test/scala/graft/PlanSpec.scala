@@ -1326,6 +1326,22 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_triangle_store probes the bucketed adjacency arrays; census read, not recomputed") {
+    val df = Registry.byName("q_triangle_store").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("g_tri_adj"),
+      s"the persisted adjacency store must be scanned:\n$plan")
+    assert(plan.contains("g_tri_census"),
+      s"the persisted census must be read (not recomputed):\n$plan")
+    // the incremental channels probe sorted-adjacency ARRAYS (intersect/
+    // contains) instead of shuffling raw wedge rows
+    assert(plan.contains("array_intersect") && plan.contains("array_contains"),
+      s"channels must run as array probes:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_session_store reads the per-user state store; today's pass never scans pre-cut events") {
     val df = Registry.byName("q_session_store").build(spark, dir)
     df.collect()

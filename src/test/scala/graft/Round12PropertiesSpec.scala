@@ -210,6 +210,46 @@ class Round12PropertiesSpec extends AnyFunSuite {
     assert(got.size <= 2048, "state is bounded by the counter-grid size")
   }
 
+  test("q_triangle_store: incremental census == naive replay, and increments sum to the full census") {
+    val op = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def pairsOf(rows: Seq[(Long, Long)]): Set[(Long, Long)] =
+      rows.groupBy(_._1).values.flatMap { g =>
+        val ps = g.map(_._2).distinct
+        for (a <- ps; b <- ps if a < b) yield (a, b)
+      }.toSet
+    val bp = pairsOf(op.filter(_._1 % 10 != 0))
+    val delta = pairsOf(op.filter(_._1 % 10 == 0)) -- bp
+    def adjacency(es: Set[(Long, Long)]): Map[Long, Set[Long]] =
+      (es.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+        .groupBy(_._1).map { case (n, g) => n -> g.map(_._2).toSet }
+    def tcount(es: Set[(Long, Long)]): Long = {
+      // Σ over edges of |N(u) ∩ N(v)| counts each triangle three times
+      val adj = adjacency(es)
+      es.toSeq.map { case (u, v) => (adj(u) & adj(v)).size.toLong }.sum / 3
+    }
+    val baseAdj = adjacency(bp)
+    def bn(x: Long) = baseAdj.getOrElse(x, Set.empty[Long])
+    val add1 = delta.toSeq.map { case (u, v) => (bn(u) & bn(v)).size.toLong }.sum
+    val dAdj = adjacency(delta)
+    val add2 = dAdj.toSeq.map { case (_, ns) =>
+      val s = ns.toSeq.sorted
+      (for (i <- s.indices; j <- i + 1 until s.size
+            if bp((s(i), s(j)))) yield 1L).sum
+    }.sum
+    val add3 = tcount(delta)
+    val baseTri = tcount(bp)
+    val want = (bp.size.toLong, delta.size.toLong, baseTri,
+      add1, add2, add3, baseTri + add1 + add2 + add3)
+    val got = run("q_triangle_store").map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).head
+    assert(got === want)
+    // THE property: the incremental sum IS a from-scratch census of the
+    // grown graph (which the steady-state plan never runs)
+    assert(got._7 === tcount(bp ++ delta))
+  }
+
   test("q_session_store stitches a midnight-straddling session exactly (planted corpus)") {
     // the real fixture's events are too sparse to straddle the cut (no
     // 30-min-adjacent pairs across 2024-01-16), so the stitch path gets
