@@ -478,5 +478,95 @@ object IvfQueries {
             WHERE a.cluster IN (SELECT cid FROM routed)
             ORDER BY cos DESC, b.vec_id LIMIT 10"""))
 
-  val all: Seq[Q] = Seq(knnIvf, dedupEmbedLsh, ivfRecallSweep, ivfPq, ivfStore)
+  /** Day-2 of the IVF-index loop — index MAINTENANCE via per-PARTITION
+    * append (the IVF twin of q_ann_store_append): base assignments
+    * (vec_id ≡ 2..9 mod 10) persist once partitionBy(cluster);
+    * yesterday's new vectors (≡ 1) are assigned with the INGEST-time
+    * centroid model (re-clustering per append would re-partition the
+    * index = a rebuild) and APPEND via insertInto — new files land
+    * inside the routed clusters' partitions, so the probe's
+    * partition-pruned read picks them up with no layout change. The
+    * routed probe (nprobe = 2, driver-side router) searches the GROWN
+    * index; a src column attributes each neighbor to base/delta1 — a
+    * delta1 neighbor can only appear if the appended files are read
+    * inside the pruned partitions.
+    *
+    * Scale posture: append cost = one broadcast-centroid assignment
+    * pass over yesterday's vectors; the probe still reads ~nprobe/k of
+    * the index files at any corpus size (plan-pinned PartitionFilter,
+    * the q_ivf_store pin).
+    */
+  private val ivfStoreAppend = Q(
+    "q_ivf_store_append",
+    (spark, dir) => {
+      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val dh = Integer.toHexString(dir.hashCode)
+      val wh = s"/tmp/graft_ivfstore2_${tok}_$dh"
+      val sT = s"g_ivf_store2_${tok}_$dh"
+      val e = Tables(spark, dir, "embeddings")
+      val cents = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+      def assigned(rel: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val byVec = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cid"))
+        rel.crossJoin(cents)
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            VectorOps.cosine(col("embedding"), col("cemb")).as("ccos"))
+          .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid").cast("int").as("cluster"))
+      }
+      StoreOnce(wh) {
+        BucketedWorkspace.cleanupOnExit(wh)
+        assigned(e.filter(col("vec_id") % 10 >= 2))
+          .write.mode("overwrite").partitionBy("cluster")
+          .option("path", s"$wh/index").saveAsTable(sT)
+        // day-2 maintenance: yesterday's vectors append per partition,
+        // assigned with the ingest-time centroids
+        assigned(e.filter(col("vec_id") % 10 === 1)).write.insertInto(sT)
+      }
+      val routedIds = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p")).crossJoin(cents)
+        .select(col("cid"), VectorOps.cosine(col("p"), col("cemb")).as("ccos"))
+        .orderBy(col("ccos").desc, col("cid")).limit(2)
+        .collect().map(_.getLong(0).toInt).toSeq
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p")))
+      val pruned = spark.table(sT)
+        .filter(if (routedIds.isEmpty) lit(false)
+                else col("cluster").isin(routedIds: _*))
+      pruned.crossJoin(probe)
+        .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+          pround(VectorOps.cosine(col("embedding"), col("p")), 4).as("cos"),
+          when(col("vec_id") % 10 === 1, lit("delta1")).otherwise(lit("base")).as("src"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+                           FROM embeddings WHERE vec_id < 10),
+            grown AS (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id % 10 <> 0),
+            scored AS (SELECT g.vec_id, c.cid,
+                         list_cosine_similarity(CAST(g.embedding AS DOUBLE[]), c.cemb) AS ccos
+                       FROM grown g CROSS JOIN cents c),
+            assign AS (SELECT vec_id, cid AS cluster FROM (
+                         SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ccos DESC, cid) AS rn
+                         FROM scored)
+                       WHERE rn = 1),
+            probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings
+                      WHERE vec_id = 0),
+            routed AS (SELECT c.cid FROM cents c, probe
+                       ORDER BY list_cosine_similarity(probe.p, c.cemb) DESC, c.cid
+                       LIMIT 2)
+            SELECT g.vec_id, CAST(a.cluster AS INT) AS cluster,
+              FLOOR((list_cosine_similarity(CAST(g.embedding AS DOUBLE[]), probe.p))
+                * 10000 + 0.5) / 10000 AS cos,
+              CASE WHEN g.vec_id % 10 = 1 THEN 'delta1' ELSE 'base' END AS src
+            FROM grown g JOIN assign a ON a.vec_id = g.vec_id, probe
+            WHERE a.cluster IN (SELECT cid FROM routed)
+            ORDER BY cos DESC, g.vec_id LIMIT 10"""))
+
+  val all: Seq[Q] = Seq(knnIvf, dedupEmbedLsh, ivfRecallSweep, ivfPq, ivfStore,
+    ivfStoreAppend)
 }

@@ -1297,6 +1297,19 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_ivf_store_append prunes the GROWN partitioned index to the routed clusters") {
+    val df = Registry.byName("q_ivf_store_append").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val scan = plan.split("\n").filter(_.contains("PartitionFilters"))
+    assert(scan.exists(l => l.contains("cluster") && l.contains("IN")),
+      s"the grown index scan must partition-prune on the routed clusters:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-10 must be a TakeOrdered head:\n$plan")
+    Caches.releaseAll()
+  }
+
   test("q_hll_store reads the persisted register table; register MAX partial-aggregates") {
     val df = Registry.byName("q_hll_store").build(spark, dir)
     df.collect()

@@ -333,6 +333,51 @@ class Round12PropertiesSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("q_ivf_store_append: a planted appended vector surfaces through the pruned partitions") {
+    // the real fixture's delta1 vectors rarely reach the sf0.001/sf0.01
+    // top-10 (they do at sf0.1: 3/10 rows), so the append proof gets a
+    // planted corpus where yesterday's vector IS the probe's nearest
+    // neighbor — it can only appear if the appended files inside the
+    // routed partitions are read
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val rows: Seq[(Long, Array[Float], Int)] = Seq(
+      (0L, v(1, 0, 0, 0), 0),       // probe + centroid 0
+      (1L, v(0, 1, 0, 0), 0),       // centroid 1 (delta1 member)
+      (2L, v(0.8, 0.2, 0, 0), 0),   // centroid 2 (base member)
+      (3L, v(0, 0, 1, 0), 0), (4L, v(0, 0, 0, 1), 0),
+      (5L, v(0, 0, 0.9, 0.1), 0), (6L, v(0, 0, 0.1, 0.9), 0),
+      (7L, v(0, 0.9, 0.1, 0), 0), (8L, v(0, 0.1, 0.9, 0), 0),
+      (9L, v(0.1, 0, 0, 0.9), 0),
+      (11L, v(0.99, 0.01, 0, 0), 0), // delta1: the probe's true NN
+      (12L, v(0.7, 0.3, 0, 0), 0),   // base, same neighborhood
+      (23L, v(0, 0, 0.5, 0.5), 0))   // base, far away
+    val out = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val got = Registry.byName("q_ivf_store_append").build(spark, out).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSeq
+    Caches.releaseAll()
+    // replay: ingest centroids = vec 0..9; grown = vec_id % 10 != 0
+    val vecs = rows.map { case (id, e, _) => (id, e.map(_.toDouble)) }
+    val cents = vecs.filter(_._1 < 10)
+    val probe = vecs.find(_._1 == 0L).get._2
+    val grown = vecs.filter(_._1 % 10 != 0)
+    val assign = grown.map { case (id, e) =>
+      id -> cents.map { case (cid, c) => (cid, rawCos(e, c)) }
+        .sortBy { case (cid, cc) => (-cc, cid) }.head._1
+    }.toMap
+    val routed = cents.map { case (cid, c) => (cid, rawCos(probe, c)) }
+      .sortBy { case (cid, cc) => (-cc, cid) }.take(2).map(_._1).toSet
+    val want = grown.filter(g => routed(assign(g._1)))
+      .map { case (id, e) => (id, assign(id).toInt, cos4(e, probe),
+        if (id % 10 == 1) "delta1" else "base") }
+      .sortBy { case (id, _, c, _) => (-c, id) }.take(10)
+    assert(got === want)
+    // the appended vector leads the result
+    assert(got.head._1 === 11L && got.head._4 === "delta1")
+  }
+
   test("q_bloom_store equals the naive grown-filter replay") {
     val ds = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text")).collect()
