@@ -265,11 +265,11 @@ object AdvancedJoins {
       // concurrent sessions benching the same dir never race on the
       // overwrite; a once-per-path JVM shutdown hook removes the /tmp
       // bucket files (they are a demonstration workspace, not a sink)
-      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-      val wh = s"/tmp/graft_bucketed_${tok}_${Integer.toHexString(dir.hashCode)}"
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_bucketed_$key"
       BucketedWorkspace.cleanupOnExit(wh)
-      val ordersT = s"g_orders_bucketed_$tok"
-      val custT = s"g_customer_bucketed_$tok"
+      val ordersT = s"g_orders_bucketed_$key"
+      val custT = s"g_customer_bucketed_$key"
       Tables(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .write.mode("overwrite")
@@ -299,18 +299,88 @@ object AdvancedJoins {
     marketBasket, bucketedJoin)
 }
 
-/** Once-per-JVM persisted-store build guard (the q_dedup_incremental
-  * IncStore shape, shared by the ANN / sketch store family): the store
-  * is written the first time a (session, fixture-dir) pair asks for it
-  * and reused by every later build in the same JVM — the production
-  * posture (stores are built once at ingest; deltas only read them),
-  * and what makes the steady-state TimeQuery/Bench reading the honest
+/** Collision-resistant per-(session, fixture-dir) suffix for /tmp store
+  * workspaces and their catalog table names (ADVICE r12: the previous
+  * `dir.hashCode` hex is a 32-bit String hash — two distinct fixture
+  * dirs colliding in one JVM would silently serve one dir's persisted
+  * store, and its stale catalog table, to the other dir's query). The
+  * applicationId scopes concurrent sessions; the md5 prefix of the full
+  * dir string scopes fixture dirs within a session.
+  */
+private[operators] object StoreToken {
+  def apply(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dh = md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    s"${app}_$dh"
+  }
+}
+
+/** Once-per-JVM persisted-store build guard, shared by the dedup / ANN /
+  * IVF / sketch / session / graph store families: the store is written
+  * the first time a (session, fixture-dir) pair asks for it and reused
+  * by every later build in the same JVM — the production posture
+  * (stores are built once at ingest; deltas only read them), and what
+  * makes the steady-state TimeQuery/Bench reading the honest
   * incremental cost rather than store-build + increment.
+  *
+  * Restart safety (ADVICE r12): the build runs OUTSIDE the map's bin
+  * lock (putIfAbsent of a CompletableFuture; losers await it), the
+  * workspace dir is wiped before writing so a retry never lands on a
+  * failed build's partial files, and a failed build removes its entry
+  * so the next caller rebuilds from clean state.
   */
 private[operators] object StoreOnce {
-  private val built = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  def apply(key: String)(write: => Unit): Unit =
-    built.computeIfAbsent(key, _ => { write; java.lang.Boolean.TRUE })
+  private val built = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[Unit]]()
+  def apply(key: String)(write: => Unit): Unit = {
+    val mine = new java.util.concurrent.CompletableFuture[Unit]()
+    val prior = built.putIfAbsent(key, mine)
+    if (prior == null) {
+      try {
+        BucketedWorkspace.deleteRecursively(new java.io.File(key))
+        write
+        mine.complete(())
+        ()
+      } catch {
+        case t: Throwable =>
+          built.remove(key, mine)
+          mine.completeExceptionally(t)
+          throw t
+      }
+    } else prior.join()
+  }
+}
+
+/** Idempotent day-2 store append (VERDICT r12 task 1 — restart safety):
+  * a bare `insertInto` append double-appends when the day-N job re-runs
+  * after a mid-write failure, and for SUM-merged stores (CMS, quantile
+  * histogram) the corruption is silent. Every store therefore carries
+  * its vintage as a PARTITION column and the day-N "append" is a
+  * DYNAMIC partition overwrite of exactly the vintage partitions the
+  * delta produces: re-running the job — including over a partial
+  * earlier write — deterministically rewrites `vintage=deltaN` and
+  * touches nothing else, so append-twice ≡ append-once (property-tested
+  * per store in Round13PropertiesSpec). The bucket layout is unchanged:
+  * each vintage partition holds its own bucket files and the table-wide
+  * bucket spec keeps store reads exchange-free (the plan pins).
+  */
+private[operators] object VintageWrite {
+  def apply(df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+    // insertInto ignores per-write DataFrameWriter options (unlike
+    // save/saveAsTable), so the dynamic mode must be pinned on the
+    // session conf for the duration of the write — and restored after,
+    // so no other write path silently inherits it
+    val spark = df.sparkSession
+    val k = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "dynamic")
+    try df.write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
 }
 
 /** Session-scoped /tmp workspace for the bucketed-layout demonstration:
@@ -323,12 +393,13 @@ private[operators] object BucketedWorkspace {
 
   def cleanupOnExit(path: String): Unit =
     if (hooked.putIfAbsent(path, java.lang.Boolean.TRUE) == null) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => delete(new java.io.File(path))))
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteRecursively(new java.io.File(path))))
     }
 
-  private def delete(f: java.io.File): Unit = {
+  def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
-    if (children != null) children.foreach(delete)
+    if (children != null) children.foreach(deleteRecursively)
     f.delete()
     ()
   }

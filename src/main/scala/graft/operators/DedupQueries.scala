@@ -1556,7 +1556,7 @@ object DedupQueries {
   /** DuckDB chain replaying [[bandKeyed]] ∘ [[minhashSigs]] ∘ shingles over
     * `src`, producing `{p}bands(doc_id, bandkey, mh0..mh15)`.
     */
-  private def bandKeyedCteFrom(src: String, p: String): String = {
+  private[graft] def bandKeyedCteFrom(src: String, p: String): String = {
     val mhCols = minhashSeeds.zipWithIndex
       .map { case (k, i) => s"MIN(xor(x, $k)) AS mh$i" }.mkString(", ")
     val all16 = (0 until 16).map(i => s"mh$i").mkString(", ")
@@ -1576,25 +1576,12 @@ object DedupQueries {
         ${p}bands AS ($bandSelects)"""
   }
 
-  /** Once-per-JVM signature-store build guard: the store is written the
-    * first time a (session, fixture-dir) pair asks for it and reused by
-    * every later build in the same JVM — exactly the production shape
-    * (the store is built once at ingest; nightly deltas only read it),
-    * and what makes the steady-state TimeQuery/Bench reading the honest
-    * INCREMENTAL cost rather than store-build + increment.
-    */
-  private object IncStore {
-    private val built = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-    def once(key: String)(write: => Unit): Unit =
-      built.computeIfAbsent(key, _ => { write; java.lang.Boolean.TRUE })
-  }
-
   /** Cross-snapshot INCREMENTAL dedup — the production loop every corpus
     * engineer asks for after the batch pass works: last night's crawl
     * delta (doc_id ≡ 0 mod 10, ~10% of documents) is deduped against the
     * EXISTING corpus (the other 90%) WITHOUT re-scanning the base
     * corpus. The base is represented by a persisted signature store,
-    * built once per session ([[IncStore]]) and written via the
+    * built once per session ([[graft.operators.StoreOnce]]) and written via the
     * q_bucketed_join bucketed sink (8 buckets, sorted, external parquet):
     *
     *   - `exact` store: (doc_id, h=md5(text)) bucketed on h;
@@ -1631,16 +1618,15 @@ object DedupQueries {
   private val dedupIncremental = Q(
     "q_dedup_incremental",
     (spark, dir) => {
-      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-      val dh = Integer.toHexString(dir.hashCode)
-      val wh = s"/tmp/graft_incstore_${tok}_$dh"
-      val exactT = s"g_inc_exact_${tok}_$dh"
-      val bandsT = s"g_inc_bands_${tok}_$dh"
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_incstore_$key"
+      val exactT = s"g_inc_exact_$key"
+      val bandsT = s"g_inc_bands_$key"
       val docs = Tables.spreadIfUnderSplitAtScale(
         Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
       val base = docs.filter(col("doc_id") % 10 =!= 0)
       val delta = docs.filter(col("doc_id") % 10 === 0)
-      IncStore.once(wh) {
+      StoreOnce(wh) {
         BucketedWorkspace.cleanupOnExit(wh)
         base.select(col("doc_id"), md5(col("text")).as("h"))
           .write.mode("overwrite").bucketBy(8, "h").sortBy("h")
@@ -1729,17 +1715,39 @@ object DedupQueries {
           ORDER BY doc_id, kind, match_doc"""
     })
 
+  /** q_store_append's catalog table: the vintage-PARTITIONED, bandkey-
+    * bucketed band-signature store ([[StoreToken]]-keyed).
+    */
+  private[graft] def bandStoreTable(spark: SparkSession, dir: String): String =
+    s"g_inc2_bands_${StoreToken(spark, dir)}"
+
+  /** The day-2 band-signature append, re-runnable: a [[VintageWrite]]
+    * dynamic overwrite of vintage=delta1 (append-twice ≡ append-once —
+    * the Round13PropertiesSpec restart-safety property).
+    */
+  private[graft] def bandStoreAppendDelta1(spark: SparkSession, dir: String): Unit = {
+    val docs = Tables.spreadIfUnderSplitAtScale(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+    VintageWrite(
+      bandKeyed(minhashSigs(shingleRelOf(docs.filter(col("doc_id") % 10 === 1))))
+        .withColumn("vintage", lit("delta1")),
+      bandStoreTable(spark, dir))
+  }
+
   /** Day-2 of the incremental loop — signature-store MAINTENANCE:
     * q_dedup_incremental proved a delta dedups against a bucketed store
     * without re-scanning base text; this query proves the store GROWS
-    * correctly. The base corpus's band signatures persist once
-    * (bucketBy(8, bandkey), the same sink), yesterday's delta
-    * (doc_id ≡ 1 mod 10) is APPENDED into the same bucketed table via
-    * insertInto — each append adds one file per bucket, never a
-    * rewrite — and today's delta (≡ 0) dedups against the GROWN store.
-    * The match_vintage column attributes every hit to base / delta1 /
-    * within-delta2, so a live append is visible in the output (a
-    * delta1 hit can only exist if the appended files are read), and
+    * correctly AND survives a day-2 re-run. The base corpus's band
+    * signatures persist once (bucketBy(8, bandkey) under a vintage
+    * partition — the same sink), yesterday's delta (doc_id ≡ 1 mod 10)
+    * lands as a [[VintageWrite]] dynamic overwrite of its vintage
+    * partition — one bucket-file set per vintage, never a base rewrite,
+    * and IDEMPOTENT under job restart (a bare append would double the
+    * delta's signatures on re-run; the overwrite rewrites exactly
+    * vintage=delta1) — and today's delta (≡ 0) dedups against the GROWN
+    * store. The match_vintage column attributes every hit to base /
+    * delta1 / within-delta2, so a live append is visible in the output
+    * (a delta1 hit can only exist if the appended files are read), and
     * the within-today self-check keeps arrival-order semantics.
     *
     * Scale posture: identical to q_dedup_incremental — the grown store
@@ -1750,24 +1758,25 @@ object DedupQueries {
   private val storeAppend = Q(
     "q_store_append",
     (spark, dir) => {
-      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-      val dh = Integer.toHexString(dir.hashCode)
-      val wh = s"/tmp/graft_incstore2_${tok}_$dh"
-      val bandsT = s"g_inc2_bands_${tok}_$dh"
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_incstore2_$key"
+      val bandsT = bandStoreTable(spark, dir)
       val docs = Tables.spreadIfUnderSplitAtScale(
         Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
       val base = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 1)
       val delta1 = docs.filter(col("doc_id") % 10 === 1)
       val delta2 = docs.filter(col("doc_id") % 10 === 0)
-      IncStore.once(wh) {
+      StoreOnce(wh) {
         BucketedWorkspace.cleanupOnExit(wh)
         bandKeyed(minhashSigs(shingleRelOf(base)))
-          .write.mode("overwrite").bucketBy(8, "bandkey").sortBy("bandkey")
+          .withColumn("vintage", lit("base"))
+          .write.mode("overwrite").partitionBy("vintage")
+          .bucketBy(8, "bandkey").sortBy("bandkey")
           .option("path", s"$wh/bands").saveAsTable(bandsT)
-        // the nightly append: yesterday's signatures INSERT INTO the
-        // same bucketed table (positional — bandKeyed fixes the order)
-        bandKeyed(minhashSigs(shingleRelOf(delta1)))
-          .write.mode("append").insertInto(bandsT)
+        // the nightly append: yesterday's signatures land as a DYNAMIC
+        // overwrite of their vintage partition — re-runnable after a
+        // mid-write failure without double-appending (VintageWrite)
+        bandStoreAppendDelta1(spark, dir)
       }
       val store = spark.table(bandsT).select(
         col("doc_id").as("m") +: col("bandkey") +:
@@ -1815,6 +1824,104 @@ object DedupQueries {
             CAST(mm * 625 AS BIGINT) AS est_bp
           FROM npairs WHERE mm >= 8
           ORDER BY doc_id, match_doc"""
+    })
+
+  /** q_store_delete's two catalog tables: the full signature store and
+    * its post-deletion rewrite. */
+  private[graft] def delStoreTables(spark: SparkSession, dir: String): (String, String) = {
+    val key = StoreToken(spark, dir)
+    (s"g_del_bands_$key", s"g_del_bands_v2_$key")
+  }
+
+  /** DELETION from the persisted signature store — the missing third
+    * verb of the store lifecycle (create / append / DELETE), and the
+    * GDPR path ON THE INDEX: purging a document from the corpus is not
+    * enough if its minhash signatures keep matching future deltas
+    * against it. The store (band signatures of all non-today docs,
+    * bucketBy(8, bandkey) — the q_dedup_incremental sink) takes a
+    * deletion request (doc_id ≡ 5 mod 10): the request-sized id set
+    * BROADCASTS onto a store anti-join and the surviving rows rewrite
+    * under the SAME bucket layout, so every later probe still rides the
+    * stored buckets with zero store-side exchange (plan-pinned on the
+    * post-delete table). Today's delta (≡ 0) probes BOTH stores; the
+    * phase column makes the deletion visible in the output — a `pre`
+    * match against a purged doc has no `post` twin (property-tested on
+    * a planted corpus where the probe's only near-dup IS the purged
+    * doc).
+    *
+    * Scale posture: deletion cost is one store scan + broadcast
+    * anti-join + bucketed rewrite (no shuffle of the store on its key —
+    * the GDPR request is bounded); the probes are the plan-pinned
+    * bucketed band joins, cost ∝ delta mass. The sketch stores are
+    * deliberately NON-invertible (HLL registers and Bloom bits cannot
+    * forget a key — see the q_hll_store / q_bloom_store notes);
+    * q_theta_diff's A-NOT-B sampling is the documented escape hatch for
+    * deletion-aware distinct estimates.
+    */
+  private val storeDelete = Q(
+    "q_store_delete",
+    (spark, dir) => {
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_delstore_$key"
+      val (bandsT, bandsT2) = delStoreTables(spark, dir)
+      val docs = Tables.spreadIfUnderSplitAtScale(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+      val base = docs.filter(col("doc_id") % 10 =!= 0)
+      StoreOnce(wh) {
+        BucketedWorkspace.cleanupOnExit(wh)
+        bandKeyed(minhashSigs(shingleRelOf(base)))
+          .write.mode("overwrite").bucketBy(8, "bandkey").sortBy("bandkey")
+          .option("path", s"$wh/bands").saveAsTable(bandsT)
+        // the deletion request: purge doc_id ≡ 5 (mod 10) — anti-join
+        // rewrite preserving the bucket layout; the request id set is
+        // bounded and broadcasts
+        val delIds = broadcast(
+          base.filter(col("doc_id") % 10 === 5).select(col("doc_id")))
+        spark.table(bandsT).join(delIds, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").bucketBy(8, "bandkey").sortBy("bandkey")
+          .option("path", s"$wh/bands_v2").saveAsTable(bandsT2)
+      }
+      val dBandsRaw = graft.Caches.persisted(
+        bandKeyed(minhashSigs(shingleRelOf(docs.filter(col("doc_id") % 10 === 0)))))
+      val dBands = dBandsRaw.select(
+        col("doc_id").as("d") +: col("bandkey") +:
+          (0 until 16).map(i => col(s"mh$i").as(s"dm$i")): _*)
+      val mm = (0 until 16).map(i =>
+        when(col(s"dm$i") === col(s"mh$i"), 1L).otherwise(0L)).reduce(_ + _)
+      def probe(table: String, phase: String): DataFrame = {
+        val store = spark.table(table).select(
+          col("doc_id").as("m") +: col("bandkey") +:
+            (0 until 16).map(i => col(s"mh$i")): _*)
+        dBands.join(store.hint("merge"), "bandkey")
+          .select(col("d"), col("m"), mm.as("mm"))
+          .distinct()
+          .filter(col("mm") >= 8)
+          .select(lit(phase).as("phase"), col("d").cast("bigint").as("doc_id"),
+            col("m").cast("bigint").as("match_doc"),
+            (col("mm") * 625L).cast("bigint").as("est_bp"))
+      }
+      probe(bandsT, "pre").unionAll(probe(bandsT2, "post"))
+        .orderBy(col("phase"), col("doc_id"), col("match_doc"))
+    },
+    Some {
+      val mmE = (0 until 16).map(i =>
+        s"CASE WHEN d.mh$i = s.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+          delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+          ${bandKeyedCteFrom("base", "b")},
+          ${bandKeyedCteFrom("delta", "d")},
+          cand AS (SELECT 'pre' AS phase, d.doc_id AS dd, s.doc_id AS m, $mmE AS mm
+                   FROM dbands d JOIN bbands s ON d.bandkey = s.bandkey
+                   UNION ALL
+                   SELECT 'post', d.doc_id, s.doc_id, $mmE
+                   FROM dbands d JOIN bbands s
+                     ON d.bandkey = s.bandkey AND s.doc_id % 10 <> 5),
+          u AS (SELECT DISTINCT phase, dd, m, mm FROM cand)
+          SELECT phase, CAST(dd AS BIGINT) AS doc_id,
+            CAST(m AS BIGINT) AS match_doc,
+            CAST(mm * 625 AS BIGINT) AS est_bp
+          FROM u WHERE mm >= 8
+          ORDER BY phase, doc_id, match_doc"""
     })
 
   /** Content-defined chunking (LBFS/FastCDC lineage: Muthitacharoen et
@@ -2113,6 +2220,6 @@ object DedupQueries {
     minhashPrecision, spanDedup, spanLeakage, simhashHamming, spanScrub,
     minhashEstError, lshBandSweep, boilerplatePrefix, spanDedupGlobal,
     spanScrubGlobal, spanCoverage, bbitMinhash, dedupSurvivorship,
-    dedupIncremental, cdcChunking, storeAppend, rougePair, editDistance,
-    winnowing)
+    dedupIncremental, cdcChunking, storeAppend, storeDelete, rougePair,
+    editDistance, winnowing)
 }

@@ -789,10 +789,9 @@ object EventQueries {
   private val sessionStore = Q(
     "q_session_store",
     (spark, dir) => {
-      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-      val dh = Integer.toHexString(dir.hashCode)
-      val wh = s"/tmp/graft_sessstore_${tok}_$dh"
-      val sT = s"g_session_store_${tok}_$dh"
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_sessstore_$key"
+      val sT = s"g_session_store_$key"
       val cut = lit("2024-01-16 00:00:00").cast("timestamp")
       val evs = Tables(spark, dir, "events")
         .select(col("user_id"), col("event_id"), col("ts"),
@@ -864,9 +863,137 @@ object EventQueries {
             SELECT user_id, session_id, n_events, sum_value_c
             FROM s WHERE has_today ORDER BY user_id, session_id"""))
 
+  /** q_session_expire's two catalog tables: the full open-session store
+    * and its TTL-evicted rewrite. */
+  private[graft] def expireStoreTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val key = graft.operators.StoreToken(spark, dir)
+    (s"g_sess_ttl_full_$key", s"g_sess_ttl_live_$key")
+  }
+
+  /** TTL EXPIRY of the open-session store — the retention verb of the
+    * store lifecycle, and the batch twin of a streaming state
+    * watermark: q_session_store's state grows one row per ever-active
+    * user forever; a production store evicts users idle past a horizon.
+    * The horizon must be ≥ the session gap (here 2 days vs 30 min), and
+    * then eviction is SEMANTICS-PRESERVING: an evicted user's next
+    * event is > gap away from their last, so a full recompute would
+    * start a fresh session anyway — dropping the state row changes
+    * nothing a future output can see. That claim IS the oracle: today's
+    * stitched pass against the EVICTED store ≡ a full-corpus sessionize
+    * restricted to sessions with ≥ 1 today event (the q_session_store
+    * restriction idiom), keyed by session START time — state-loss-proof
+    * keying (a stitched session reports its stored pre-cut start; id
+    * numbering would not survive eviction and is exactly what
+    * production pipelines don't key on).
+    *
+    * The store here extends q_session_store's row with the open
+    * session's start_us (streaming session state holds its window
+    * start); eviction = filter(last_us ≥ cut − TTL) rewritten under the
+    * SAME bucketBy(8, user_id) layout (plan-pinned bucketed read).
+    * from_store marks sessions stitched from retained state — visible
+    * eviction semantics (property-tested on a planted corpus with a
+    * retained stitcher, an evicted returner, and an evicted absentee).
+    *
+    * Scale posture: eviction is one scan of the ≤1-row-per-user store +
+    * bucketed rewrite; today's pass shuffles today's events once on
+    * user_id; nothing re-reads pre-cut events (the q_session_store
+    * pin).
+    */
+  private val sessionExpire = Q(
+    "q_session_expire",
+    (spark, dir) => {
+      val key = graft.operators.StoreToken(spark, dir)
+      val wh = s"/tmp/graft_sessttl_$key"
+      val (fullT, liveT) = expireStoreTables(spark, dir)
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val cutUs = 1705363200000000L // 2024-01-16 00:00:00 UTC in µs
+      val ttlUs = 2L * 86400000000L // 2-day idle horizon (≥ the 30-min gap)
+      val evs = Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      graft.operators.StoreOnce(wh) {
+        graft.operators.BucketedWorkspace.cleanupOnExit(wh)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val perSess = evs.filter(col("ts") < cut)
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("new_s", when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+          .withColumn("sid", sum(col("new_s")).over(run).cast("bigint"))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(count(lit(1)).cast("long").as("n"), sum(col("vc")).cast("long").as("c"),
+            max(col("us")).as("mx"), min(col("us")).as("mn"))
+        val wLast = Window.partitionBy(col("user_id")).orderBy(col("sid").desc)
+        perSess.withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+          .select(col("user_id"), col("mx").as("last_us"), col("mn").as("start_us"),
+            col("n").as("last_n"), col("c").as("last_c"))
+          .write.mode("overwrite").bucketBy(8, "user_id").sortBy("user_id")
+          .option("path", s"$wh/full").saveAsTable(fullT)
+        // the retention pass: evict state idle past the horizon,
+        // preserving the bucket layout for the stitch join
+        spark.table(fullT).filter(col("last_us") >= cutUs - ttlUs)
+          .write.mode("overwrite").bucketBy(8, "user_id").sortBy("user_id")
+          .option("path", s"$wh/live").saveAsTable(liveT)
+      }
+      val store = spark.table(liveT)
+      val today = evs.filter(col("ts") >= cut)
+        .select(col("user_id"), col("event_id"), col("us"), col("vc"))
+      val tw = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val trun = tw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val marked = today.join(store.hint("merge"), Seq("user_id"), "left")
+        .withColumn("prev_us", lag(col("us"), 1).over(tw))
+        .withColumn("prev_eff", coalesce(col("prev_us"), col("last_us")))
+        .withColumn("new_s", when(col("prev_eff").isNull ||
+          col("us") - col("prev_eff") > 1800000000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(trun).cast("bigint"))
+      val grouped = marked.groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_t"), sum(col("vc")).as("c_t"),
+          min(col("us")).as("first_us"))
+      val st2 = store.select(col("user_id").as("su"), col("start_us").as("s_start"),
+        col("last_n").as("sn"), col("last_c").as("sc"))
+      // sid = 0 ⟺ the first today event continued the stored open
+      // session (running new_s sum still zero) — the stitch marker
+      grouped.join(broadcast(st2),
+          col("user_id") === col("su") && col("sid") === 0, "left")
+        .select(col("user_id"),
+          when(col("sid") === 0, col("s_start")).otherwise(col("first_us"))
+            .cast("bigint").as("start_us"),
+          (col("n_t") + when(col("sid") === 0, coalesce(col("sn"), lit(0L)))
+            .otherwise(lit(0L))).cast("bigint").as("n_events"),
+          (col("c_t") + when(col("sid") === 0, coalesce(col("sc"), lit(0L)))
+            .otherwise(lit(0L))).cast("bigint").as("sum_value_c"),
+          (col("sid") === 0).as("from_store"))
+        .orderBy(col("user_id"), col("start_us"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+                FROM events),
+            l AS (SELECT user_id, event_id, us, vc,
+                    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+                  FROM e),
+            f AS (SELECT user_id, event_id, us, vc,
+                    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                         THEN 1 ELSE 0 END AS new_s
+                  FROM l),
+            g AS (SELECT user_id, us, vc,
+                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                  FROM f),
+            s AS (SELECT user_id, CAST(MIN(us) AS BIGINT) AS start_us,
+                    CAST(COUNT(*) AS BIGINT) AS n_events,
+                    CAST(SUM(vc) AS BIGINT) AS sum_value_c,
+                    BOOL_OR(us >= epoch_us(TIMESTAMP '2024-01-16 00:00:00')) AS has_today
+                  FROM g GROUP BY user_id, sid)
+            SELECT user_id, start_us, n_events, sum_value_c,
+              start_us < epoch_us(TIMESTAMP '2024-01-16 00:00:00') AS from_store
+            FROM s WHERE has_today ORDER BY user_id, start_us"""))
+
   val all: Seq[Q] = Seq(jsonFuncs, timeWindow, sessionize, histogram,
     eventWindowJoin, windowRangeTime, decileStats, decileApprox, funnel,
     retention, markovTransitions, eventPattern, histogram2d, cohortMatrix,
     attribution, timeToConvert, sessionPaths, coldStart, growthWow, scd2,
-    sessionStore)
+    sessionStore, sessionExpire)
 }

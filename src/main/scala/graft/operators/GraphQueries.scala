@@ -969,11 +969,10 @@ object GraphQueries {
   private val triangleStore = Q(
     "q_triangle_store",
     (spark, dir) => {
-      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-      val dh = Integer.toHexString(dir.hashCode)
-      val wh = s"/tmp/graft_tristore_${tok}_$dh"
-      val adjT = s"g_tri_adj_${tok}_$dh"
-      val cenT = s"g_tri_census_${tok}_$dh"
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_tristore_$key"
+      val adjT = s"g_tri_adj_$key"
+      val cenT = s"g_tri_census_$key"
       val op = Caches.persisted(Tables(spark, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
       def pairsOf(rel: DataFrame): DataFrame =

@@ -417,10 +417,9 @@ object IvfQueries {
   private val ivfStore = Q(
     "q_ivf_store",
     (spark, dir) => {
-      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-      val dh = Integer.toHexString(dir.hashCode)
-      val wh = s"/tmp/graft_ivfstore_${tok}_$dh"
-      val sT = s"g_ivf_store_${tok}_$dh"
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_ivfstore_$key"
+      val sT = s"g_ivf_store_$key"
       val e = Tables(spark, dir, "embeddings")
       val cents = broadcast(e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
@@ -442,7 +441,7 @@ object IvfQueries {
         .select(col("embedding").as("p")).crossJoin(cents)
         .select(col("cid"), VectorOps.cosine(col("p"), col("cemb")).as("ccos"))
         .orderBy(col("ccos").desc, col("cid")).limit(2)
-        .collect().map(_.getLong(0).toInt).toSeq
+        .collect().map(_.getAs[Number](0).intValue).toSeq
       val probe = broadcast(e.filter(col("vec_id") === 0)
         .select(col("embedding").as("p")))
       val pruned = spark.table(sT)
@@ -496,39 +495,66 @@ object IvfQueries {
     * the index files at any corpus size (plan-pinned PartitionFilter,
     * the q_ivf_store pin).
     */
+  /** The broadcast ingest-time centroid model (vec_id < 10 — fixed at
+    * ingest; re-clustering per append would re-partition the index). */
+  private def ivfCentsOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    broadcast(Tables(spark, dir, "embeddings").filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+
+  /** Nearest-centroid assignment of `rel` under the ingest model. */
+  private def ivfAssigned(rel: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    rel.crossJoin(cents)
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        VectorOps.cosine(col("embedding"), col("cemb")).as("ccos"))
+      .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").cast("int").as("cluster"))
+  }
+
+  private[graft] def ivfStoreTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = s"g_ivf_store2_${StoreToken(spark, dir)}"
+
+  /** The day-2 index append, re-runnable: a [[VintageWrite]] dynamic
+    * overwrite of the (vintage=delta1, cluster=*) partitions, assigned
+    * with the ingest-time centroids (append-twice ≡ append-once).
+    */
+  private[graft] def ivfStoreAppendDelta1(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val e = Tables(spark, dir, "embeddings")
+    VintageWrite(
+      ivfAssigned(e.filter(col("vec_id") % 10 === 1), ivfCentsOf(spark, dir))
+        .select(col("vec_id"), col("embedding"),
+          lit("delta1").as("vintage"), col("cluster")),
+      ivfStoreTable(spark, dir))
+  }
+
   private val ivfStoreAppend = Q(
     "q_ivf_store_append",
     (spark, dir) => {
-      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-      val dh = Integer.toHexString(dir.hashCode)
-      val wh = s"/tmp/graft_ivfstore2_${tok}_$dh"
-      val sT = s"g_ivf_store2_${tok}_$dh"
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_ivfstore2_$key"
+      val sT = ivfStoreTable(spark, dir)
       val e = Tables(spark, dir, "embeddings")
-      val cents = broadcast(e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
-      def assigned(rel: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-        val byVec = Window.partitionBy(col("vec_id"))
-          .orderBy(col("ccos").desc, col("cid"))
-        rel.crossJoin(cents)
-          .select(col("vec_id"), col("embedding"), col("cid"),
-            VectorOps.cosine(col("embedding"), col("cemb")).as("ccos"))
-          .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cid").cast("int").as("cluster"))
-      }
+      val cents = ivfCentsOf(spark, dir)
       StoreOnce(wh) {
         BucketedWorkspace.cleanupOnExit(wh)
-        assigned(e.filter(col("vec_id") % 10 >= 2))
-          .write.mode("overwrite").partitionBy("cluster")
+        ivfAssigned(e.filter(col("vec_id") % 10 >= 2), cents)
+          .withColumn("vintage", lit("base"))
+          .write.mode("overwrite").partitionBy("vintage", "cluster")
           .option("path", s"$wh/index").saveAsTable(sT)
-        // day-2 maintenance: yesterday's vectors append per partition,
-        // assigned with the ingest-time centroids
-        assigned(e.filter(col("vec_id") % 10 === 1)).write.insertInto(sT)
+        // day-2 maintenance: yesterday's vectors land inside their
+        // (vintage, cluster) partitions as a dynamic overwrite —
+        // idempotent under re-run, ingest-time centroids
+        ivfStoreAppendDelta1(spark, dir)
       }
       val routedIds = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("p")).crossJoin(cents)
         .select(col("cid"), VectorOps.cosine(col("p"), col("cemb")).as("ccos"))
         .orderBy(col("ccos").desc, col("cid")).limit(2)
-        .collect().map(_.getLong(0).toInt).toSeq
+        .collect().map(_.getAs[Number](0).intValue).toSeq
       val probe = broadcast(e.filter(col("vec_id") === 0)
         .select(col("embedding").as("p")))
       val pruned = spark.table(sT)
@@ -567,6 +593,174 @@ object IvfQueries {
             WHERE a.cluster IN (SELECT cid FROM routed)
             ORDER BY cos DESC, g.vec_id LIMIT 10"""))
 
+  /** ANN REBUILD-POLICY AUDIT (VERDICT r12 task 5): the IVF append
+    * story fixes the centroid model at ingest — correct for layout
+    * stability, but nothing measured when accumulated deltas degrade
+    * the grown index. This query emits the drift curve an operator
+    * actually tunes a rebuild threshold from: at delta fractions of the
+    * base mass (vec_id mod-10 waves: +1, +2, +3 tenths of the corpus on
+    * a 6-tenths base), recall@10 of the routed nprobe=2 search through
+    * (a) the GROWN index — assignments under the INGEST model, a
+    * one-Lloyd-step k=10 refinement of the fixed seeds over the BASE
+    * population (the q_kmeans_assign trainer) — vs (b) a FRESH REBUILD —
+    * the same trainer re-fit on the grown corpus. Ground truth is the
+    * exact brute-force top-10 per probe over the grown corpus, bounded
+    * to ≤5 probes (the q_knn_join vec_id < 50 sampled-audit idiom).
+    *
+    * Per stage: index size, delta share (exact bp), and both recalls
+    * (exact bp, fixed 10·|probes| denominator). The DuckDB oracle
+    * replays the trainer, both routers, both searches and the
+    * ground-truth arm as pure CTEs — the q_kmeans_assign precedent
+    * covers the float-mean determinism (assignment margins are far from
+    * accumulation-order noise on this data).
+    *
+    * Scale posture: every arm is a broadcast-bounded pass — assignment
+    * is a k=10 crossJoin rank, the Lloyd step is one partial-aggregated
+    * per-(cluster, dim) mean with only the k×dim matrix on the driver,
+    * the served search joins the ≤2·|probes|-row routed relation, and
+    * the quadratic ground truth is probe-sampled. Drop the audit arms in
+    * production and the remaining cost is the index assignment itself.
+    */
+  private val ivfDrift = Q(
+    "q_ivf_drift",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val seeds: Seq[(Long, Array[Double])] = e.filter(col("vec_id") < 10)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .toSeq.sortBy(_._1)
+      def lloyd(rel: org.apache.spark.sql.DataFrame): Seq[(Long, Array[Double])] =
+        KMeans.recompute(KMeans.assign(rel, seeds))
+      val base = e.filter(col("vec_id") % 10 >= 4)
+      val cIng = lloyd(base)
+      val probes = graft.Caches.persisted(
+        e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 50)
+          .select(col("vec_id").as("pid"), col("embedding").as("pe")))
+      val nP = probes.count()
+      val nBase = base.count()
+      val rows = (1 to 3).map { s =>
+        val grown = graft.Caches.persisted(e.filter(
+          col("vec_id") % 10 >= 4 ||
+            (col("vec_id") % 10 >= 1 && col("vec_id") % 10 <= s)))
+        val nG = grown.count()
+        val cReb = lloyd(grown)
+        def hitsOf(cents: Seq[(Long, Array[Double])]): org.apache.spark.sql.DataFrame = {
+          val cdf = broadcast(cents.toDF("cid", "c"))
+          val assigned = KMeans.assign(grown, cents)
+            .select(col("vec_id").as("nb"), col("embedding").as("ne"),
+              col("cluster"))
+          val wr = Window.partitionBy(col("pid")).orderBy(col("rcos").desc, col("cid"))
+          val routed = probes.crossJoin(cdf)
+            .select(col("pid"), col("pe"), col("cid"),
+              VectorOps.cosine(col("pe"), col("c")).as("rcos"))
+            .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 2)
+            .select(col("pid"), col("pe"), col("cid").as("cluster"))
+          val ws = Window.partitionBy(col("pid")).orderBy(col("cos").desc, col("nb"))
+          val served = routed.join(assigned, "cluster")
+            .select(col("pid"),
+              pround(VectorOps.cosine(col("pe"), col("ne")), 4).as("cos"), col("nb"))
+            .withColumn("rn", row_number().over(ws)).filter(col("rn") <= 10)
+            .select(col("pid"), col("nb"))
+          val wx = Window.partitionBy(col("xp")).orderBy(col("xcos").desc, col("xb"))
+          val exact = grown.crossJoin(broadcast(
+              probes.select(col("pid").as("xp"), col("pe").as("xpe"))))
+            .select(col("xp"), col("vec_id").as("xb"),
+              pround(VectorOps.cosine(col("xpe"), col("embedding")), 4).as("xcos"))
+            .withColumn("rn", row_number().over(wx)).filter(col("rn") <= 10)
+            .select(col("xp"), col("xb"))
+          served.join(exact,
+              col("pid") === col("xp") && col("nb") === col("xb"))
+            .agg(count(lit(1)).cast("bigint").as("h"))
+        }
+        hitsOf(cIng).select(col("h").as("hg"))
+          .crossJoin(hitsOf(cReb).select(col("h").as("hr")))
+          .select(lit(s).cast("int").as("stage"),
+            lit(nG).as("n_index"),
+            // max(1, ·) guards the empty-corpus edge only — real
+            // fixtures have nBase ≥ 1 and ≥ 1 probe (oracle mirrored)
+            lit((nG - nBase) * 10000L / math.max(1L, nBase)).as("delta_bp"),
+            expr(s"hg * 10000 div (${math.max(1L, nP * 10)})").as("recall_grown_bp"),
+            expr(s"hr * 10000 div (${math.max(1L, nP * 10)})").as("recall_rebuilt_bp"))
+      }
+      rows.reduce(_ unionAll _).orderBy(col("stage"))
+    },
+    Some {
+      def modelCte(name: String, rel: String): String =
+        s"""a_$name AS (SELECT vec_id, cid FROM (
+              SELECT r.vec_id, c0.cid,
+                row_number() OVER (PARTITION BY r.vec_id
+                  ORDER BY list_cosine_similarity(r.v, c0.c) DESC, c0.cid) AS rn
+              FROM $rel r CROSS JOIN c0) WHERE rn = 1),
+            m_$name AS (SELECT a.cid, t.d, AVG(r.v[t.d]) AS md
+                        FROM a_$name a JOIN $rel r USING (vec_id),
+                             UNNEST(generate_series(1, len(r.v))) AS t(d)
+                        GROUP BY a.cid, t.d),
+            c_$name AS (SELECT cid, list(md ORDER BY d) AS c FROM m_$name GROUP BY cid)"""
+      def armCte(s: Int, m: String): String =
+        s"""asg_${s}_$m AS (SELECT vec_id, cid FROM (
+              SELECT g.vec_id, c.cid,
+                row_number() OVER (PARTITION BY g.vec_id
+                  ORDER BY list_cosine_similarity(g.v, c.c) DESC, c.cid) AS rn
+              FROM g$s g CROSS JOIN c_$m c) WHERE rn = 1),
+            rt_${s}_$m AS (SELECT pid, cid FROM (
+              SELECT p.pid, c.cid,
+                row_number() OVER (PARTITION BY p.pid
+                  ORDER BY list_cosine_similarity(p.pv, c.c) DESC, c.cid) AS rn
+              FROM pr p CROSS JOIN c_$m c) WHERE rn <= 2),
+            srv_${s}_$m AS (SELECT pid, nb FROM (
+              SELECT r.pid, g.vec_id AS nb,
+                row_number() OVER (PARTITION BY r.pid
+                  ORDER BY FLOOR(list_cosine_similarity(p.pv, g.v) * 10000 + 0.5) / 10000
+                    DESC, g.vec_id) AS rn
+              FROM rt_${s}_$m r
+              JOIN asg_${s}_$m a ON a.cid = r.cid
+              JOIN g$s g ON g.vec_id = a.vec_id
+              JOIN pr p ON p.pid = r.pid) WHERE rn <= 10),
+            h_${s}_$m AS (SELECT CAST(COUNT(*) AS BIGINT) AS h
+                          FROM srv_${s}_$m s JOIN ex_$s x
+                            ON x.pid = s.pid AND x.nb = s.nb)"""
+      val grownCtes = (1 to 3).map(s =>
+        s"""g$s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                    WHERE vec_id % 10 >= 4 OR (vec_id % 10 BETWEEN 1 AND $s))""")
+      val exCtes = (1 to 3).map(s =>
+        s"""ex_$s AS (SELECT pid, nb FROM (
+              SELECT p.pid, g.vec_id AS nb,
+                row_number() OVER (PARTITION BY p.pid
+                  ORDER BY FLOOR(list_cosine_similarity(p.pv, g.v) * 10000 + 0.5) / 10000
+                    DESC, g.vec_id) AS rn
+              FROM pr p CROSS JOIN g$s g) WHERE rn <= 10)""")
+      val rebCtes = (1 to 3).map(s => modelCte(s"reb$s", s"g$s"))
+      val armCtes = (1 to 3).flatMap(s => Seq(armCte(s, "ing"), armCte(s, s"reb$s")))
+      val ngCtes = (1 to 3).map(s =>
+        s"ng$s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g$s)")
+      val finals = (1 to 3).map(s =>
+        s"""SELECT CAST($s AS INT) AS stage, ng$s.n AS n_index,
+              (ng$s.n - nb0.n) * 10000 // GREATEST(nb0.n, 1) AS delta_bp,
+              hg.h * 10000 // GREATEST(np.n * 10, 1) AS recall_grown_bp,
+              hr.h * 10000 // GREATEST(np.n * 10, 1) AS recall_rebuilt_bp
+            FROM ng$s, nb0, np, h_${s}_ing hg, h_${s}_reb$s hr""")
+        .mkString("\nUNION ALL\n")
+      s"""WITH g0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                      WHERE vec_id % 10 >= 4),
+          c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+                 FROM embeddings WHERE vec_id < 10),
+          pr AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+                 FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 50),
+          ${grownCtes.mkString(",\n")},
+          ${modelCte("ing", "g0")},
+          ${rebCtes.mkString(",\n")},
+          ${exCtes.mkString(",\n")},
+          ${armCtes.mkString(",\n")},
+          nb0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g0),
+          np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pr),
+          ${ngCtes.mkString(",\n")}
+          SELECT stage, n_index, CAST(delta_bp AS BIGINT) AS delta_bp,
+            CAST(recall_grown_bp AS BIGINT) AS recall_grown_bp,
+            CAST(recall_rebuilt_bp AS BIGINT) AS recall_rebuilt_bp
+          FROM ($finals) ORDER BY stage"""
+    })
+
   val all: Seq[Q] = Seq(knnIvf, dedupEmbedLsh, ivfRecallSweep, ivfPq, ivfStore,
-    ivfStoreAppend)
+    ivfStoreAppend, ivfDrift)
 }

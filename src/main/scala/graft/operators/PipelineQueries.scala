@@ -254,6 +254,198 @@ object PipelineQueries {
                 AS share
             FROM g CROSS JOIN s ORDER BY reason"""))
 
+  /** q_corpus_incremental's two catalog tables: the content-hash store
+    * and the canonical band-signature store. */
+  private[graft] def corpusStoreTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val key = StoreToken(spark, dir)
+    (s"g_corpus_h_$key", s"g_corpus_bands_$key")
+  }
+
+  /** DAY-2 OF THE WHOLE CORPUS PIPELINE — the composition proof
+    * (VERDICT r12 task 4): q_corpus_pipeline replays the full build;
+    * the per-family incremental organs (q_dedup_incremental's stores,
+    * q_store_append's growth) exist separately; this query runs the
+    * production nightly loop END-TO-END — tonight's crawl delta
+    * (doc_id ≡ 0 mod 10) flows quality filter → exact dedup against the
+    * persisted CONTENT-HASH store → near-dup against the persisted
+    * BAND-SIGNATURE store (and within-delta, arrival-order) → the
+    * admitted-docs funnel, without re-reading any base text.
+    *
+    * The base state is built once at ingest ([[graft.operators.StoreOnce]]),
+    * running the exact q_corpus_pipeline stages over the base corpus:
+    * quality ≥ 0.4 → exact keep-first → minhash-LSH + connected-
+    * components canonical removal; then two stores persist — the
+    * distinct content hashes of the exact survivors (bucketBy(8, h);
+    * exact-stage semantics match a full recompute over base ∪ delta:
+    * a delta doc equal to ANY quality-kept base doc is a duplicate,
+    * canonical or not) and the band signatures of the CANONICAL
+    * survivors (bucketBy(8, bandkey) — near-dup admits against what the
+    * corpus actually kept). Today's near channel reuses
+    * q_dedup_incremental's estimated-Jaccard discipline (16-minhash
+    * agreement ≥ 8/16 in the band join; within-delta matches test
+    * earlier delta ids — arrival-order semantics, no within-delta CC
+    * closure: the store is the canonical authority, documented exactly
+    * as q_dedup_incremental does).
+    *
+    * Output: the four-stage admission funnel (stage, n_docs) — raw
+    * delta, quality-kept, exact-surviving, admitted. The DuckDB oracle
+    * replays base-state derivation AND the delta pass as pure CTEs
+    * (recursive CC walk — the q_corpus_pipeline skeleton), so the
+    * store contents and every drop decision are verified exactly.
+    *
+    * Scale posture: the nightly cost is quality scoring + signatures
+    * over the DELTA only, two bucketed store joins with zero store-side
+    * exchange (the q_dedup_incremental pin shape), and bounded
+    * aggregates; base text is read once at ingest, never again.
+    */
+  private val corpusIncremental = Q(
+    "q_corpus_incremental",
+    (spark, dir) => {
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_corpusinc_$key"
+      val (hT, bT) = corpusStoreTables(spark, dir)
+      val (_, _, _, score) = TextOps.qualityScore(col("text"))
+      val docs = Tables.spreadIfUnderSplitAtScale(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+      val base = docs.filter(col("doc_id") % 10 =!= 0)
+      StoreOnce(wh) {
+        BucketedWorkspace.cleanupOnExit(wh)
+        val kept = base.withColumn("score", score).filter(col("score") >= 0.4)
+        val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        val exact = graft.Caches.persisted(
+          kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .drop("rn"))
+        exact.select(md5(col("text")).as("h")).distinct()
+          .write.mode("overwrite").bucketBy(8, "h").sortBy("h")
+          .option("path", s"$wh/hashes").saveAsTable(hT)
+        val sh = exact.select(col("doc_id"),
+          explode(TextOps.distinctWordNGrams(col("text"), 3)).as("sh"))
+        val dropIds = GraphQueries.componentsOf(DedupQueries.minhashCandidates(sh))
+          .filter(col("node") =!= col("component"))
+          .select(col("node").as("doc_id"))
+        val canon = exact.join(dropIds, Seq("doc_id"), "left_anti")
+        DedupQueries.bandKeyed(DedupQueries.minhashSigs(
+            DedupQueries.shingleRelOf(canon.select(col("doc_id"), col("text")))))
+          .write.mode("overwrite").bucketBy(8, "bandkey").sortBy("bandkey")
+          .option("path", s"$wh/bands").saveAsTable(bT)
+      }
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      val dkept = graft.Caches.persisted(
+        delta.withColumn("score", score).filter(col("score") >= 0.4)
+          .select(col("doc_id"), col("text")))
+      val wD = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      val dExact = graft.Caches.persisted(
+        dkept.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+          .join(spark.table(hT).hint("merge"), Seq("h"), "left_anti")
+          .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
+          .select(col("doc_id"), col("text")))
+      val dBandsRaw = graft.Caches.persisted(
+        DedupQueries.bandKeyed(DedupQueries.minhashSigs(
+          DedupQueries.shingleRelOf(dExact))))
+      val dBands = dBandsRaw.select(
+        col("doc_id").as("d") +: col("bandkey") +:
+          (0 until 16).map(i => col(s"mh$i").as(s"dm$i")): _*)
+      val storeBands = spark.table(bT).select(
+        col("doc_id").as("m") +: col("bandkey") +:
+          (0 until 16).map(i => col(s"mh$i")): _*)
+      val dAsStore = dBandsRaw.select(
+        col("doc_id").as("m") +: col("bandkey") +:
+          (0 until 16).map(i => col(s"mh$i")): _*)
+      val mm = (0 until 16).map(i =>
+        when(col(s"dm$i") === col(s"mh$i"), 1L).otherwise(0L)).reduce(_ + _)
+      val nearDrop = dBands.join(storeBands.hint("merge"), "bandkey")
+        .unionAll(dBands.join(dAsStore, "bandkey").filter(col("m") < col("d")))
+        .select(col("d"), col("m"), mm.as("mm"))
+        .filter(col("mm") >= 8)
+        .select(col("d").as("doc_id")).distinct()
+      val dNear = dExact.join(nearDrop, Seq("doc_id"), "left_anti")
+      def c(df: org.apache.spark.sql.DataFrame, stage: String) =
+        df.agg(count(lit(1)).cast("bigint").as("n_docs"))
+          .select(lit(stage).as("stage"), col("n_docs"))
+      c(delta, "1_delta_raw").unionAll(c(dkept, "2_quality"))
+        .unionAll(c(dExact, "3_exact")).unionAll(c(dNear, "4_near"))
+        .orderBy(col("stage"))
+    },
+    Some {
+      val mmE = (0 until 16).map(i =>
+        s"CASE WHEN d.mh$i = s.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH RECURSIVE
+          t AS (SELECT doc_id, text,
+                  list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents WHERE doc_id % 10 <> 0),
+          m AS (SELECT doc_id, text,
+                  CAST(len(ws) AS DOUBLE) AS n_tok,
+                  CASE WHEN len(ws) = 0 THEN 0.0
+                       ELSE CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                            / CAST(len(ws) AS DOUBLE) END AS avg_len,
+                  CASE WHEN len(ws) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter(ws, w -> w IN
+                         ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                         / CAST(len(ws) AS DOUBLE) END AS ratio
+                FROM t),
+          kept AS (SELECT doc_id, text FROM m
+                   WHERE LEAST(n_tok / 100.0, 1.0) * 0.4 + ratio * 0.3
+                     + LEAST(avg_len / 8.0, 1.0) * 0.3 >= 0.4),
+          exact AS (SELECT doc_id, text FROM (
+                      SELECT doc_id, text,
+                        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                      FROM kept)
+                    WHERE rn = 1),
+          ${DedupQueries.minhashCandCteFrom("exact")},
+          cc_edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                       UNION ALL SELECT doc_b, doc_a FROM cand),
+          walk(node, lbl) AS (
+            SELECT DISTINCT src, src FROM cc_edges
+            UNION
+            SELECT e.dst, w.lbl FROM walk w JOIN cc_edges e ON e.src = w.node),
+          cc AS (SELECT node, MIN(lbl) AS component FROM walk GROUP BY node),
+          canon AS (SELECT doc_id, text FROM exact
+                    WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> component)),
+          hstore AS (SELECT DISTINCT md5(text) AS h FROM exact),
+          ${DedupQueries.bandKeyedCteFrom("canon", "s")},
+          dt AS (SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                 FROM documents WHERE doc_id % 10 = 0),
+          dmet AS (SELECT doc_id, text,
+                     CAST(len(ws) AS DOUBLE) AS n_tok,
+                     CASE WHEN len(ws) = 0 THEN 0.0
+                          ELSE CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                               / CAST(len(ws) AS DOUBLE) END AS avg_len,
+                     CASE WHEN len(ws) = 0 THEN 0.0
+                          ELSE CAST(len(list_filter(ws, w -> w IN
+                            ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                            / CAST(len(ws) AS DOUBLE) END AS ratio
+                   FROM dt),
+          dkept AS (SELECT doc_id, text FROM dmet
+                    WHERE LEAST(n_tok / 100.0, 1.0) * 0.4 + ratio * 0.3
+                      + LEAST(avg_len / 8.0, 1.0) * 0.3 >= 0.4),
+          dexact AS (SELECT doc_id, text FROM (
+                       SELECT doc_id, text,
+                         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                       FROM dkept
+                       WHERE md5(text) NOT IN (SELECT h FROM hstore))
+                     WHERE rn = 1),
+          ${DedupQueries.bandKeyedCteFrom("dexact", "d")},
+          ndrop AS (SELECT DISTINCT d.doc_id
+                    FROM dbands d JOIN sbands s ON d.bandkey = s.bandkey
+                    WHERE $mmE >= 8
+                    UNION
+                    SELECT d.doc_id
+                    FROM dbands d JOIN dbands s
+                      ON d.bandkey = s.bandkey AND s.doc_id < d.doc_id
+                    WHERE $mmE >= 8),
+          dnear AS (SELECT doc_id FROM dexact
+                    WHERE doc_id NOT IN (SELECT doc_id FROM ndrop))
+          SELECT stage, n_docs FROM (
+            SELECT '1_delta_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL SELECT '2_quality', CAST(COUNT(*) AS BIGINT) FROM dkept
+            UNION ALL SELECT '3_exact', CAST(COUNT(*) AS BIGINT) FROM dexact
+            UNION ALL SELECT '4_near', CAST(COUNT(*) AS BIGINT) FROM dnear)
+          ORDER BY stage"""
+    })
+
   val all: Seq[Q] = Seq(trainTestSplit, contamination, cleanPipeline,
-    corpusPipeline, qualityEnsemble)
+    corpusPipeline, qualityEnsemble, corpusIncremental)
 }

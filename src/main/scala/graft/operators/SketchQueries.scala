@@ -1205,29 +1205,48 @@ object SketchQueries {
     * corpus-width pass (drop it in production and nothing else
     * changes).
     */
+  /** HLL register relation of `rel`'s custkeys, vintage-stamped (the
+    * q_hll_store store row shape: j, m, vintage — vintage last so the
+    * positional insert lines up with the vintage-partitioned table).
+    */
+  private def hllRegsOf(rel: DataFrame, vintage: String): DataFrame =
+    rel.select(Portable.hash60(col("o_custkey").cast("string")).as("h"))
+      .select((col("h") % 256).cast("int").as("j"), expr("h div 256").as("w"))
+      .select(col("j"),
+        when(col("w") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("w")))).cast("int").as("r"))
+      .groupBy(col("j")).agg(max(col("r")).as("m"))
+      .select(col("j"), col("m"), lit(vintage).as("vintage"))
+
+  private[graft] def hllStoreTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = s"g_hll_store_${StoreToken(spark, dir)}"
+
+  /** The day-2 register append, re-runnable: a [[VintageWrite]] dynamic
+    * overwrite of vintage=delta1 (append-twice ≡ append-once).
+    */
+  private[graft] def hllStoreAppendDelta1(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    VintageWrite(
+      hllRegsOf(Tables(spark, dir, "orders").filter(col("o_orderkey") % 10 === 1),
+        "delta1"),
+      hllStoreTable(spark, dir))
+
   private val hllStore = Q(
     "q_hll_store",
     (spark, dir) => {
-      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-      val dh = Integer.toHexString(dir.hashCode)
-      val wh = s"/tmp/graft_hllstore_${tok}_$dh"
-      val regT = s"g_hll_store_${tok}_$dh"
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_hllstore_$key"
+      val regT = hllStoreTable(spark, dir)
       val o = Tables(spark, dir, "orders")
-      def regsOf(rel: DataFrame, vintage: String): DataFrame =
-        rel.select(Portable.hash60(col("o_custkey").cast("string")).as("h"))
-          .select((col("h") % 256).cast("int").as("j"), expr("h div 256").as("w"))
-          .select(col("j"),
-            when(col("w") === 0, lit(53))
-              .otherwise(lit(53) - length(bin(col("w")))).cast("int").as("r"))
-          .groupBy(col("j")).agg(max(col("r")).as("m"))
-          .select(lit(vintage).as("vintage"), col("j"), col("m"))
+      def regsOf(rel: DataFrame, vintage: String): DataFrame = hllRegsOf(rel, vintage)
       StoreOnce(wh) {
         BucketedWorkspace.cleanupOnExit(wh)
         regsOf(o.filter(col("o_orderkey") % 10 >= 2), "base")
-          .write.mode("overwrite").option("path", s"$wh/regs").saveAsTable(regT)
-        // day-2 maintenance: yesterday's registers merge in as rows
-        regsOf(o.filter(col("o_orderkey") % 10 === 1), "delta1")
-          .write.insertInto(regT)
+          .write.mode("overwrite").partitionBy("vintage")
+          .option("path", s"$wh/regs").saveAsTable(regT)
+        // day-2 maintenance: yesterday's registers merge in as a
+        // dynamic vintage-partition overwrite — idempotent under re-run
+        hllStoreAppendDelta1(spark, dir)
       }
       val store = spark.table(regT)
       val todayRegs = regsOf(o.filter(col("o_orderkey") % 10 === 0), "today")
@@ -1338,31 +1357,57 @@ object SketchQueries {
     * the exact top-10 census are the audit yardsticks — the only
     * corpus-width passes.
     */
+  /** Per-(doc_id mod 10 group, word) relation of `documents` — the CMS
+    * store family's shared input shape. */
+  private def cmsWordsOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables.spreadIfUnderSplitAtScale(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .select((col("doc_id") % 10).as("g"),
+        explode(graft.functions.TextOps.wordsNative(lower(col("text")))).as("word"))
+
+  /** Depth-4 × width-512 counter relation of a word set, vintage-stamped
+    * (d, p, c, vintage — vintage last for the partitioned insert). */
+  private def cmsCountersOf(rel: DataFrame, vintage: String): DataFrame =
+    rel.select(Portable.hash60(col("word")).as("hv"))
+      .select(posexplode(array((0 until 4).map(i =>
+        shiftright(col("hv"), 9 * i).bitwiseAND(lit(511L))): _*)))
+      .withColumnRenamed("pos", "d").withColumnRenamed("col", "p")
+      .groupBy(col("d"), col("p")).agg(count(lit(1)).as("c"))
+      .select(col("d"), col("p"), col("c"), lit(vintage).as("vintage"))
+
+  private[graft] def cmsStoreTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = s"g_cms_store_${StoreToken(spark, dir)}"
+
+  /** The day-2 counter append, re-runnable: a [[VintageWrite]] dynamic
+    * overwrite of vintage=delta1 — the store whose double-append
+    * corruption would be SILENT (SUM-merged), so restart safety matters
+    * most here (append-twice ≡ append-once, property-tested).
+    */
+  private[graft] def cmsStoreAppendDelta1(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    VintageWrite(
+      cmsCountersOf(cmsWordsOf(spark, dir).filter(col("g") === 1), "delta1"),
+      cmsStoreTable(spark, dir))
+
   private val cmsStore = Q(
     "q_cms_store",
     (spark, dir) => {
-      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-      val dh = Integer.toHexString(dir.hashCode)
-      val wh = s"/tmp/graft_cmsstore_${tok}_$dh"
-      val cT = s"g_cms_store_${tok}_$dh"
-      val words = graft.Caches.persisted(
-        Tables.spreadIfUnderSplitAtScale(
-            Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
-          .select((col("doc_id") % 10).as("g"),
-            explode(graft.functions.TextOps.wordsNative(lower(col("text")))).as("word")))
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_cmsstore_$key"
+      val cT = cmsStoreTable(spark, dir)
+      val words = graft.Caches.persisted(cmsWordsOf(spark, dir))
       def counters(rel: DataFrame, vintage: String): DataFrame =
-        rel.select(Portable.hash60(col("word")).as("hv"))
-          .select(posexplode(array((0 until 4).map(i =>
-            shiftright(col("hv"), 9 * i).bitwiseAND(lit(511L))): _*)))
-          .withColumnRenamed("pos", "d").withColumnRenamed("col", "p")
-          .groupBy(col("d"), col("p")).agg(count(lit(1)).as("c"))
-          .select(lit(vintage).as("vintage"), col("d"), col("p"), col("c"))
+        cmsCountersOf(rel, vintage)
       StoreOnce(wh) {
         BucketedWorkspace.cleanupOnExit(wh)
         counters(words.filter(col("g") >= 2), "base")
-          .write.mode("overwrite").option("path", s"$wh/counters").saveAsTable(cT)
-        // day-2 maintenance: yesterday's counters merge in as rows
-        counters(words.filter(col("g") === 1), "delta1").write.insertInto(cT)
+          .write.mode("overwrite").partitionBy("vintage")
+          .option("path", s"$wh/counters").saveAsTable(cT)
+        // day-2 maintenance: yesterday's counters merge in as a dynamic
+        // vintage-partition overwrite — idempotent under re-run (a bare
+        // append would silently double the SUM-merged counts)
+        cmsStoreAppendDelta1(spark, dir)
       }
       val store = spark.table(cT)
       val stored = store.select(col("d"), col("p"), col("c"))
@@ -1443,30 +1488,48 @@ object SketchQueries {
     * positioned pass over yesterday's delta; probes join the broadcast
     * grown bit set — O(m) state at any corpus size.
     */
+  /** (doc_id, content-hash, bit) relation of `documents` under the
+    * 4096-bit/4-hash geometry — the Bloom store family's shared input. */
+  private def bloomPositionedOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("ch"))
+    val hv = Portable.hash60(col("ch"))
+    docs.select(col("doc_id"), col("ch"), hv.as("hv"))
+      .select(col("doc_id"), col("ch"),
+        explode(array((0 until 4).map(i =>
+          shiftright(col("hv"), 12 * i).bitwiseAND(lit(4095L))): _*)).as("bit"))
+  }
+
+  private[graft] def bloomStoreTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = s"g_bloom_store_${StoreToken(spark, dir)}"
+
+  /** The day-2 bit-set append, re-runnable: a [[VintageWrite]] dynamic
+    * overwrite of vintage=delta1 (append-twice ≡ append-once).
+    */
+  private[graft] def bloomStoreAppendDelta1(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    VintageWrite(
+      bloomPositionedOf(spark, dir).filter(col("doc_id") % 10 === 1)
+        .select(col("bit"), lit("delta1").as("vintage")).distinct(),
+      bloomStoreTable(spark, dir))
+
   private val bloomStore = Q(
     "q_bloom_store",
     (spark, dir) => {
-      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-      val dh = Integer.toHexString(dir.hashCode)
-      val wh = s"/tmp/graft_bloomstore_${tok}_$dh"
-      val bT = s"g_bloom_store_${tok}_$dh"
-      val docs = Tables(spark, dir, "documents")
-        .select(col("doc_id"), md5(col("text")).as("ch"))
-      val hv = Portable.hash60(col("ch"))
-      val positioned = graft.Caches.persisted(
-        docs.select(col("doc_id"), col("ch"), hv.as("hv"))
-          .select(col("doc_id"), col("ch"),
-            explode(array((0 until 4).map(i =>
-              shiftright(col("hv"), 12 * i).bitwiseAND(lit(4095L))): _*)).as("bit")))
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_bloomstore_$key"
+      val bT = bloomStoreTable(spark, dir)
+      val positioned = graft.Caches.persisted(bloomPositionedOf(spark, dir))
       StoreOnce(wh) {
         BucketedWorkspace.cleanupOnExit(wh)
         positioned.filter(col("doc_id") % 10 >= 2)
-          .select(lit("base").as("vintage"), col("bit")).distinct()
-          .write.mode("overwrite").option("path", s"$wh/bits").saveAsTable(bT)
-        // day-2 maintenance: yesterday's bit set unions in as rows
-        positioned.filter(col("doc_id") % 10 === 1)
-          .select(lit("delta1").as("vintage"), col("bit")).distinct()
-          .write.insertInto(bT)
+          .select(col("bit"), lit("base").as("vintage")).distinct()
+          .write.mode("overwrite").partitionBy("vintage")
+          .option("path", s"$wh/bits").saveAsTable(bT)
+        // day-2 maintenance: yesterday's bit set unions in as a dynamic
+        // vintage-partition overwrite — idempotent under re-run
+        bloomStoreAppendDelta1(spark, dir)
       }
       val store = spark.table(bT)
       val grownBits = graft.Caches.persisted(store.select(col("bit")).distinct())
@@ -1553,33 +1616,66 @@ object SketchQueries {
     * today's arm scans only today's delta, the full arm is the audit
     * yardstick.
     */
+  /** (o_orderkey, exact integer cents) of `orders` — the quantile store
+    * family's shared input. */
+  private def quantileCentsOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+
+  /** The ingest-time grid: span from the BASE corpus only (re-deriving
+    * the span per delta would re-bucket the store = a rebuild). */
+  private def quantileSpanOf(o: DataFrame): DataFrame =
+    broadcast(o.filter(col("o_orderkey") % 10 >= 2)
+      .agg(coalesce(min(col("cents")), lit(0L)).as("minc"),
+        (coalesce(max(col("cents")), lit(0L)) -
+          coalesce(min(col("cents")), lit(0L)) + 1L).as("span")))
+
+  /** 64-bucket histogram of `rel` over the ingest grid, vintage-stamped
+    * (b, c, vintage — vintage last for the partitioned insert). */
+  private def quantileHistOf(rel: DataFrame, spanD: DataFrame,
+      vintage: String): DataFrame =
+    rel.crossJoin(spanD)
+      .select(greatest(lit(0L), least(lit(63L),
+        expr("((cents - minc) * 64) div span"))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .select(col("b"), col("c"), lit(vintage).as("vintage"))
+
+  private[graft] def quantileStoreTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = s"g_quantile_store_${StoreToken(spark, dir)}"
+
+  /** The day-2 histogram append, re-runnable: a [[VintageWrite]] dynamic
+    * overwrite of vintage=delta1 — like the CMS store, a SUM-merged
+    * relation whose double-append corruption would be silent.
+    */
+  private[graft] def quantileStoreAppendDelta1(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val o = quantileCentsOf(spark, dir)
+    VintageWrite(
+      quantileHistOf(o.filter(col("o_orderkey") % 10 === 1),
+        quantileSpanOf(o), "delta1"),
+      quantileStoreTable(spark, dir))
+  }
+
   private val quantileStore = Q(
     "q_quantile_store",
     (spark, dir) => {
-      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-      val dh = Integer.toHexString(dir.hashCode)
-      val wh = s"/tmp/graft_qstore_${tok}_$dh"
-      val hT = s"g_quantile_store_${tok}_$dh"
-      val o = Tables(spark, dir, "orders")
-        .select(col("o_orderkey"),
-          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-      // ingest-time grid: span from the BASE corpus only
-      val spanD = broadcast(o.filter(col("o_orderkey") % 10 >= 2)
-        .agg(coalesce(min(col("cents")), lit(0L)).as("minc"),
-          (coalesce(max(col("cents")), lit(0L)) -
-            coalesce(min(col("cents")), lit(0L)) + 1L).as("span")))
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_qstore_$key"
+      val hT = quantileStoreTable(spark, dir)
+      val o = quantileCentsOf(spark, dir)
+      val spanD = quantileSpanOf(o)
       def histOf(rel: DataFrame, vintage: String): DataFrame =
-        rel.crossJoin(spanD)
-          .select(greatest(lit(0L), least(lit(63L),
-            expr("((cents - minc) * 64) div span"))).as("b"))
-          .groupBy(col("b")).agg(count(lit(1)).as("c"))
-          .select(lit(vintage).as("vintage"), col("b"), col("c"))
+        quantileHistOf(rel, spanD, vintage)
       StoreOnce(wh) {
         BucketedWorkspace.cleanupOnExit(wh)
         histOf(o.filter(col("o_orderkey") % 10 >= 2), "base")
-          .write.mode("overwrite").option("path", s"$wh/hist").saveAsTable(hT)
-        histOf(o.filter(col("o_orderkey") % 10 === 1), "delta1")
-          .write.insertInto(hT)
+          .write.mode("overwrite").partitionBy("vintage")
+          .option("path", s"$wh/hist").saveAsTable(hT)
+        // day-2 maintenance: yesterday's histogram merges in as a
+        // dynamic vintage-partition overwrite — idempotent under re-run
+        quantileStoreAppendDelta1(spark, dir)
       }
       val store = spark.table(hT)
       def arm(rows: DataFrame, part: String): DataFrame =
@@ -1588,9 +1684,9 @@ object SketchQueries {
       val hist = graft.Caches.persisted(
         arm(store.filter(col("vintage") === "base"), "day1")
           .unionAll(arm(store, "day2"))
-          .unionAll(arm(store.select(col("vintage"), col("b"), col("c"))
+          .unionAll(arm(store.select(col("b"), col("c"), col("vintage"))
             .unionAll(histOf(o.filter(col("o_orderkey") % 10 === 0), "today")), "today"))
-          .unionAll(arm(histOf(o, "full").select(col("vintage"), col("b"), col("c")), "full")))
+          .unionAll(arm(histOf(o, "full"), "full")))
       val nrel = broadcast(hist.groupBy(col("part")).agg(sum(col("c")).as("n")))
       val histB = hist.select(col("part").as("p2"), col("b").as("b2"), col("c").as("c2"))
       val cum = hist.join(histB, col("p2") === col("part") && col("b2") <= col("b"))

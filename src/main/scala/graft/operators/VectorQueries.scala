@@ -716,10 +716,9 @@ object VectorQueries {
   private val annIncremental = Q(
     "q_ann_incremental",
     (spark, dir) => {
-      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-      val dh = Integer.toHexString(dir.hashCode)
-      val wh = s"/tmp/graft_annstore_${tok}_$dh"
-      val storeT = s"g_ann_store_${tok}_$dh"
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_annstore_$key"
+      val storeT = s"g_ann_store_$key"
       val e = Tables(spark, dir, "embeddings")
       val base = e.filter(col("vec_id") % 10 =!= 0)
       // bounded driver scalars (the q_knn_join precedent): base count
@@ -835,30 +834,65 @@ object VectorQueries {
     * over yesterday's vectors; nothing rewrites or re-shuffles the base
     * index.
     */
+  private[graft] def annStoreTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = s"g_ann_store2_${StoreToken(spark, dir)}"
+
+  /** The INGEST-time bucket expression of the q_ann_store_append index:
+    * plane depth from the BASE population (re-deriving planes per append
+    * would re-bucket the whole index = a rebuild). */
+  private def annIngestBucket(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Column = {
+    val e = Tables(spark, dir, "embeddings")
+    val nBase = e.filter(col("vec_id") % 10 >= 2).count()
+    val signs = planeSigns(planesFor(nBase), embeddingDim(spark, dir))
+    concat(signs.map(s =>
+      when(signedDot(col("embedding"), s) > 0, lit("1")).otherwise(lit("0"))): _*)
+  }
+
+  /** The day-2 index append, re-runnable: a [[VintageWrite]] dynamic
+    * overwrite of vintage=delta1, bucketed with the ingest-time planes
+    * (append-twice ≡ append-once).
+    */
+  private[graft] def annStoreAppendDelta1(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    VintageWrite(
+      Tables(spark, dir, "embeddings").filter(col("vec_id") % 10 === 1)
+        .select(col("vec_id"), annIngestBucket(spark, dir).as("bk"),
+          col("embedding"), lit("delta1").as("vintage")),
+      annStoreTable(spark, dir))
+
+  /** Builds the grown (base + delta1) vintage-partitioned ANN store once
+    * per (session, dir) and returns its table name — shared by
+    * q_ann_store_append (the probe path) and q_store_compact (which
+    * compacts it). */
+  private[graft] def ensureAnnStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val key = StoreToken(spark, dir)
+    val wh = s"/tmp/graft_annstore2_$key"
+    val storeT = annStoreTable(spark, dir)
+    StoreOnce(wh) {
+      graft.operators.BucketedWorkspace.cleanupOnExit(wh)
+      val bucket = annIngestBucket(spark, dir)
+      Tables(spark, dir, "embeddings").filter(col("vec_id") % 10 >= 2)
+        .select(col("vec_id"), bucket.as("bk"), col("embedding"))
+        .withColumn("vintage", lit("base"))
+        .write.mode("overwrite").partitionBy("vintage")
+        .bucketBy(8, "bk").sortBy("bk")
+        .option("path", s"$wh/index").saveAsTable(storeT)
+      // day-2 maintenance: yesterday's vectors land per bucket inside
+      // their vintage partition (ingest-time planes) as a dynamic
+      // overwrite — idempotent under re-run
+      annStoreAppendDelta1(spark, dir)
+    }
+    storeT
+  }
+
   private val annStoreAppend = Q(
     "q_ann_store_append",
     (spark, dir) => {
-      val tok = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-      val dh = Integer.toHexString(dir.hashCode)
-      val wh = s"/tmp/graft_annstore2_${tok}_$dh"
-      val storeT = s"g_ann_store2_${tok}_$dh"
+      val storeT = ensureAnnStore(spark, dir)
       val e = Tables(spark, dir, "embeddings")
-      val base = e.filter(col("vec_id") % 10 >= 2)
-      val nBase = base.count()
-      val signs = planeSigns(planesFor(nBase), embeddingDim(spark, dir))
-      val bucket = concat(
-        signs.map(s => when(signedDot(col("embedding"), s) > 0, lit("1")).otherwise(lit("0"))): _*)
-      StoreOnce(wh) {
-        graft.operators.BucketedWorkspace.cleanupOnExit(wh)
-        base.select(col("vec_id"), bucket.as("bk"), col("embedding"))
-          .write.mode("overwrite").bucketBy(8, "bk").sortBy("bk")
-          .option("path", s"$wh/index").saveAsTable(storeT)
-        // day-2 maintenance: yesterday's vectors append per bucket,
-        // bucketed with the INGEST-time planes
-        e.filter(col("vec_id") % 10 === 1)
-          .select(col("vec_id"), bucket.as("bk"), col("embedding"))
-          .write.insertInto(storeT)
-      }
+      val bucket = annIngestBucket(spark, dir)
       val store = spark.table(storeT)
         .select(col("vec_id").as("nb"), col("bk"), col("embedding").as("se"))
       val probes = e.filter(col("vec_id") % 10 === 0)
@@ -910,7 +944,124 @@ object VectorQueries {
               CASE WHEN nb % 10 = 1 THEN 'delta1' ELSE 'base' END AS src
             FROM ranked WHERE rn <= 3 ORDER BY probe_id, rn"""))
 
+  private[graft] def compactStoreTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = s"g_ann_compact_${StoreToken(spark, dir)}"
+
+  /** Filesystem paths of the grown and compacted index workspaces — for
+    * the file-count assertions in the compaction spec. */
+  private[graft] def annStorePath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = s"/tmp/graft_annstore2_${StoreToken(spark, dir)}/index"
+  private[graft] def compactStorePath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = s"/tmp/graft_anncompact_${StoreToken(spark, dir)}/index"
+
+  /** COMPACTION of the persisted ANN store — the maintenance verb that
+    * completes the store lifecycle (create / append / delete /
+    * COMPACT): every day-N vintage lands its own bucket files, so at
+    * day-365 a bucket holds ~365 files and the "zero-exchange" pinned
+    * read pays 365× file-open overhead (the graft-perf small-files
+    * lesson). The compactor rewrites the grown store (base + delta1
+    * vintage partitions) into ONE file per bucket — the forced bucketed
+    * read is already one task per bucket, so the rewrite is
+    * SHUFFLE-FREE end to end — while PRESERVING the
+    * bucketBy(8, bk) layout: the post-compaction scan is still bucketed
+    * and undemoted (plan-pinned), and the query output proves identity
+    * IN the output — every probe's top-3 from the pre-compaction store
+    * (phase=pre) reappears identically from the compacted store
+    * (phase=post). File counts (8 post vs ≥16 pre) are asserted in the
+    * compaction spec — a filesystem fact DuckDB cannot oracle.
+    *
+    * Scale posture: compaction is one zero-exchange bucketed store
+    * scan + bucketed write (task i reads bucket i's N files, writes its
+    * one), run offline at the operator's chosen cadence; probes before and after ride identical bucketed plans.
+    */
+  private val storeCompact = Q(
+    "q_store_compact",
+    (spark, dir) => {
+      val srcT = ensureAnnStore(spark, dir)
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_anncompact_$key"
+      val cT = compactStoreTable(spark, dir)
+      StoreOnce(wh) {
+        graft.operators.BucketedWorkspace.cleanupOnExit(wh)
+        // SHUFFLE-FREE compaction: force the bucketed read (the planner
+        // otherwise auto-disables it for a plain scan and packs the
+        // small files into arbitrary tasks, so a task would hold — and
+        // write — several buckets); the forced bucketed scan is exactly
+        // one task per bucket, so the bucketed write emits one file per
+        // bucket with no exchange anywhere
+        val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        val prev = spark.conf.getOption(k)
+        spark.conf.set(k, "false")
+        try spark.table(srcT).select(col("vec_id"), col("bk"), col("embedding"))
+          .write.mode("overwrite").bucketBy(8, "bk").sortBy("bk")
+          .option("path", s"$wh/index").saveAsTable(cT)
+        finally prev match {
+          case Some(v) => spark.conf.set(k, v)
+          case None    => spark.conf.unset(k)
+        }
+      }
+      val e = Tables(spark, dir, "embeddings")
+      val bucket = annIngestBucket(spark, dir)
+      val probes = graft.Caches.persisted(
+        e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("pid"), bucket.as("bk"), col("embedding").as("pe")))
+      def arm(t: String, phase: String): org.apache.spark.sql.DataFrame = {
+        val store = spark.table(t)
+          .select(col("vec_id").as("nb"), col("bk"), col("embedding").as("se"))
+        val cand = probes.join(store.hint("merge"), "bk")
+          .select(col("pid"),
+            pround(VectorOps.cosine(col("pe"), col("se")), 4).as("cos"), col("nb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pid")).orderBy(col("cos").desc, col("nb"))
+        cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(lit(phase).as("phase"), col("pid").as("probe_id"),
+            col("rn").cast("int").as("rn"), col("nb"), col("cos"),
+            when(col("nb") % 10 === 1, lit("delta1")).otherwise(lit("base")).as("src"))
+      }
+      arm(srcT, "pre").unionAll(arm(cT, "post"))
+        .orderBy(col("phase"), col("probe_id"), col("rn"))
+    },
+    Some("""WITH bcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+                          WHERE vec_id % 10 >= 2),
+            np AS (SELECT MIN(k) AS np
+                   FROM UNNEST(generate_series(4, 20)) AS t(k), bcnt
+                   WHERE (CAST(32 AS BIGINT) << k) >= bcnt.n OR k = 20),
+            dims AS (SELECT CAST(COALESCE(MAX(len(embedding)), 0) AS BIGINT) AS nd
+                     FROM embeddings),
+            planes AS (
+              SELECT p, d,
+                CASE WHEN substr(md5('p' || CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1)
+                     IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS sgn
+              FROM np, dims, UNNEST(generate_series(0, np.np - 1)) AS a(p),
+                   UNNEST(generate_series(1, dims.nd)) AS b(d)),
+            dots AS (SELECT e.vec_id, pl.p,
+                       SUM(pl.sgn * CAST(e.embedding[pl.d] AS DOUBLE)) AS dp
+                     FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p),
+            buckets AS (SELECT vec_id,
+                          string_agg(CASE WHEN dp > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bk
+                        FROM dots GROUP BY vec_id),
+            store AS (SELECT b.vec_id AS nb, b.bk, CAST(e.embedding AS DOUBLE[]) AS se
+                      FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+                      WHERE b.vec_id % 10 <> 0),
+            probes AS (SELECT b.vec_id AS pid, b.bk, CAST(e.embedding AS DOUBLE[]) AS pe
+                       FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+                       WHERE b.vec_id % 10 = 0),
+            cand AS (SELECT p.pid,
+                       FLOOR((list_cosine_similarity(p.pe, s.se)) * 10000 + 0.5) / 10000 AS cos,
+                       s.nb
+                     FROM probes p JOIN store s ON p.bk = s.bk),
+            ranked AS (SELECT pid, cos, nb,
+                         row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nb) AS rn
+                       FROM cand),
+            top AS (SELECT pid, rn, nb, cos,
+                      CASE WHEN nb % 10 = 1 THEN 'delta1' ELSE 'base' END AS src
+                    FROM ranked WHERE rn <= 3)
+            SELECT phase, pid AS probe_id, CAST(rn AS INT) AS rn, nb, cos, src
+            FROM (SELECT 'pre' AS phase, * FROM top
+                  UNION ALL SELECT 'post', * FROM top)
+            ORDER BY phase, probe_id, rn"""))
+
   val all: Seq[Q] = Seq(arrayFuncs, knnBrute, knnLsh, dedupEmbed, embedCentroid,
     knnJoin, annRecall, dedupSemantic, knnPq, hardNegatives, multiprobeLsh,
-    annIncremental, annStoreAppend)
+    annIncremental, annStoreAppend, storeCompact)
 }

@@ -23,7 +23,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class OutputContractSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val dir = "/root/testdata/sf0.01"
+  private val dir = TestSpark.sf001
 
   private val F64Exact = BigDecimal(2).pow(53)
 

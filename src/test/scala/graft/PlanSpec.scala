@@ -1406,4 +1406,74 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     Caches.releaseAll()
   }
+
+  test("q_store_delete: BOTH store scans (pre and post-delete) stay bucketed, undemoted") {
+    val df = Registry.byName("q_store_delete").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("Bucketed: true".r.findAllIn(plan).size >= 2,
+      s"the pre- and post-delete stores must both read their bucket layout:\n$plan")
+    assert(plan.contains("SelectedBucketsCount: 8 out of 8"), plan)
+    assert(!plan.contains("Bucketed: false"),
+      s"a store scan was demoted — the delete rewrite broke the layout:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_session_expire reads the TTL-evicted store; today's pass never scans pre-cut events") {
+    val df = Registry.byName("q_session_expire").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("g_sess_ttl_live"),
+      s"the evicted session-state store must be scanned:\n$plan")
+    val scans = plan.split("\n").filter(l =>
+      l.contains("events.parquet") && l.contains("PushedFilters"))
+    assert(scans.nonEmpty && scans.forall(_.contains("GreaterThanOrEqual(ts")),
+      s"every events scan must push the today-side cut:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_store_compact: the COMPACTED scan stays bucketed and undemoted next to the grown scan") {
+    val df = Registry.byName("q_store_compact").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("graft_anncompact"),
+      s"the compacted store must be scanned:\n$plan")
+    assert("Bucketed: true".r.findAllIn(plan).size >= 2,
+      s"both the grown and compacted stores must read their bucket layout:\n$plan")
+    assert(!plan.contains("Bucketed: false"),
+      s"a store scan was demoted — compaction broke the layout:\n$plan")
+    Caches.releaseAll()
+  }
+
+  test("q_corpus_incremental: both corpus stores read bucketed, undemoted; delta-only live cost") {
+    val df = Registry.byName("q_corpus_incremental").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("g_corpus_h") && plan.contains("g_corpus_bands"),
+      s"both persisted corpus stores must be scanned:\n$plan")
+    assert("Bucketed: true".r.findAllIn(plan).size >= 2,
+      s"both store scans must ride their bucket layouts:\n$plan")
+    assert(!plan.contains("Bucketed: false"),
+      s"a store scan was demoted to a shuffled read:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_ivf_drift: every arm is broadcast-bounded (no cartesian), ranked by per-probe windows") {
+    val df = Registry.byName("q_ivf_drift").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"assignment/router/ground-truth must broadcast their bounded sides:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the k=10 centroid relation and ≤5-probe relation must broadcast:\n$plan")
+    assert(plan.contains("Window"),
+      s"top-k selection must be per-probe rank windows:\n$plan")
+    Caches.releaseAll()
+  }
 }

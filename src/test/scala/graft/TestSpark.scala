@@ -29,4 +29,5 @@ object TestSpark {
   plans.GraftExtensions.register(spark)
 
   val sf0001 = "/root/testdata/sf0.001"
+  val sf001 = "/root/testdata/sf0.01"
 }
