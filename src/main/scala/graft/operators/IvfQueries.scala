@@ -645,6 +645,16 @@ object IvfQueries {
             (col("vec_id") % 10 >= 1 && col("vec_id") % 10 <= s)))
         val nG = grown.count()
         val cReb = lloyd(grown)
+        // the exact ground-truth arm is MODEL-independent: one bounded
+        // brute-force pass per stage, shared by both recall arms
+        val wx = Window.partitionBy(col("xp")).orderBy(col("xcos").desc, col("xb"))
+        val exact = graft.Caches.persisted(
+          grown.crossJoin(broadcast(
+              probes.select(col("pid").as("xp"), col("pe").as("xpe"))))
+            .select(col("xp"), col("vec_id").as("xb"),
+              pround(VectorOps.cosine(col("xpe"), col("embedding")), 4).as("xcos"))
+            .withColumn("rn", row_number().over(wx)).filter(col("rn") <= 10)
+            .select(col("xp"), col("xb")))
         def hitsOf(cents: Seq[(Long, Array[Double])]): org.apache.spark.sql.DataFrame = {
           val cdf = broadcast(cents.toDF("cid", "c"))
           val assigned = KMeans.assign(grown, cents)
@@ -662,13 +672,6 @@ object IvfQueries {
               pround(VectorOps.cosine(col("pe"), col("ne")), 4).as("cos"), col("nb"))
             .withColumn("rn", row_number().over(ws)).filter(col("rn") <= 10)
             .select(col("pid"), col("nb"))
-          val wx = Window.partitionBy(col("xp")).orderBy(col("xcos").desc, col("xb"))
-          val exact = grown.crossJoin(broadcast(
-              probes.select(col("pid").as("xp"), col("pe").as("xpe"))))
-            .select(col("xp"), col("vec_id").as("xb"),
-              pround(VectorOps.cosine(col("xpe"), col("embedding")), 4).as("xcos"))
-            .withColumn("rn", row_number().over(wx)).filter(col("rn") <= 10)
-            .select(col("xp"), col("xb"))
           served.join(exact,
               col("pid") === col("xp") && col("nb") === col("xb"))
             .agg(count(lit(1)).cast("bigint").as("h"))

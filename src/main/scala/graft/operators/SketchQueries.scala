@@ -1204,6 +1204,11 @@ object SketchQueries {
     * the full-recompute arm is the audit yardstick, the one
     * corpus-width pass (drop it in production and nothing else
     * changes).
+    *
+    * Deliberately NON-invertible: HLL registers are maxima — a key can
+    * never be deleted from the store (q_store_delete's purge verb does
+    * not apply here). q_theta_diff's KMV A-NOT-B sampling is the
+    * documented escape hatch for deletion-aware distinct estimates.
     */
   /** HLL register relation of `rel`'s custkeys, vintage-stamped (the
     * q_hll_store store row shape: j, m, vintage — vintage last so the
@@ -1487,6 +1492,12 @@ object SketchQueries {
     * Scale posture: the store is ≤m distinct integers; append is one
     * positioned pass over yesterday's delta; probes join the broadcast
     * grown bit set — O(m) state at any corpus size.
+    *
+    * Deliberately NON-invertible: Bloom bits are unions — clearing a
+    * key's bits would evict every other key sharing them, so the store
+    * cannot forget (q_store_delete's purge verb does not apply; a
+    * counting filter or q_theta_diff's A-NOT-B sampling are the
+    * deletion-aware alternatives).
     */
   /** (doc_id, content-hash, bit) relation of `documents` under the
     * 4096-bit/4-hash geometry — the Bloom store family's shared input. */

@@ -154,6 +154,52 @@ class Round13PropertiesSpec extends AnyFunSuite {
     assert(spark.table(liveT).count() === 1L)
   }
 
+  test("q_session_store under a planted power-user day: exact under skew, no single-partition stage") {
+    // VERDICT r12 stretch: 50% of today's events land on ONE user_id.
+    // A session window cannot split a key (AQE skew handling applies to
+    // joins, not windows), so the posture claim is: per-key work is
+    // O(that user's events) — bounded by per-user activity, never by
+    // corpus mass — and the surrounding plan keeps user_id hash
+    // partitioning with no stage collapsing to a single partition.
+    import spark.implicits._
+    val cutMs = java.sql.Timestamp.valueOf("2024-01-16 00:00:00").getTime
+    val power = (0 until 200).map { i =>
+      (1000L + i, new java.sql.Timestamp(cutMs + 3600000L + i * 60000L),
+        99L, "click", 1.00, "{}")
+    }
+    val normals = (0 until 100).flatMap { u =>
+      Seq(
+        (5000L + 2 * u, new java.sql.Timestamp(cutMs + 7200000L + u * 1000L),
+          u.toLong, "click", 2.00, "{}"),
+        (5001L + 2 * u, new java.sql.Timestamp(cutMs + 7200000L + u * 1000L + 60000L),
+          u.toLong, "click", 3.00, "{}"))
+    }
+    // a straddler: open pre-cut session continued by the power day
+    val straddle = Seq(
+      (9000L, new java.sql.Timestamp(cutMs - 600000L), 98L, "click", 5.00, "{}"),
+      (9001L, new java.sql.Timestamp(cutMs + 600000L), 98L, "click", 7.00, "{}"))
+    val out = java.nio.file.Files.createTempDirectory("graft-sess-skew").toString
+    (power ++ normals ++ straddle)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val df = Registry.byName("q_session_store").build(spark, out)
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val plan = df.queryExecution.executedPlan.toString
+    Caches.releaseAll()
+    // exact under skew: the hot user's 200-event run absorbs normal-user
+    // 99's two same-window events into ONE 202-event session; the
+    // straddler stitches; every other normal user has one 2-event session
+    assert(got.filter(_._1 == 99L) === Seq((99L, 1L, 202L, 20500L)))
+    assert(got.filter(_._1 == 98L) ===
+      Seq((98L, 1L, 2L, 1200L), (98L, 2L, 2L, 500L)))
+    assert(got.count(t => t._1 < 98L && t._3 == 2L && t._4 == 500L) === 98)
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"the session window must partition by user_id:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"no stage may collapse to one partition under skew:\n$plan")
+  }
+
   private def parquetFiles(path: String): Seq[String] = {
     def walk(f: java.io.File): Seq[java.io.File] = {
       val cs = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
