@@ -45,6 +45,54 @@ object Bench {
     (System.nanoTime() - t0) / 1000000
   }
 
+  /** MEMORY-BANDWIDTH load marker (round 14 — VERDICT r13 task 1): the
+    * ALU spinner above is pure register arithmetic and provably blind to
+    * memory-bandwidth steal (r13: three runs of identical code read
+    * 238.7/245.8/310.7 s, every one at ALU-quiet markers). This leg has
+    * `threads` threads each streaming-summing a per-thread 8 MB long
+    * array, 96 passes (~24 GB aggregate DRAM traffic at the 32-thread
+    * bench contract) — a co-tenant eating bandwidth inflates it the way
+    * it inflates the suite's scan/shuffle phases. Reported as the MIN of
+    * three reps after an untimed JIT/page warm-up rep: DRAM bandwidth on
+    * this VM has ~2× bursty self-noise, and the min discards single-rep
+    * bursts while sustained steal shifts all three reps together. The
+    * quiet band and the one-sided tax rule live in [[Calibration]].
+    * Arrays are allocated once and reused across the before/after
+    * invocations (256 MB retained at 32 threads — bounded, and fresh
+    * per-call allocation would time the allocator + GC, not DRAM).
+    */
+  private val membwArrays = new java.util.concurrent.atomic.AtomicReference[Array[Array[Long]]]()
+
+  private def calibrateMembwMs(threads: Int): Long = {
+    val n = 8 * 1024 * 1024 / 8 // 8 MB of longs per thread
+    if (membwArrays.get() == null || membwArrays.get().length != threads) {
+      val arrs = Array.fill(threads)(new Array[Long](n))
+      var t = 0
+      while (t < threads) { var i = 0; while (i < n) { arrs(t)(i) = i.toLong; i += 1 }; t += 1 }
+      membwArrays.set(arrs)
+    }
+    val arrs = membwArrays.get()
+    def onePass(passes: Int): Long = {
+      val t0 = System.nanoTime()
+      val ts = arrs.map { a =>
+        new Thread(() => {
+          var s = 0L
+          var p = 0
+          while (p < passes) {
+            var i = 0
+            while (i < a.length) { s += a(i); i += 1 }
+            p += 1
+          }
+          calibSink.addAndGet(s)
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1000000
+    }
+    onePass(8) // JIT + page warm-up, untimed
+    (1 to 3).map(_ => onePass(96)).min
+  }
+
   private def loadavg1m(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
@@ -137,6 +185,7 @@ object Bench {
     // suite itself never pollutes the gauge).
     val loadBefore = loadavg1m()
     val calibBefore = calibrateMs(cpus.toInt)
+    val membwBefore = calibrateMembwMs(cpus.toInt)
     val samples = scala.collection.mutable.Map[String, List[(Double, Long, Long)]]()
       .withDefaultValue(Nil)
     // A timed-pass failure skips only that sample; the median is taken
@@ -149,17 +198,27 @@ object Bench {
       }
     }
     val calibAfter = calibrateMs(cpus.toInt)
+    val membwAfter = calibrateMembwMs(cpus.toInt)
     val loadAfter = loadavg1m()
     // The BASELINE.md adjudication, executed rather than re-derived by
     // readers: ambient tax from the markers, and the quiet-equivalent
-    // total/per-query numbers rounds are actually compared on.
-    val tax = Calibration.taxFactor(calibBefore, calibAfter)
-    // quiet_ms makes the one-sided clamp auditable off this VM: the tax is
-    // mean(markers)/quiet_ms clamped at 1.0, so a reader with a different
-    // quiet floor can recompute it from the emitted markers.
+    // total/per-query numbers rounds are actually compared on. Since
+    // r14 the tax is the MAX of the ALU-spin and memory-bandwidth legs
+    // (VERDICT r13 task 1) — a window only counts as quiet when both
+    // contention modes read quiet.
+    val taxAlu = Calibration.taxFactor(calibBefore, calibAfter)
+    val taxMembw = Calibration.membwTaxFactor(membwBefore, membwAfter)
+    val tax = math.max(taxAlu, taxMembw)
+    // quiet_ms / membw_quiet_ms make the one-sided clamps auditable off
+    // this VM: each leg's tax is its markers over its quiet reference
+    // clamped at 1.0, so a reader with different quiet floors can
+    // recompute both from the emitted markers.
     val calib = s""""calib_before_ms":$calibBefore,"calib_after_ms":$calibAfter,""" +
       s""""quiet_ms":${Calibration.QuietCenterMs},""" +
+      s""""membw_before_ms":$membwBefore,"membw_after_ms":$membwAfter,""" +
+      s""""membw_quiet_ms":${Calibration.MembwQuietHighMs},""" +
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
+      f""""tax_alu":$taxAlu%.3f,"tax_membw":$taxMembw%.3f,""" +
       f""""tax_factor":$tax%.3f"""
     val results = selected.map { case (name, _) =>
       val ts = samples(name).sortBy(_._1)
@@ -178,6 +237,18 @@ object Bench {
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
       "/root/repo/bench_per_query.json")
     try {
+      // Rotation guard (VERDICT r13 "what's wrong" #4): every Bench run
+      // overwrites the sidecar, and the r13 driver's per-query detail
+      // survived only in diffs taken before a later run clobbered it.
+      // Keep one generation: the previous sidecar rotates to .prev.json
+      // before the overwrite, so the first re-run of a round preserves
+      // the driver's window for the judge (commit it to make it durable).
+      val p = java.nio.file.Paths.get(sidecar)
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.copy(p,
+          java.nio.file.Paths.get(sidecar.stripSuffix(".json") + ".prev.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       // gc_ms / cpu_ms carry the MEDIAN sample's pressure reading (the
       // same sample the reported seconds come from), so an in-suite vs
       // isolated gap adjudicates from the sidecar: high gc_ms says heap

@@ -20,6 +20,45 @@ object Calibration {
   val QuietCenterMs = 500.0
   val QuietHighMs = 560.0
 
+  /** Quiet band of the MEMORY-BANDWIDTH leg (round 14, closing the r13
+    * calibration blindspot: three runs of identical code read 238.7 /
+    * 245.8 / 310.7 s while the pure-ALU spin markers sat at-or-below
+    * the quiet floor — the contention that moved those windows was
+    * memory-bandwidth/IO steal, which register-arithmetic spinners
+    * cannot see). The leg: 32 threads each streaming-summing a
+    * per-thread 64 Mbit (8 MB) long array, 96 passes (~24 GB aggregate
+    * DRAM traffic), reported as the MIN of three reps — DRAM bandwidth
+    * on this virtualized host has ~2× bursty self-noise (15 quiet
+    * trials: 95–191 ms min-of-3), so the min discards single-rep bursts
+    * while SUSTAINED steal (the only kind that taxes a minutes-long
+    * suite) shifts all three reps together. Because the self-noise band
+    * is wide, the tax is ONE-SIDED against the quiet-HIGH edge: a
+    * reading inside [0, 200 ms] is "quiet" (tax exactly 1.0), and only
+    * clearly-above-band readings flag contention — the leg is a
+    * detection gauge for the quiet-vs-quiet comparison rule, not a
+    * precise divisor (it deliberately under-reads the tax rather than
+    * ever inventing one on a quiet host).
+    */
+  val MembwQuietLowMs = 95.0
+  val MembwQuietHighMs = 200.0
+
+  /** One-sided membw tax: mean of the two bracketing markers over the
+    * quiet-HIGH edge, clamped below at 1.0. Markers absent in pre-r14
+    * sidecars read as -1 → tax 1.0 (the leg simply didn't exist).
+    */
+  def membwTaxFactor(membwBeforeMs: Long, membwAfterMs: Long): Double =
+    if (membwBeforeMs < 0 || membwAfterMs < 0) 1.0
+    else math.max(1.0, (membwBeforeMs + membwAfterMs) / 2.0 / MembwQuietHighMs)
+
+  /** The round-14 combined tax: a window is only "quiet" when BOTH legs
+    * read quiet — taxFactor = max(ALU spin leg, membw leg). This is the
+    * reading every cross-round comparison gates on.
+    */
+  def combinedTaxFactor(calibBeforeMs: Long, calibAfterMs: Long,
+      membwBeforeMs: Long, membwAfterMs: Long): Double =
+    math.max(taxFactor(calibBeforeMs, calibAfterMs),
+      membwTaxFactor(membwBeforeMs, membwAfterMs))
+
   /** Multiplicative ambient tax around a run: the mean of the two
     * markers over the quiet reference, clamped below at 1.0 — a reading
     * at or under quiet means "no tax", never a speedup credit.
@@ -39,8 +78,15 @@ object Calibration {
       loadavgBefore: Double,
       loadavgAfter: Double,
       totalSec: Double,
-      nQueries: Int) {
-    def tax: Double = taxFactor(calibBeforeMs, calibAfterMs)
+      nQueries: Int,
+      membwBeforeMs: Long = -1L,
+      membwAfterMs: Long = -1L) {
+    /** Combined tax (r14): max of the ALU-spin and membw legs; pre-r14
+      * sidecars (no membw markers) degrade to the ALU leg alone. */
+    def tax: Double = combinedTaxFactor(calibBeforeMs, calibAfterMs,
+      membwBeforeMs, membwAfterMs)
+    def aluTax: Double = taxFactor(calibBeforeMs, calibAfterMs)
+    def membwTax: Double = membwTaxFactor(membwBeforeMs, membwAfterMs)
     def adjustedTotalSec: Double = totalSec / tax
     def rawSecPerQuery: Double =
       if (nQueries == 0) 0.0 else totalSec / nQueries
@@ -70,6 +116,12 @@ object Calibration {
       m.map(_.group(1).toDouble).getOrElse(
         throw new IllegalArgumentException(s"sidecar missing $key"))
     }
+    // membw markers exist only from r14 on; older sidecars parse with
+    // the leg absent (-1 → membw tax 1.0)
+    def optNum(key: String): Long = {
+      val m = ("\"" + key + "\"\\s*:\\s*(-?[0-9.eE+]+)").r.findFirstMatchIn(head)
+      m.map(_.group(1).toDouble.toLong).getOrElse(-1L)
+    }
     // Query count comes from the "queries" object alone — the gc_ms /
     // cpu_ms telemetry maps repeat every query name and must not triple it.
     val qBody = queryObject(json, "queries").getOrElse(json)
@@ -80,7 +132,9 @@ object Calibration {
       loadavgBefore = num("loadavg_before"),
       loadavgAfter = num("loadavg_after"),
       totalSec = num("total"),
-      nQueries = nQ)
+      nQueries = nQ,
+      membwBeforeMs = optNum("membw_before_ms"),
+      membwAfterMs = optNum("membw_after_ms"))
   }
 
   /** Extract the body of one flat `"field":{...}` object from the sidecar

@@ -352,6 +352,32 @@ private[operators] object StoreOnce {
   }
 }
 
+/** JVM-wide serialization of session-conf-mutating write sections
+  * (ADVICE r13): [[VintageWrite]] and q_store_compact's forced-bucketed
+  * rewrite both flip a session conf around a write and restore it in a
+  * finally. [[StoreOnce]] exists precisely so concurrent callers in one
+  * JVM share store builds, and two conf-toggling writes interleaving on
+  * the shared SparkSession can restore the conf mid-write — for
+  * partitionOverwriteMode the failure is silent data loss (a
+  * static-mode overwrite insertInto truncates ALL partitions, not just
+  * the vintage being rewritten). One JVM-wide lock around every
+  * toggle+write+restore section makes the conf mutation atomic; store
+  * writes are rare (once per store per session) so the serialization
+  * costs nothing in steady state.
+  */
+private[operators] object ConfLock {
+  def withConf[A](spark: org.apache.spark.sql.SparkSession, key: String,
+      value: String)(body: => A): A = synchronized {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
+
 /** Idempotent day-2 store append (VERDICT r12 task 1 — restart safety):
   * a bare `insertInto` append double-appends when the day-N job re-runs
   * after a mid-write failure, and for SUM-merged stores (CMS, quantile
@@ -366,21 +392,17 @@ private[operators] object StoreOnce {
   * bucket spec keeps store reads exchange-free (the plan pins).
   */
 private[operators] object VintageWrite {
-  def apply(df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+  def apply(df: org.apache.spark.sql.DataFrame, table: String): Unit =
     // insertInto ignores per-write DataFrameWriter options (unlike
     // save/saveAsTable), so the dynamic mode must be pinned on the
-    // session conf for the duration of the write — and restored after,
-    // so no other write path silently inherits it
-    val spark = df.sparkSession
-    val k = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(k)
-    spark.conf.set(k, "dynamic")
-    try df.write.mode("overwrite").insertInto(table)
-    finally prev match {
-      case Some(v) => spark.conf.set(k, v)
-      case None => spark.conf.unset(k)
+    // session conf for the duration of the write — under [[ConfLock]]
+    // (ADVICE r13): a concurrent store build restoring the conf to
+    // static mid-write would turn this into a truncate-all-partitions
+    // overwrite, silently destroying the base vintage
+    ConfLock.withConf(df.sparkSession,
+        "spark.sql.sources.partitionOverwriteMode", "dynamic") {
+      df.write.mode("overwrite").insertInto(table)
     }
-  }
 }
 
 /** Session-scoped /tmp workspace for the bucketed-layout demonstration:

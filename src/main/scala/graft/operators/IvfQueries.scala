@@ -517,18 +517,37 @@ object IvfQueries {
   private[graft] def ivfStoreTable(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = s"g_ivf_store2_${StoreToken(spark, dir)}"
 
-  /** The day-2 index append, re-runnable: a [[VintageWrite]] dynamic
-    * overwrite of the (vintage=delta1, cluster=*) partitions, assigned
-    * with the ingest-time centroids (append-twice ≡ append-once).
+  /** The day-2 index append, re-runnable as a STATIC-PREFIX partition
+    * overwrite: `PARTITION (vintage='delta1', cluster)` in static mode
+    * first truncates EVERYTHING under vintage=delta1, then writes the
+    * delta's dynamic cluster partitions beneath it. A fully-dynamic
+    * [[VintageWrite]] is not enough for this multi-level-partitioned
+    * store (ADVICE r13): dynamic mode only rewrites the (delta1,
+    * cluster) partitions present in the re-run's output, so if the
+    * delta input drifted between a crashed run and its retry
+    * (late/removed rows), a cluster partition the retry no longer
+    * produces would survive as stale debris. The static vintage prefix
+    * restores the whole-vintage-rewrite semantics the single-level
+    * stores get from VintageWrite — append-twice ≡ append-once for ANY
+    * pair of runs, not just identical inputs.
     */
   private[graft] def ivfStoreAppendDelta1(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     val e = Tables(spark, dir, "embeddings")
-    VintageWrite(
-      ivfAssigned(e.filter(col("vec_id") % 10 === 1), ivfCentsOf(spark, dir))
-        .select(col("vec_id"), col("embedding"),
-          lit("delta1").as("vintage"), col("cluster")),
-      ivfStoreTable(spark, dir))
+    val t = ivfStoreTable(spark, dir)
+    val v = s"src_$t"
+    ivfAssigned(e.filter(col("vec_id") % 10 === 1), ivfCentsOf(spark, dir))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+      .createOrReplaceTempView(v)
+    // under ConfLock: static mode is the session default, but another
+    // store build may hold the conf at dynamic mid-write
+    ConfLock.withConf(spark,
+        "spark.sql.sources.partitionOverwriteMode", "static") {
+      spark.sql(s"INSERT OVERWRITE TABLE $t PARTITION (vintage='delta1', cluster) " +
+        s"SELECT vec_id, embedding, cluster FROM $v")
+    }
+    spark.catalog.dropTempView(v)
+    ()
   }
 
   private val ivfStoreAppend = Q(

@@ -102,6 +102,57 @@ class CalibrationSpec extends AnyFunSuite {
     assert(near(Calibration.boundedAdjustedSec(2.0, 1.4, 2.0 * 32 * 1000, 32), 2.0 / 1.4))
   }
 
+  test("membw leg (r14): quiet band reads tax 1.0; the r13 blindspot " +
+    "signature (ALU-quiet + membw-hot) is now visible in the combined tax") {
+    // quiet membw readings — anywhere inside the documented self-noise
+    // band [95, 200] — never invent a tax
+    for (m <- Seq(95L, 111L, 150L, 191L, 200L))
+      assert(Calibration.membwTaxFactor(m, m) === 1.0, s"membw=$m")
+    // markers absent (pre-r14 sidecars): leg reads 1.0, combined = ALU leg
+    assert(Calibration.membwTaxFactor(-1, -1) === 1.0)
+    assert(Calibration.combinedTaxFactor(669, 622, -1, -1) ===
+      Calibration.taxFactor(669, 622))
+    // THE r13 signature: three runs of identical code read 238.7 / 245.8
+    // / 310.7 s (a 1.2–1.4× wall inflation) while the ALU markers sat
+    // at-or-below quiet (426–541 ms). On such a window the membw leg —
+    // which streams DRAM the way the suite's scan/shuffle phases do —
+    // must read hot: sustained bandwidth steal that inflates wall 1.3×
+    // at least doubles the streaming-sum time (min-of-3 ≥ ~300 ms vs
+    // the ≤200 ms quiet edge), and the combined tax must flag it even
+    // though the ALU leg still reads 1.0.
+    val alu = Calibration.taxFactor(511, 405) // r13 driver markers: ALU-quiet
+    assert(alu === 1.0)
+    val combined = Calibration.combinedTaxFactor(511, 405, 300, 320)
+    assert(combined >= 1.2, s"membw-hot window not flagged: $combined")
+    assert(Calibration.membwTaxFactor(300, 320) === combined)
+    // one-sided: the tax divides by the quiet-HIGH edge, so it
+    // under-reads true contention rather than ever overstating it
+    assert(Calibration.membwTaxFactor(400, 400) === 2.0)
+  }
+
+  test("membw leg: Markers carries both legs and parseSidecar reads " +
+    "membw markers when present, degrades when absent") {
+    val m = Calibration.Markers(500, 500, 1.0, 1.0, 100.0, 200,
+      membwBeforeMs = 280, membwAfterMs = 320)
+    assert(m.aluTax === 1.0)
+    assert(m.membwTax === 1.5)
+    assert(m.tax === 1.5) // combined = max of the legs
+    assert(math.abs(m.adjustedTotalSec - 100.0 / 1.5) < 1e-9)
+    val withMembw = """{"total":10.0,"calib_before_ms":500,
+      "calib_after_ms":500,"membw_before_ms":150,"membw_after_ms":160,
+      "loadavg_before":1.0,"loadavg_after":1.0,
+      "queries":{"q_a":10.0}}"""
+    val p1 = Calibration.parseSidecar(withMembw)
+    assert(p1.membwBeforeMs === 150 && p1.membwAfterMs === 160)
+    assert(p1.tax === 1.0)
+    // pre-r14 sidecar: no membw fields → -1 → leg silent
+    val old = """{"total":10.0,"calib_before_ms":650,"calib_after_ms":650,
+      "loadavg_before":1.0,"loadavg_after":1.0,"queries":{"q_a":10.0}}"""
+    val p0 = Calibration.parseSidecar(old)
+    assert(p0.membwBeforeMs === -1L && p0.membwTax === 1.0)
+    assert(p0.tax === Calibration.taxFactor(650, 650))
+  }
+
   // A marker-named query key inside "queries" must not be read as a marker:
   // the scalar scan is anchored to the prefix (ADVICE r9).
   test("scalar markers never collide with query entries") {
