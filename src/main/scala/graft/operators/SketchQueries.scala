@@ -1747,8 +1747,243 @@ object SketchQueries {
               CAST(minc + ((2 * bsel + 1) * span) // 128 AS BIGINT) AS est_cents
             FROM est, spand ORDER BY part, p"""))
 
+  /** q_sketch_expire's four catalog tables (family → (table, path)) —
+    * expire-private copies of the four mergeable stores, so the shared
+    * q_*_store instances other queries read are never mutated. */
+  private[graft] def expireStoreTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, (String, String)] = {
+    val key = StoreToken(spark, dir)
+    val wh = s"/tmp/graft_expstore_$key"
+    Map(
+      "hll_distinct" -> (s"g_exp_hll_$key", s"$wh/hll"),
+      "cms_top1" -> (s"g_exp_cms_$key", s"$wh/cms"),
+      "bloom_bits" -> (s"g_exp_bloom_$key", s"$wh/bloom"),
+      "quantile_p50c" -> (s"g_exp_quant_$key", s"$wh/quant"))
+  }
+
+  /** The RETENTION verb, re-runnable (drop-twice ≡ drop-once): evict
+    * every vintage older than the horizon (here: vintage=base, the
+    * day-0 batch) from all four sketch stores. Two steps, exactly what
+    * a nightly retention job runs: a catalog partition drop (the store
+    * stops serving the expired vintage — O(1) metadata, no data pass),
+    * then the storage-lifecycle delete of the evicted directory
+    * (external-table DROP PARTITION retains files by design; the
+    * explicit delete is the bit that actually reclaims 100 TB-scale
+    * storage). Both steps are idempotent: IF EXISTS on the catalog
+    * side, delete-of-absent-dir a no-op on the storage side.
+    */
+  private[graft] def sketchExpireDrop(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    expireStoreTables(spark, dir).values.foreach { case (t, path) =>
+      spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (vintage='base')")
+      BucketedWorkspace.deleteRecursively(new java.io.File(s"$path/vintage=base"))
+      spark.sql(s"REFRESH TABLE $t")
+    }
+
+  /** TIME-BASED VINTAGE RETENTION on the mergeable-sketch stores
+    * (VERDICT r13 task 2) — the verb a real pipeline runs nightly, and
+    * the deliberate complement of the store family's KEY
+    * non-invertibility: an HLL register or Bloom bit can never forget a
+    * DOCUMENT (maxima/unions — see the q_hll_store / q_bloom_store
+    * notes; q_theta_diff is the key-deletion escape hatch), but every
+    * store IS trivially invertible by TIME, because vintage is a
+    * partition column and the merge folds (MAX / SUM / UNION / SUM) are
+    * per-vintage decomposable: dropping a whole day's partition leaves
+    * the fold over the remaining vintages EXACTLY equal to a sketch
+    * rebuilt without that day — no approximation, no tombstones, no
+    * rewrite of surviving data.
+    *
+    * The query proves that equality in its output, per store family:
+    * expire-private copies of the four stores build with vintages base
+    * (day 0) + delta1 (day 1), the horizon evicts base
+    * ([[sketchExpireDrop]]: catalog partition drop + storage delete —
+    * drop-twice ≡ drop-once, property-tested), and each family emits
+    * the POST-DROP estimate served from the store fold beside a
+    * RECOMPUTE from the retained population's raw keys — rows are equal
+    * pairwise: hll_distinct (estimated distinct custkeys), cms_top1
+    * (estimated count of the global top-1 word; fixed ingest hash
+    * geometry), bloom_bits (set-bit census), quantile_p50c (p50 cents
+    * on the INGEST grid — the grid, like the IVF centroids, is
+    * ingest-time model state and survives the expiry of the data that
+    * derived it).
+    *
+    * Scale posture: the expire itself is O(#stores) catalog ops + one
+    * directory delete per store — never a data pass, never a rewrite of
+    * surviving vintages; the post-drop reads scan only the retained
+    * partitions (the vintage=base directory is gone from both catalog
+    * and disk). The recompute arms are the audit yardstick.
+    */
+  private val sketchExpire = Q(
+    "q_sketch_expire",
+    (spark, dir) => {
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_expstore_$key"
+      val tabs = expireStoreTables(spark, dir)
+      val o = Tables(spark, dir, "orders")
+      val oc = quantileCentsOf(spark, dir)
+      val spanD = quantileSpanOf(oc)
+      StoreOnce(wh) {
+        BucketedWorkspace.cleanupOnExit(wh)
+        def write(df: DataFrame, family: String): Unit = {
+          val (t, path) = tabs(family)
+          df.write.mode("overwrite").partitionBy("vintage")
+            .option("path", path).saveAsTable(t)
+        }
+        write(hllRegsOf(o.filter(col("o_orderkey") % 10 >= 2), "base")
+          .unionAll(hllRegsOf(o.filter(col("o_orderkey") % 10 === 1), "delta1")),
+          "hll_distinct")
+        val words = cmsWordsOf(spark, dir)
+        write(cmsCountersOf(words.filter(col("g") >= 2), "base")
+          .unionAll(cmsCountersOf(words.filter(col("g") === 1), "delta1")),
+          "cms_top1")
+        val positioned = bloomPositionedOf(spark, dir)
+        write(positioned.filter(col("doc_id") % 10 >= 2)
+          .select(col("bit"), lit("base").as("vintage")).distinct()
+          .unionAll(positioned.filter(col("doc_id") % 10 === 1)
+            .select(col("bit"), lit("delta1").as("vintage")).distinct()),
+          "bloom_bits")
+        write(quantileHistOf(oc.filter(col("o_orderkey") % 10 >= 2), spanD, "base")
+          .unionAll(quantileHistOf(oc.filter(col("o_orderkey") % 10 === 1),
+            spanD, "delta1")),
+          "quantile_p50c")
+        // the nightly horizon: day 0 ages out of every store
+        sketchExpireDrop(spark, dir)
+      }
+      // ---- hll: post-drop register fold vs recompute over retained keys
+      def hllEst(regs: DataFrame): DataFrame =
+        regs.groupBy(col("j")).agg(max(col("m")).as("m"))
+          .agg(count(lit(1)).as("nf"),
+            coalesce(sum(expr("shiftleft(cast(1 as bigint), 53 - m)")), lit(0L)).as("zp"))
+          .select((col("zp") + (lit(256L) - col("nf")) * lit(Pow53)).as("z"),
+            (lit(256L) - col("nf")).as("v"))
+          .select(floor(
+            when(lit(HllC) / col("z").cast("double") <= 640.0 && col("v") > 0,
+              lit(256.0) * log(lit(256.0) / col("v").cast("double")))
+              .otherwise(lit(HllC) / col("z").cast("double")) + 0.5d)
+            .cast("long").as("est"))
+      val hllRow = hllEst(spark.table(tabs("hll_distinct")._1).select(col("j"), col("m")))
+        .select(col("est").as("post_drop"))
+        .crossJoin(hllEst(hllRegsOf(o.filter(col("o_orderkey") % 10 === 1), "x")
+          .select(col("j"), col("m"))).select(col("est").as("recomputed")))
+        .select(lit("hll_distinct").as("store"), col("post_drop"), col("recomputed"))
+      // ---- cms: global top-1 word probed against the retained counters
+      val words = graft.Caches.persisted(cmsWordsOf(spark, dir))
+      val probe = broadcast(words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(1)
+        .select(Portable.hash60(col("word")).as("hv"))
+        .select(posexplode(array((0 until 4).map(i =>
+          shiftright(col("hv"), 9 * i).bitwiseAND(lit(511L))): _*)))
+        .withColumnRenamed("pos", "d").withColumnRenamed("col", "p"))
+      def cmsEst(counts: DataFrame): DataFrame =
+        probe.join(counts, Seq("d", "p"), "left")
+          .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+      val cmsRow = cmsEst(spark.table(tabs("cms_top1")._1)
+          .groupBy(col("d"), col("p")).agg(sum(col("c")).as("c")))
+        .select(col("est").as("post_drop"))
+        .crossJoin(cmsEst(cmsCountersOf(words.filter(col("g") === 1), "x")
+          .select(col("d"), col("p"), col("c"))).select(col("est").as("recomputed")))
+        .select(lit("cms_top1").as("store"), col("post_drop"), col("recomputed"))
+      // ---- bloom: set-bit census of the retained filter
+      val bloomRow = spark.table(tabs("bloom_bits")._1)
+        .agg(countDistinct(col("bit")).cast("bigint").as("post_drop"))
+        .crossJoin(bloomPositionedOf(spark, dir).filter(col("doc_id") % 10 === 1)
+          .agg(countDistinct(col("bit")).cast("bigint").as("recomputed")))
+        .select(lit("bloom_bits").as("store"), col("post_drop"), col("recomputed"))
+      // ---- quantile: p50 on the ingest grid from the retained histogram
+      def p50Of(hist: DataFrame): DataFrame = {
+        val h = hist.groupBy(col("b")).agg(sum(col("c")).as("c"))
+        val n = h.agg(sum(col("c")).as("n"))
+        val hB = h.select(col("b").as("b2"), col("c").as("c2"))
+        h.join(hB, col("b2") <= col("b"))
+          .groupBy(col("b")).agg(sum(col("c2")).as("cumc"))
+          .crossJoin(broadcast(n))
+          .filter(col("cumc") >= expr("(n * 50 + 99) div 100"))
+          .agg(min(col("b")).as("bsel"))
+          .crossJoin(spanD)
+          .select((col("minc") + expr("((2 * bsel + 1) * span) div 128"))
+            .cast("long").as("est"))
+      }
+      val quantRow = p50Of(spark.table(tabs("quantile_p50c")._1)
+          .select(col("b"), col("c")))
+        .select(col("est").as("post_drop"))
+        .crossJoin(p50Of(quantileHistOf(oc.filter(col("o_orderkey") % 10 === 1),
+          spanD, "x").select(col("b"), col("c"))).select(col("est").as("recomputed")))
+        .select(lit("quantile_p50c").as("store"), col("post_drop"), col("recomputed"))
+      bloomRow.unionAll(cmsRow).unionAll(hllRow).unionAll(quantRow)
+        .orderBy(col("store"))
+    },
+    Some(s"""WITH okeyed AS (SELECT o_orderkey % 10 AS g, o_custkey AS k,
+                      CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h
+                    FROM orders),
+            hreg AS (SELECT CAST(h % 256 AS INT) AS j,
+                       MAX(CASE WHEN h // 256 = 0 THEN 53
+                            ELSE 53 - length(bin(h // 256)) END) AS m
+                     FROM okeyed WHERE g = 1 GROUP BY 1),
+            hz AS (SELECT COUNT(*) AS nf,
+                     COALESCE(SUM(CAST(1 AS BIGINT) << (53 - m)), 0) AS zp
+                   FROM hreg),
+            hest AS (SELECT CAST(FLOOR(CASE
+                       WHEN CAST($HllC AS DOUBLE)
+                           / CAST(zp + (256 - nf) * $Pow53 AS DOUBLE) <= 640.0
+                           AND 256 - nf > 0
+                       THEN 256.0 * ln(256.0 / CAST(256 - nf AS DOUBLE))
+                       ELSE CAST($HllC AS DOUBLE)
+                           / CAST(zp + (256 - nf) * $Pow53 AS DOUBLE)
+                     END + 0.5) AS BIGINT) AS est FROM hz),
+            words AS (SELECT doc_id % 10 AS g, word
+                      FROM (SELECT doc_id,
+                              UNNEST(string_split(lower(text), ' ')) AS word
+                            FROM documents)
+                      WHERE word <> ''),
+            top1 AS (SELECT word FROM words GROUP BY word
+                     ORDER BY COUNT(*) DESC, word LIMIT 1),
+            cprobe AS (SELECT i AS d,
+                         (CAST('0x' || substr(md5(word), 1, 15) AS BIGINT)
+                           >> (9 * i)) & 511 AS p
+                       FROM top1, UNNEST(generate_series(0, 3)) AS u(i)),
+            ccnt AS (SELECT i AS d,
+                       (CAST('0x' || substr(md5(word), 1, 15) AS BIGINT)
+                         >> (9 * i)) & 511 AS p,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                     FROM words, UNNEST(generate_series(0, 3)) AS u(i)
+                     WHERE g = 1 GROUP BY 1, 2),
+            cest AS (SELECT MIN(COALESCE(cc.c, 0)) AS est
+                     FROM cprobe cp LEFT JOIN ccnt cc
+                       ON cc.d = cp.d AND cc.p = cp.p),
+            bbits AS (SELECT CAST(COUNT(DISTINCT
+                        (CAST('0x' || substr(md5(md5(text)), 1, 15) AS BIGINT)
+                          >> (12 * i)) & 4095) AS BIGINT) AS est
+                      FROM documents, UNNEST(generate_series(0, 3)) AS u(i)
+                      WHERE doc_id % 10 = 1),
+            oc AS (SELECT o_orderkey % 10 AS g,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                   FROM orders),
+            spand AS (SELECT COALESCE(MIN(cents), 0) AS minc,
+                        COALESCE(MAX(cents), 0) - COALESCE(MIN(cents), 0) + 1 AS span
+                      FROM oc WHERE g >= 2),
+            qhist AS (SELECT GREATEST(0, LEAST(63, ((cents - minc) * 64) // span)) AS b,
+                        CAST(COUNT(*) AS BIGINT) AS c
+                      FROM oc, spand WHERE g = 1 GROUP BY 1),
+            qn AS (SELECT SUM(c) AS n FROM qhist),
+            qcum AS (SELECT h.b, SUM(h2.c) AS cumc
+                     FROM qhist h JOIN qhist h2 ON h2.b <= h.b GROUP BY h.b),
+            qest AS (SELECT CAST(minc + ((2 * MIN(qcum.b) + 1) * span) // 128 AS BIGINT) AS est
+                     FROM qcum, qn, spand
+                     WHERE qcum.cumc >= (qn.n * 50 + 99) // 100
+                     GROUP BY minc, span)
+            SELECT store, post_drop, recomputed FROM (
+              SELECT 'bloom_bits' AS store, est AS post_drop, est AS recomputed FROM bbits
+              UNION ALL
+              SELECT 'cms_top1', est, est FROM cest
+              UNION ALL
+              SELECT 'hll_distinct', est, est FROM hest
+              UNION ALL
+              SELECT 'quantile_p50c', est, est FROM qest)
+            ORDER BY store"""))
+
   val all: Seq[Q] = Seq(hllMerge, bloomIncremental, bottomkSample,
     cmsMerge, quantileMerge, weightedSample, thetaSketch, thetaDiff,
     hllPrecisionSweep, bloomFprSweep, cmsWidthSweep, hllStore, cmsStore,
-    bloomStore, quantileStore)
+    bloomStore, quantileStore, sketchExpire)
 }
