@@ -532,9 +532,12 @@ object IvfQueries {
     * pair of runs, not just identical inputs.
     */
   private[graft] def ivfStoreAppendDelta1(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
+      dir: String): Unit =
+    ivfWriteDelta1(spark, dir, ivfStoreTable(spark, dir))
+
+  private def ivfWriteDelta1(spark: org.apache.spark.sql.SparkSession,
+      dir: String, t: String): Unit = {
     val e = Tables(spark, dir, "embeddings")
-    val t = ivfStoreTable(spark, dir)
     val v = s"src_$t"
     ivfAssigned(e.filter(col("vec_id") % 10 === 1), ivfCentsOf(spark, dir))
       .select(col("vec_id"), col("embedding"), col("cluster"))
@@ -550,25 +553,36 @@ object IvfQueries {
     ()
   }
 
+  /** Builds the grown (base + delta1) (vintage, cluster)-partitioned IVF
+    * store once per (session, dir) and returns its table name — shared
+    * by q_ivf_store_append (the probe path) and reused as the build
+    * recipe for q_ivf_delete's delete-private copy. */
+  private[graft] def ensureIvfStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val key = StoreToken(spark, dir)
+    val wh = s"/tmp/graft_ivfstore2_$key"
+    val sT = ivfStoreTable(spark, dir)
+    StoreOnce(wh) {
+      BucketedWorkspace.cleanupOnExit(wh)
+      ivfAssigned(Tables(spark, dir, "embeddings")
+          .filter(col("vec_id") % 10 >= 2), ivfCentsOf(spark, dir))
+        .withColumn("vintage", lit("base"))
+        .write.mode("overwrite").partitionBy("vintage", "cluster")
+        .option("path", s"$wh/index").saveAsTable(sT)
+      // day-2 maintenance: yesterday's vectors land inside their
+      // (vintage, cluster) partitions as a static-prefix vintage
+      // overwrite — idempotent under re-run, ingest-time centroids
+      ivfStoreAppendDelta1(spark, dir)
+    }
+    sT
+  }
+
   private val ivfStoreAppend = Q(
     "q_ivf_store_append",
     (spark, dir) => {
-      val key = StoreToken(spark, dir)
-      val wh = s"/tmp/graft_ivfstore2_$key"
-      val sT = ivfStoreTable(spark, dir)
+      val sT = ensureIvfStore(spark, dir)
       val e = Tables(spark, dir, "embeddings")
       val cents = ivfCentsOf(spark, dir)
-      StoreOnce(wh) {
-        BucketedWorkspace.cleanupOnExit(wh)
-        ivfAssigned(e.filter(col("vec_id") % 10 >= 2), cents)
-          .withColumn("vintage", lit("base"))
-          .write.mode("overwrite").partitionBy("vintage", "cluster")
-          .option("path", s"$wh/index").saveAsTable(sT)
-        // day-2 maintenance: yesterday's vectors land inside their
-        // (vintage, cluster) partitions as a dynamic overwrite —
-        // idempotent under re-run, ingest-time centroids
-        ivfStoreAppendDelta1(spark, dir)
-      }
       val routedIds = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("p")).crossJoin(cents)
         .select(col("cid"), VectorOps.cosine(col("p"), col("cemb")).as("ccos"))
@@ -783,6 +797,165 @@ object IvfQueries {
           FROM ($finals) ORDER BY stage"""
     })
 
+  /** q_ivf_delete's delete-private store (table, workspace) — for the
+    * layout pins and the untouched-partition file assertions. */
+  private[graft] def ivfDeleteStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val key = StoreToken(spark, dir)
+    (s"g_ivfdel_$key", s"/tmp/graft_ivfdel_$key")
+  }
+
+  /** PARTITION-TARGETED DELETION from the persisted IVF index (VERDICT
+    * r13 task 3, the second half beside q_ann_delete): the (vintage,
+    * cluster) partition layout makes the purge SURGICAL where the
+    * bucketed LSH store could only rewrite wholesale — the deletion
+    * request (vec_id ≡ 5 mod 10) touches only the partitions that hold
+    * purged rows, those partitions' survivors stage and rewrite IN
+    * PLACE as a dynamic partition overwrite (a fully-purged partition
+    * drops via the catalog instead — dynamic overwrite cannot
+    * rewrite-to-empty), and every untouched partition's files are
+    * untouched on disk, byte-for-byte (manifest-asserted in the spec:
+    * the purge set lives in vintage=base, so the delta1 partitions must
+    * not even be re-written). The probe runs pre-deletion (snapshotted
+    * at build time — the store mutates in place, so `pre` is
+    * re-servable only from its materialized result) and post-deletion
+    * (live, against the mutated store, still riding the pruned
+    * `cluster IN (routed)` PartitionFilter — plan-pinned); a purged
+    * `pre` neighbor has no `post` twin and survivors move up.
+    *
+    * The purged vector's influence on the CENTROID MODEL survives until
+    * the next rebuild (centroids are ingest-time model state, not store
+    * rows — true of every real IVF serving stack; q_ivf_drift is the
+    * audit that prices the rebuild cadence).
+    *
+    * Scale posture: deletion cost ∝ touched-partition mass (one pruned
+    * scan of the touched partitions + staged rewrite), NOT store mass —
+    * at 365 vintages × k clusters a bounded GDPR request touches a
+    * handful of partitions; the probes stay ~nprobe/k pruned reads.
+    */
+  private val ivfDelete = Q(
+    "q_ivf_delete",
+    (spark, dir) => {
+      val (dT, wh) = ivfDeleteStore(spark, dir)
+      val e = Tables(spark, dir, "embeddings")
+      val cents = ivfCentsOf(spark, dir)
+      val routedIds = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p")).crossJoin(cents)
+        .select(col("cid"), VectorOps.cosine(col("p"), col("cemb")).as("ccos"))
+        .orderBy(col("ccos").desc, col("cid")).limit(2)
+        .collect().map(_.getAs[Number](0).intValue).toSeq
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p")))
+      def probeDf(t: String, phase: String): org.apache.spark.sql.DataFrame = {
+        val pruned = spark.table(t)
+          .filter(if (routedIds.isEmpty) lit(false)
+                  else col("cluster").isin(routedIds: _*))
+        pruned.crossJoin(probe)
+          .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+            pround(VectorOps.cosine(col("embedding"), col("p")), 4).as("cos"),
+            when(col("vec_id") % 10 === 1, lit("delta1")).otherwise(lit("base")).as("src"),
+            when(col("vec_id") % 10 === 5, lit(1)).otherwise(lit(0)).cast("int")
+              .as("purge_set"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+          .select(lit(phase).as("phase"), col("vec_id"), col("cluster"),
+            col("cos"), col("src"), col("purge_set"))
+      }
+      StoreOnce(wh) {
+        BucketedWorkspace.cleanupOnExit(wh)
+        // the delete-private grown store (same recipe as ensureIvfStore)
+        ivfAssigned(e.filter(col("vec_id") % 10 >= 2), cents)
+          .withColumn("vintage", lit("base"))
+          .write.mode("overwrite").partitionBy("vintage", "cluster")
+          .option("path", s"$wh/index").saveAsTable(dT)
+        ivfWriteDelta1(spark, dir, dT)
+        // the pre-deletion serving state, materialized (the store is
+        // about to mutate in place)
+        probeDf(dT, "pre").coalesce(1)
+          .write.mode("overwrite").parquet(s"$wh/pre")
+        // manifest of the partitions the purge must NOT touch (the
+        // purge set is all ≡5 mod 10 — base vintage only)
+        def manifest(root: java.io.File): Seq[String] = {
+          def walk(f: java.io.File): Seq[java.io.File] = {
+            val cs = f.listFiles()
+            if (cs == null) Seq(f)
+            else cs.toSeq.flatMap(walk)
+          }
+          walk(root).filter(_.isFile)
+            .map(f => s"${f.getAbsolutePath}:${f.length}:${f.lastModified}")
+            .sorted
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$wh/delta1_manifest.txt"),
+          manifest(new java.io.File(s"$wh/index/vintage=delta1"))
+            .mkString("\n").getBytes("UTF-8"))
+        // THE PURGE: touched partitions only
+        val store = spark.table(dT)
+        val touched = store.filter(col("vec_id") % 10 === 5)
+          .select(col("vintage"), col("cluster")).distinct().collect()
+          .map(r => (r.getString(0), r.getAs[Number](1).intValue)).toSeq
+        if (touched.nonEmpty) {
+          val cond = touched.map { case (v, c) =>
+            col("vintage") === v && col("cluster") === c }.reduce(_ || _)
+          // stage the touched partitions' survivors (never the whole
+          // store), then swap them in as a dynamic partition overwrite
+          store.filter(cond && col("vec_id") % 10 =!= 5)
+            .select(col("vec_id"), col("embedding"), col("vintage"), col("cluster"))
+            .write.mode("overwrite").parquet(s"$wh/staged")
+          val staged = spark.read.parquet(s"$wh/staged")
+            .select(col("vec_id"), col("embedding"), col("vintage"), col("cluster"))
+          val alive = staged.select(col("vintage"), col("cluster")).distinct()
+            .collect().map(r => (r.getString(0), r.getAs[Number](1).intValue)).toSet
+          // fully-purged partitions: catalog drop + storage delete
+          touched.filterNot(alive).foreach { case (v, c) =>
+            spark.sql(s"ALTER TABLE $dT DROP IF EXISTS " +
+              s"PARTITION (vintage='$v', cluster=$c)")
+            BucketedWorkspace.deleteRecursively(
+              new java.io.File(s"$wh/index/vintage=$v/cluster=$c"))
+          }
+          if (alive.nonEmpty) VintageWrite(staged, dT)
+          spark.sql(s"REFRESH TABLE $dT")
+          ()
+        }
+      }
+      spark.read.parquet(s"$wh/pre")
+        .unionAll(probeDf(dT, "post"))
+        .orderBy(col("phase"), col("cos").desc, col("vec_id"))
+    },
+    Some("""WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+                           FROM embeddings WHERE vec_id < 10),
+            grown AS (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id % 10 <> 0),
+            scored AS (SELECT g.vec_id, c.cid,
+                         list_cosine_similarity(CAST(g.embedding AS DOUBLE[]), c.cemb) AS ccos
+                       FROM grown g CROSS JOIN cents c),
+            assign AS (SELECT vec_id, cid AS cluster FROM (
+                         SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ccos DESC, cid) AS rn
+                         FROM scored)
+                       WHERE rn = 1),
+            probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings
+                      WHERE vec_id = 0),
+            routed AS (SELECT c.cid FROM cents c, probe
+                       ORDER BY list_cosine_similarity(probe.p, c.cemb) DESC, c.cid
+                       LIMIT 2),
+            served AS (SELECT g.vec_id, CAST(a.cluster AS INT) AS cluster,
+                         FLOOR((list_cosine_similarity(CAST(g.embedding AS DOUBLE[]), probe.p))
+                           * 10000 + 0.5) / 10000 AS cos,
+                         CASE WHEN g.vec_id % 10 = 1 THEN 'delta1' ELSE 'base' END AS src,
+                         CASE WHEN g.vec_id % 10 = 5 THEN 1 ELSE 0 END AS purge_set
+                       FROM grown g JOIN assign a ON a.vec_id = g.vec_id, probe
+                       WHERE a.cluster IN (SELECT cid FROM routed)),
+            pre AS (SELECT * FROM served ORDER BY cos DESC, vec_id LIMIT 10),
+            post AS (SELECT * FROM served WHERE vec_id % 10 <> 5
+                     ORDER BY cos DESC, vec_id LIMIT 10)
+            SELECT phase, vec_id, cluster, cos, src, purge_set FROM (
+              SELECT 'pre' AS phase, * FROM pre
+              UNION ALL
+              SELECT 'post', * FROM post)
+            ORDER BY phase, cos DESC, vec_id"""))
+
   val all: Seq[Q] = Seq(knnIvf, dedupEmbedLsh, ivfRecallSweep, ivfPq, ivfStore,
-    ivfStoreAppend, ivfDrift)
+    ivfStoreAppend, ivfDrift, ivfDelete)
 }

@@ -1894,7 +1894,9 @@ object SketchQueries {
         val h = hist.groupBy(col("b")).agg(sum(col("c")).as("c"))
         val n = h.agg(sum(col("c")).as("n"))
         val hB = h.select(col("b").as("b2"), col("c").as("c2"))
-        h.join(hB, col("b2") <= col("b"))
+        // the cumulative self-join is domain-bounded by the 64-bucket
+        // grid — broadcast it (a bare non-equi join would plan cartesian)
+        h.join(broadcast(hB), col("b2") <= col("b"))
           .groupBy(col("b")).agg(sum(col("c2")).as("cumc"))
           .crossJoin(broadcast(n))
           .filter(col("cumc") >= expr("(n * 50 + 99) div 100"))

@@ -1068,7 +1068,118 @@ object VectorQueries {
                   UNION ALL SELECT 'post', * FROM top)
             ORDER BY phase, probe_id, rn"""))
 
+  /** q_ann_delete's post-deletion catalog table and path (for the
+    * layout pins and file assertions). */
+  private[graft] def annDeleteTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = s"g_ann_del_${StoreToken(spark, dir)}"
+  private[graft] def annDeletePath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = s"/tmp/graft_anndel_${StoreToken(spark, dir)}/index"
+
+  /** DELETION from the persisted ANN store (VERDICT r13 task 3) —
+    * q_store_delete's GDPR verb extended to the vector indexes: purging
+    * a document's text is not enough if its EMBEDDING keeps surfacing
+    * as someone's nearest neighbor. The grown (base + delta1) LSH store
+    * takes a bounded deletion request (vec_id ≡ 5 mod 10): the id set
+    * BROADCASTS onto a store anti-join and the survivors rewrite under
+    * the SAME bucketBy(8, bk) layout — the post-delete probe still
+    * rides the stored buckets with zero store-side exchange
+    * (plan-pinned). Today's probe batch reads BOTH stores; the phase
+    * column makes the deletion visible in the output: a `pre` top-3
+    * neighbor from the purge set has no `post` twin and the
+    * lower-ranked survivors move up (the post ranking re-runs over the
+    * surviving candidates — exactly what a production index serves
+    * after the purge). Property-tested on a planted corpus whose
+    * probe's nearest neighbor IS the purged vector.
+    *
+    * Scale posture: deletion = one store scan + broadcast anti-join +
+    * bucketed rewrite (no shuffle of the store on its key — the GDPR
+    * request is bounded); for the partition-TARGETED variant that
+    * avoids even the full-store rewrite, see q_ivf_delete, whose
+    * partition layout makes surgical rewrites possible — the bucketed
+    * LSH layout deliberately trades that for exchange-free probes.
+    */
+  private val annDelete = Q(
+    "q_ann_delete",
+    (spark, dir) => {
+      val srcT = ensureAnnStore(spark, dir)
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_anndel_$key"
+      val dT = annDeleteTable(spark, dir)
+      StoreOnce(wh) {
+        graft.operators.BucketedWorkspace.cleanupOnExit(wh)
+        val delIds = broadcast(
+          Tables(spark, dir, "embeddings")
+            .filter(col("vec_id") % 10 === 5).select(col("vec_id")))
+        spark.table(srcT).join(delIds, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("bk"), col("embedding"))
+          .write.mode("overwrite").bucketBy(8, "bk").sortBy("bk")
+          .option("path", s"$wh/index").saveAsTable(dT)
+      }
+      val e = Tables(spark, dir, "embeddings")
+      val bucket = annIngestBucket(spark, dir)
+      val probes = graft.Caches.persisted(
+        e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("pid"), bucket.as("bk"), col("embedding").as("pe")))
+      def arm(t: String, phase: String): org.apache.spark.sql.DataFrame = {
+        val store = spark.table(t)
+          .select(col("vec_id").as("nb"), col("bk"), col("embedding").as("se"))
+        val cand = probes.join(store.hint("merge"), "bk")
+          .select(col("pid"),
+            pround(VectorOps.cosine(col("pe"), col("se")), 4).as("cos"), col("nb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pid")).orderBy(col("cos").desc, col("nb"))
+        cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(lit(phase).as("phase"), col("pid").as("probe_id"),
+            col("rn").cast("int").as("rn"), col("nb"), col("cos"),
+            when(col("nb") % 10 === 5, lit(1)).otherwise(lit(0)).cast("int")
+              .as("purge_set"))
+      }
+      arm(srcT, "pre").unionAll(arm(dT, "post"))
+        .orderBy(col("phase"), col("probe_id"), col("rn"))
+    },
+    Some("""WITH bcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+                          WHERE vec_id % 10 >= 2),
+            np AS (SELECT MIN(k) AS np
+                   FROM UNNEST(generate_series(4, 20)) AS t(k), bcnt
+                   WHERE (CAST(32 AS BIGINT) << k) >= bcnt.n OR k = 20),
+            dims AS (SELECT CAST(COALESCE(MAX(len(embedding)), 0) AS BIGINT) AS nd
+                     FROM embeddings),
+            planes AS (
+              SELECT p, d,
+                CASE WHEN substr(md5('p' || CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1)
+                     IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS sgn
+              FROM np, dims, UNNEST(generate_series(0, np.np - 1)) AS a(p),
+                   UNNEST(generate_series(1, dims.nd)) AS b(d)),
+            dots AS (SELECT e.vec_id, pl.p,
+                       SUM(pl.sgn * CAST(e.embedding[pl.d] AS DOUBLE)) AS dp
+                     FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p),
+            buckets AS (SELECT vec_id,
+                          string_agg(CASE WHEN dp > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bk
+                        FROM dots GROUP BY vec_id),
+            store AS (SELECT b.vec_id AS nb, b.bk, CAST(e.embedding AS DOUBLE[]) AS se
+                      FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+                      WHERE b.vec_id % 10 <> 0),
+            probes AS (SELECT b.vec_id AS pid, b.bk, CAST(e.embedding AS DOUBLE[]) AS pe
+                       FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+                       WHERE b.vec_id % 10 = 0),
+            cand AS (SELECT p.pid,
+                       FLOOR((list_cosine_similarity(p.pe, s.se)) * 10000 + 0.5) / 10000 AS cos,
+                       s.nb
+                     FROM probes p JOIN store s ON p.bk = s.bk),
+            rpre AS (SELECT pid, cos, nb,
+                       row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nb) AS rn
+                     FROM cand),
+            rpost AS (SELECT pid, cos, nb,
+                        row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nb) AS rn
+                      FROM cand WHERE nb % 10 <> 5)
+            SELECT phase, pid AS probe_id, CAST(rn AS INT) AS rn, nb, cos,
+              CASE WHEN nb % 10 = 5 THEN 1 ELSE 0 END AS purge_set
+            FROM (SELECT 'pre' AS phase, pid, rn, nb, cos FROM rpre WHERE rn <= 3
+                  UNION ALL
+                  SELECT 'post', pid, rn, nb, cos FROM rpost WHERE rn <= 3)
+            ORDER BY phase, probe_id, rn"""))
+
   val all: Seq[Q] = Seq(arrayFuncs, knnBrute, knnLsh, dedupEmbed, embedCentroid,
     knnJoin, annRecall, dedupSemantic, knnPq, hardNegatives, multiprobeLsh,
-    annIncremental, annStoreAppend, storeCompact)
+    annIncremental, annStoreAppend, storeCompact, annDelete)
 }

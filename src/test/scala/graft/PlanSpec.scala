@@ -1464,6 +1464,49 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_ann_delete: BOTH store scans (pre and post-delete) stay bucketed, undemoted") {
+    val df = Registry.byName("q_ann_delete").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("graft_anndel"),
+      s"the post-delete store must be scanned:\n$plan")
+    assert("Bucketed: true".r.findAllIn(plan).size >= 2,
+      s"the pre- and post-delete stores must both read their bucket layout:\n$plan")
+    assert(!plan.contains("Bucketed: false"),
+      s"a store scan was demoted — the delete rewrite broke the layout:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_ivf_delete: the post-delete probe still rides the pruned cluster IN (...) PartitionFilter") {
+    val df = Registry.byName("q_ivf_delete").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("g_ivfdel"),
+      s"the mutated store must be scanned live for the post phase:\n$plan")
+    val scan = plan.split("\n").filter(_.contains("PartitionFilters"))
+    assert(scan.exists(l => l.contains("cluster") && l.contains("IN")),
+      s"the post-delete scan must partition-prune on the routed clusters:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-10 must be a TakeOrdered head:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
+  test("q_sketch_expire: post-drop store reads scan ONLY retained vintage directories") {
+    val df = Registry.byName("q_sketch_expire").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("g_exp_"),
+      s"the expired stores must be scanned:\n$plan")
+    assert(!plan.contains("vintage=base"),
+      s"a post-drop read still lists the expired vintage's files:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_ivf_drift: every arm is broadcast-bounded (no cartesian), ranked by per-probe windows") {
     val df = Registry.byName("q_ivf_drift").build(spark, dir)
     df.collect()

@@ -56,4 +56,78 @@ class Round14PropertiesSpec extends AnyFunSuite {
     assert(outOf("q_sketch_expire") === out1,
       "query output changed after the expire re-run")
   }
+
+  test("q_ann_delete: a purged vector stops appearing in probe top-k " +
+    "(planted corpus; GDPR-on-the-embedding-index)") {
+    // probe 20's nearest neighbor is vec 15 (identical embedding, cosine
+    // 1.0, same LSH bucket by construction) — and 15 ≡ 5 (mod 10) is
+    // exactly the purge set: pre must serve it at rank 1, post must not
+    // serve it at all, and the survivors move up
+    import spark.implicits._
+    val rows = Seq(
+      (2L, Array(0f, 1f, 0f, 0f), 0),
+      (3L, Array(0f, 0f, 1f, 0f), 0),
+      (4L, Array(0f, 0f, 0f, 1f), 0),
+      (11L, Array(0.5f, 0.5f, 0.5f, 0.5f), 0), // delta1 member
+      (15L, Array(1f, 0f, 0f, 0f), 0),         // base member, purge set
+      (20L, Array(1f, 0f, 0f, 0f), 0))         // today's probe
+    val out = java.nio.file.Files.createTempDirectory("graft-ann-del").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val got = Registry.byName("q_ann_delete").build(spark, out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getInt(5))).toSeq
+    Caches.releaseAll()
+    val pre = got.filter(_._1 == "pre")
+    val post = got.filter(_._1 == "post")
+    assert(pre.exists(t => t._3 == 1 && t._4 == 15L && t._5 == 1),
+      s"pre must serve the purged vector at rank 1: $pre")
+    assert(post.forall(_._4 != 15L), s"post still serves the purged vector: $post")
+    assert(post.forall(_._5 == 0), s"post purge_set flag wrong: $post")
+  }
+
+  test("q_ivf_delete: purged vector gone from the routed search; untouched " +
+    "partitions byte-identical (planted corpus + manifest)") {
+    // probe 0 = (1,0,0,0); vec 5 is identical (cosine 1.0) AND ≡ 5 mod
+    // 10 — pre serves it first, post must not. vec 11 is the delta1
+    // member whose partition files the purge must never rewrite.
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0), // probe (and centroid 0)
+      (1L, Array(0f, 1f, 0f, 0f), 0),
+      (2L, Array(0f, 0f, 1f, 0f), 0),
+      (3L, Array(0f, 0f, 0f, 1f), 0),
+      (5L, Array(1f, 0f, 0f, 0f), 0),          // purge set (and centroid 5)
+      (11L, Array(0.6f, 0.8f, 0f, 0f), 0),     // delta1 member
+      (22L, Array(0.8f, 0.6f, 0f, 0f), 0))     // base member
+    val out = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val got = Registry.byName("q_ivf_delete").build(spark, out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getInt(5))).toSeq
+    Caches.releaseAll()
+    val pre = got.filter(_._1 == "pre")
+    val post = got.filter(_._1 == "post")
+    assert(pre.headOption.exists(t => t._2 == 5L && t._3 == 1.0 && t._4 == 1),
+      s"pre must serve the purged vector first: $pre")
+    assert(post.forall(_._2 != 5L), s"post still serves the purged vector: $post")
+    assert(post.nonEmpty, "the routed search must still serve survivors")
+    // the store really forgot: no ≡5 rows anywhere in the mutated table
+    val (dT, wh) = operators.IvfQueries.ivfDeleteStore(spark, out)
+    assert(spark.table(dT).filter(col("vec_id") % 10 === 5).count() === 0L)
+    // surgical rewrite: the delta1 partitions' files are untouched on
+    // disk — path, length, AND mtime all equal the pre-purge manifest
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val cs = f.listFiles()
+      if (cs == null) Seq(f) else cs.toSeq.flatMap(walk)
+    }
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$wh/delta1_manifest.txt")), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+    val now = walk(new java.io.File(s"$wh/index/vintage=delta1")).filter(_.isFile)
+      .map(f => s"${f.getAbsolutePath}:${f.length}:${f.lastModified}").sorted
+    assert(manifest.nonEmpty, "manifest must cover the delta1 partition files")
+    assert(now === manifest,
+      "the purge rewrote partitions it does not touch")
+  }
 }
