@@ -1179,7 +1179,201 @@ object VectorQueries {
                   SELECT 'post', pid, rn, nb, cos FROM rpost WHERE rn <= 3)
             ORDER BY phase, probe_id, rn"""))
 
+  /** q_store_lifecycle's tables and workspace: the laddered store, its
+    * compacted successor, and the rung ledger path. */
+  private[graft] def lifecycleStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String, String) = {
+    val key = StoreToken(spark, dir)
+    (s"g_lc_store_$key", s"g_lc_compact_$key", s"/tmp/graft_lcstore_$key")
+  }
+
+  /** The lifecycle ladder's ingest-time bucket expression: plane depth
+    * from ITS base population (vec_id ≡ 4..9 mod 10 — fixed at ingest,
+    * like every store's model state). */
+  private def lifecycleBucket(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Column =
+    ingestBucketCache.computeIfAbsent(StoreToken(spark, dir) + ":lc", _ => {
+      val e = Tables(spark, dir, "embeddings")
+      val nBase = e.filter(col("vec_id") % 10 >= 4).count()
+      val signs = planeSigns(planesFor(nBase), embeddingDim(spark, dir))
+      concat(signs.map(s =>
+        when(signedDot(col("embedding"), s) > 0, lit("1")).otherwise(lit("0"))): _*)
+    })
+
+  /** THE DAY-N LIFECYCLE LADDER (VERDICT r13 task 4): every store verb
+    * was proven on a base+delta1 store in isolation; day-365 operation
+    * is the verbs COMPOSED on one store — this query drives a single
+    * ANN store through create(base) → append(delta1) → append(delta2) →
+    * delete(purge ≡5) → compact → probe as one sequence, and proves the
+    * probe's answers survive it: the `grown` phase (post-delete,
+    * 3-vintage, multi-file) and the `compact` phase (one file per
+    * bucket) serve IDENTICAL top-3 rows, with src attributing neighbors
+    * to base/delta1/delta2 (every vintage must flow through) and the
+    * purged ids absent from both.
+    *
+    * The rung LEDGER (rung, data files, rows — written beside the
+    * store) turns the r13-disclosed file-open growth trend
+    * (q_ivf_store_append: 0.33–0.40 → 0.55–0.63 s at 2 leaf dirs → 4)
+    * into the measured, remedied curve: files grow by one bucket-set
+    * per appended vintage, the delete rewrites ONLY the base vintage
+    * partition (static-prefix overwrite; the delta vintages'
+    * files are untouched on disk, manifest-asserted), and compaction
+    * collapses the ladder back to 8 files while preserving rows.
+    *
+    * Scale posture: each append is one bucket-assignment pass over its
+    * delta; the delete stages only base-vintage survivors and swaps
+    * them in as a partition overwrite; compaction is the shuffle-free
+    * one-task-per-bucket rewrite (q_store_compact); the probe rides the
+    * bucket layout exchange-free at every rung (plan-pinned on the
+    * compacted table).
+    */
+  private val storeLifecycle = Q(
+    "q_store_lifecycle",
+    (spark, dir) => {
+      val (lT, cT, wh) = lifecycleStore(spark, dir)
+      val e = Tables(spark, dir, "embeddings")
+      val bucket = lifecycleBucket(spark, dir)
+      StoreOnce(wh) {
+        graft.operators.BucketedWorkspace.cleanupOnExit(wh)
+        def dataFiles(): Seq[java.io.File] = {
+          def walk(f: java.io.File): Seq[java.io.File] = {
+            val cs = f.listFiles()
+            if (cs == null) Seq(f) else cs.toSeq.flatMap(walk)
+          }
+          walk(new java.io.File(s"$wh/index")).filter(f =>
+            f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        }
+        val ledger = scala.collection.mutable.ArrayBuffer[String]()
+        def rung(name: String): Unit = {
+          spark.sql(s"REFRESH TABLE $lT")
+          ledger += s"$name:${dataFiles().size}:${spark.table(lT).count()}"
+        }
+        def vintageRows(m: Int, v: String) =
+          e.filter(col("vec_id") % 10 === m)
+            .select(col("vec_id"), bucket.as("bk"), col("embedding"),
+              lit(v).as("vintage"))
+        // day 0: create
+        e.filter(col("vec_id") % 10 >= 4)
+          .select(col("vec_id"), bucket.as("bk"), col("embedding"))
+          .withColumn("vintage", lit("base"))
+          .write.mode("overwrite").partitionBy("vintage")
+          .bucketBy(8, "bk").sortBy("bk")
+          .option("path", s"$wh/index").saveAsTable(lT)
+        rung("create")
+        // days 1, 2: idempotent vintage appends
+        VintageWrite(vintageRows(1, "delta1"), lT)
+        rung("append_d1")
+        VintageWrite(vintageRows(2, "delta2"), lT)
+        rung("append_d2")
+        // the delta vintages' files must survive the delete untouched
+        val deltaManifest = dataFiles()
+          .filter(f => !f.getAbsolutePath.contains("vintage=base"))
+          .map(f => s"${f.getAbsolutePath}:${f.length}:${f.lastModified}")
+          .sorted
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$wh/delta_manifest.txt"),
+          deltaManifest.mkString("\n").getBytes("UTF-8"))
+        // day N: GDPR purge (≡5 — base vintage only): stage base
+        // survivors, swap in as a static-prefix partition overwrite —
+        // the delta vintages are never rewritten
+        spark.table(lT)
+          .filter(col("vintage") === "base" && col("vec_id") % 10 =!= 5)
+          .select(col("vec_id"), col("bk"), col("embedding"))
+          .write.mode("overwrite").parquet(s"$wh/staged_del")
+        spark.read.parquet(s"$wh/staged_del")
+          .select(col("vec_id"), col("bk"), col("embedding"))
+          .createOrReplaceTempView(s"src_del_$lT")
+        ConfLock.withConf(spark,
+            "spark.sql.sources.partitionOverwriteMode", "static") {
+          spark.sql(s"INSERT OVERWRITE TABLE $lT PARTITION (vintage='base') " +
+            s"SELECT vec_id, bk, embedding FROM src_del_$lT")
+        }
+        spark.catalog.dropTempView(s"src_del_$lT")
+        rung("delete")
+        // day N: compaction — shuffle-free one-file-per-bucket rewrite
+        ConfLock.withConf(spark,
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false") {
+          spark.table(lT).select(col("vec_id"), col("bk"), col("embedding"))
+            .write.mode("overwrite").bucketBy(8, "bk").sortBy("bk")
+            .option("path", s"$wh/compact").saveAsTable(cT)
+        }
+        val cFiles = {
+          def walk(f: java.io.File): Seq[java.io.File] = {
+            val cs = f.listFiles()
+            if (cs == null) Seq(f) else cs.toSeq.flatMap(walk)
+          }
+          walk(new java.io.File(s"$wh/compact")).count(f =>
+            f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        }
+        ledger += s"compact:$cFiles:${spark.table(cT).count()}"
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$wh/ledger.txt"),
+          ledger.mkString("\n").getBytes("UTF-8"))
+        ()
+      }
+      val probes = graft.Caches.persisted(
+        e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("pid"), bucket.as("bk"), col("embedding").as("pe")))
+      def arm(t: String, phase: String): org.apache.spark.sql.DataFrame = {
+        val store = spark.table(t)
+          .select(col("vec_id").as("nb"), col("bk"), col("embedding").as("se"))
+        val cand = probes.join(store.hint("merge"), "bk")
+          .select(col("pid"),
+            pround(VectorOps.cosine(col("pe"), col("se")), 4).as("cos"), col("nb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pid")).orderBy(col("cos").desc, col("nb"))
+        cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(lit(phase).as("phase"), col("pid").as("probe_id"),
+            col("rn").cast("int").as("rn"), col("nb"), col("cos"),
+            when(col("nb") % 10 === 1, lit("delta1"))
+              .when(col("nb") % 10 === 2, lit("delta2"))
+              .otherwise(lit("base")).as("src"))
+      }
+      arm(lT, "grown").unionAll(arm(cT, "compact"))
+        .orderBy(col("phase"), col("probe_id"), col("rn"))
+    },
+    Some("""WITH bcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+                          WHERE vec_id % 10 >= 4),
+            np AS (SELECT MIN(k) AS np
+                   FROM UNNEST(generate_series(4, 20)) AS t(k), bcnt
+                   WHERE (CAST(32 AS BIGINT) << k) >= bcnt.n OR k = 20),
+            dims AS (SELECT CAST(COALESCE(MAX(len(embedding)), 0) AS BIGINT) AS nd
+                     FROM embeddings),
+            planes AS (
+              SELECT p, d,
+                CASE WHEN substr(md5('p' || CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1)
+                     IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS sgn
+              FROM np, dims, UNNEST(generate_series(0, np.np - 1)) AS a(p),
+                   UNNEST(generate_series(1, dims.nd)) AS b(d)),
+            dots AS (SELECT e.vec_id, pl.p,
+                       SUM(pl.sgn * CAST(e.embedding[pl.d] AS DOUBLE)) AS dp
+                     FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p),
+            buckets AS (SELECT vec_id,
+                          string_agg(CASE WHEN dp > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bk
+                        FROM dots GROUP BY vec_id),
+            store AS (SELECT b.vec_id AS nb, b.bk, CAST(e.embedding AS DOUBLE[]) AS se
+                      FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+                      WHERE b.vec_id % 10 IN (1, 2, 4, 6, 7, 8, 9)),
+            probes AS (SELECT b.vec_id AS pid, b.bk, CAST(e.embedding AS DOUBLE[]) AS pe
+                       FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+                       WHERE b.vec_id % 10 = 0),
+            cand AS (SELECT p.pid,
+                       FLOOR((list_cosine_similarity(p.pe, s.se)) * 10000 + 0.5) / 10000 AS cos,
+                       s.nb
+                     FROM probes p JOIN store s ON p.bk = s.bk),
+            ranked AS (SELECT pid, cos, nb,
+                         row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nb) AS rn
+                       FROM cand),
+            top AS (SELECT pid, rn, nb, cos,
+                      CASE WHEN nb % 10 = 1 THEN 'delta1'
+                           WHEN nb % 10 = 2 THEN 'delta2' ELSE 'base' END AS src
+                    FROM ranked WHERE rn <= 3)
+            SELECT phase, pid AS probe_id, CAST(rn AS INT) AS rn, nb, cos, src
+            FROM (SELECT 'grown' AS phase, * FROM top
+                  UNION ALL SELECT 'compact', * FROM top)
+            ORDER BY phase, probe_id, rn"""))
+
   val all: Seq[Q] = Seq(arrayFuncs, knnBrute, knnLsh, dedupEmbed, embedCentroid,
     knnJoin, annRecall, dedupSemantic, knnPq, hardNegatives, multiprobeLsh,
-    annIncremental, annStoreAppend, storeCompact, annDelete)
+    annIncremental, annStoreAppend, storeCompact, annDelete, storeLifecycle)
 }

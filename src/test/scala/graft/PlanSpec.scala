@@ -1507,6 +1507,21 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_store_lifecycle: BOTH end-state scans (grown ladder and compacted) stay bucketed, undemoted") {
+    val df = Registry.byName("q_store_lifecycle").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("g_lc_store") && plan.contains("g_lc_compact"),
+      s"both the laddered and compacted stores must be scanned:\n$plan")
+    assert("Bucketed: true".r.findAllIn(plan).size >= 2,
+      s"the probe must ride the bucket layout at every rung:\n$plan")
+    assert(!plan.contains("Bucketed: false"),
+      s"a store scan was demoted — a lifecycle verb broke the layout:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_ivf_drift: every arm is broadcast-bounded (no cartesian), ranked by per-probe windows") {
     val df = Registry.byName("q_ivf_drift").build(spark, dir)
     df.collect()

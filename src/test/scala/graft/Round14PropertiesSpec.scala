@@ -130,4 +130,57 @@ class Round14PropertiesSpec extends AnyFunSuite {
     assert(now === manifest,
       "the purge rewrote partitions it does not touch")
   }
+
+  test("q_store_lifecycle: the rung ledger shows file growth per append, " +
+    "a base-only delete, and compaction collapsing to one file per bucket") {
+    val rows = Registry.byName("q_store_lifecycle").build(spark, dir).collect()
+    Caches.releaseAll()
+    // the probe's answers survive the ladder: grown ≡ compact pairwise
+    val grown = rows.filter(_.getString(0) == "grown")
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4),
+        r.getString(5))).toSeq
+    val compact = rows.filter(_.getString(0) == "compact")
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4),
+        r.getString(5))).toSeq
+    assert(grown.nonEmpty && grown === compact,
+      "compaction changed the served answers")
+    assert(grown.forall(_._3 % 10 != 5), "a purged id survived the ladder")
+    val (lT, cT, wh) = operators.VectorQueries.lifecycleStore(spark, dir)
+    val ledger = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$wh/ledger.txt")), "UTF-8")
+      .split("\n").map { l =>
+        val Array(n, f, r) = l.split(":"); (n, f.toInt, r.toLong)
+      }.toSeq
+    assert(ledger.map(_._1) ===
+      Seq("create", "append_d1", "append_d2", "delete", "compact"))
+    val byName = ledger.map(t => t._1 -> t).toMap
+    // files: one bucket-set per appended vintage, collapse on compaction
+    assert(byName("append_d1")._2 > byName("create")._2,
+      s"append must add its vintage's files: $ledger")
+    assert(byName("append_d2")._2 > byName("append_d1")._2, s"$ledger")
+    assert(byName("compact")._2 <= 8,
+      s"compaction must return to one file per bucket: $ledger")
+    // rows: appends add, the delete removes exactly the purge set,
+    // compaction preserves
+    assert(byName("append_d1")._3 > byName("create")._3, s"$ledger")
+    assert(byName("append_d2")._3 > byName("append_d1")._3, s"$ledger")
+    assert(byName("delete")._3 < byName("append_d2")._3, s"$ledger")
+    assert(byName("compact")._3 === byName("delete")._3, s"$ledger")
+    assert(spark.table(lT).filter(col("vec_id") % 10 === 5).count() === 0L)
+    assert(spark.table(cT).count() === byName("delete")._3)
+    // the delete never rewrote the delta vintages' files
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val cs = f.listFiles()
+      if (cs == null) Seq(f) else cs.toSeq.flatMap(walk)
+    }
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$wh/delta_manifest.txt")), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+    val now = walk(new java.io.File(s"$wh/index")).filter(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".") &&
+          !f.getAbsolutePath.contains("vintage=base"))
+      .map(f => s"${f.getAbsolutePath}:${f.length}:${f.lastModified}").sorted
+    assert(manifest.nonEmpty && now === manifest,
+      "the base-partition delete rewrote a delta vintage's files")
+  }
 }
