@@ -1080,7 +1080,121 @@ object GraphQueries {
               CAST(base_tri + add1 + add2 + add3 AS BIGINT) AS incr_tri
             FROM btri, c1, c2, c3"""))
 
+  /** APPROXIMATE clustering coefficient by deterministic wedge sampling
+    * (VERDICT r13 task 5) — the sampled twin of the exact census:
+    * q_local_clustering is the suite's most expensive id at every scale
+    * factor (7.8 s sf0.1 / 26.9 s sf1) because exact per-node triangle
+    * credit is linear in TRIANGLE mass; at 100 TB an operator reaches
+    * for a wedge-sampling estimator first (Seshadhri et al.,
+    * "Triadic Measures on Graphs: The Power of Wedge Sampling", SDM'13
+    * lineage — see PAPERS.md) and runs the census only to calibrate it.
+    * The estimator is DETERMINISTIC so DuckDB replays it exactly
+    * (q_simple_random_sample's hash-sampling discipline, never rand()):
+    * centers sample by hash60(node) ≡ 0 (mod 8); a sampled center's
+    * neighborhood caps at its 32 smallest neighbors by
+    * hash60(center:neighbor) (degree-capped neighborhood sampling —
+    * hubs contribute a bounded pair census); the capped neighbor pairs
+    * join the edge set once to count closures. Per center the closed
+    * fraction scales to the center's TRUE wedge count W(v) =
+    * deg(deg−1)/2 in exact integer arithmetic — t̂(v) = (closed · W(v)
+    * · 10⁶) div pairs(v) — and the global estimate is Σt̂ div ΣW over
+    * sampled centers (the wedge-weighted mean the true coefficient is
+    * defined by). c_naive_ppm (unweighted closed/pairs) rides along as
+    * the in-output audit: its divergence from c_est_ppm measures
+    * exactly the cap/degree bias an operator must watch on a skewed
+    * graph.
+    *
+    * Scale posture: the co-purchase edge derivation is shared with the
+    * census (it IS the graph definition); past it, cost is one
+    * degree pass + capped pair generation over ~1/8 of centers (≤496
+    * pairs each, window-ranked per center — unbounded key parallelism)
+    * + one equi-join against the edge set. No triangle-mass term, no
+    * adjacency-array materialization. The accuracy-vs-exact check lives
+    * in the spec at sf0.001 (the estimator is deterministic, so its
+    * error is a fixture constant, not a random variable).
+    */
+  private val clusteringApprox = Q(
+    "q_clustering_approx",
+    (spark, dir) => {
+      import graft.functions.Portable.hash60
+      val op = Caches.persisted(Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
+      val e = Caches.persisted(op.join(op.withColumnRenamed("p", "q"), "o")
+        .filter(col("p") < col("q"))
+        .select(col("p").as("u"), col("q").as("v")).distinct())
+      val sym = e.select(col("u").as("x"), col("v").as("n"))
+        .unionAll(e.select(col("v").as("x"), col("u").as("n")))
+      val deg = Caches.persisted(
+        sym.groupBy(col("x")).agg(count(lit(1)).as("deg")))
+      val centers = deg.filter(hash60(col("x")) % 8 === 0 && col("deg") >= 2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("x"))
+        .orderBy(hash60(concat_ws(":", col("x").cast("string"),
+          col("n").cast("string"))), col("n"))
+      val cn = Caches.persisted(
+        sym.join(centers.select(col("x")), "x")
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 32)
+          .select(col("x"), col("n")))
+      val cp = cn.as("a").join(cn.as("b"),
+          col("a.x") === col("b.x") && col("a.n") < col("b.n"))
+        .select(col("a.x").as("ctr"), col("a.n").as("p1"), col("b.n").as("p2"))
+      val cl = cp.join(e, col("p1") === col("u") && col("p2") === col("v"), "left")
+        .groupBy(col("ctr"))
+        .agg(count(lit(1)).as("pairs_c"), count(col("u")).as("closed_c"))
+      val per = cl.join(deg.select(col("x").as("ctr"), col("deg")), "ctr")
+        .select(col("pairs_c"), col("closed_c"),
+          expr("(deg * (deg - 1)) div 2").as("w"),
+          expr("(closed_c * ((deg * (deg - 1)) div 2) * 1000000) div pairs_c")
+            .as("th"))
+      per.agg(count(lit(1)).cast("bigint").as("n_centers"),
+          sum(col("pairs_c")).cast("bigint").as("n_wedges_sampled"),
+          sum(col("closed_c")).cast("bigint").as("n_closed"),
+          sum(col("th")).as("st"), sum(col("w")).as("sw"))
+        .select(col("n_centers"), col("n_wedges_sampled"), col("n_closed"),
+          when(col("sw") === 0, lit(null).cast("long"))
+            .otherwise(expr("st div sw")).cast("long").as("c_est_ppm"),
+          when(col("n_wedges_sampled") === 0, lit(null).cast("long"))
+            .otherwise(expr("(n_closed * 1000000) div n_wedges_sampled"))
+            .cast("long").as("c_naive_ppm"))
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+            sym AS (SELECT u AS x, v AS n FROM e UNION ALL SELECT v, u FROM e),
+            deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY x),
+            ctr AS (SELECT x FROM deg
+                    WHERE CAST('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15)
+                            AS BIGINT) % 8 = 0
+                      AND deg >= 2),
+            cn AS (SELECT x, n FROM (
+                     SELECT s.x, s.n,
+                       row_number() OVER (PARTITION BY s.x ORDER BY
+                         CAST('0x' || substr(md5(CAST(s.x AS VARCHAR) || ':'
+                           || CAST(s.n AS VARCHAR)), 1, 15) AS BIGINT), s.n) AS rk
+                     FROM sym s JOIN ctr ON ctr.x = s.x)
+                   WHERE rk <= 32),
+            cp AS (SELECT a.x AS ctr, a.n AS p1, b.n AS p2
+                   FROM cn a JOIN cn b ON a.x = b.x AND a.n < b.n),
+            cl AS (SELECT cp.ctr, CAST(COUNT(*) AS BIGINT) AS pairs_c,
+                     CAST(COUNT(e.u) AS BIGINT) AS closed_c
+                   FROM cp LEFT JOIN e ON e.u = cp.p1 AND e.v = cp.p2
+                   GROUP BY cp.ctr),
+            per AS (SELECT cl.pairs_c, cl.closed_c,
+                      (d.deg * (d.deg - 1)) // 2 AS w,
+                      (cl.closed_c * ((d.deg * (d.deg - 1)) // 2) * 1000000)
+                        // cl.pairs_c AS th
+                    FROM cl JOIN deg d ON d.x = cl.ctr)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_centers,
+              CAST(SUM(pairs_c) AS BIGINT) AS n_wedges_sampled,
+              CAST(SUM(closed_c) AS BIGINT) AS n_closed,
+              CASE WHEN SUM(w) = 0 THEN NULL
+                   ELSE CAST(SUM(th) // SUM(w) AS BIGINT) END AS c_est_ppm,
+              CASE WHEN SUM(pairs_c) = 0 THEN NULL
+                   ELSE CAST(SUM(closed_c) * 1000000 // SUM(pairs_c) AS BIGINT)
+              END AS c_naive_ppm
+            FROM per"""))
+
   val all: Seq[Q] = Seq(ccDedup, graphDegree, pageRank, triangleCount,
     kcore, graphJaccard, assortativity, localClustering, bfsLevels,
-    labelProp, modularity, triangleStore)
+    labelProp, modularity, triangleStore, clusteringApprox)
 }

@@ -1522,6 +1522,20 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_clustering_approx: no cartesian anywhere; capped neighborhoods via per-center rank window; closure is an equi-join") {
+    val df = Registry.byName("q_clustering_approx").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"the estimator must never materialize an all-pairs relation:\n$plan")
+    assert(plan.contains("Window"),
+      s"the neighbor cap must be a per-center rank window:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"the closure test must be an equi-join against the edge set:\n$plan")
+    Caches.releaseAll()
+  }
+
   test("q_ivf_drift: every arm is broadcast-bounded (no cartesian), ranked by per-probe windows") {
     val df = Registry.byName("q_ivf_drift").build(spark, dir)
     df.collect()

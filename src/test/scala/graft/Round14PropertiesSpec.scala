@@ -183,4 +183,36 @@ class Round14PropertiesSpec extends AnyFunSuite {
     assert(manifest.nonEmpty && now === manifest,
       "the base-partition delete rewrote a delta vintage's files")
   }
+
+  test("q_clustering_approx lands within 2.5% absolute of the exact global " +
+    "clustering coefficient (deterministic estimator - fixture constant)") {
+    val got = Registry.byName("q_clustering_approx").build(spark, dir).collect()
+    Caches.releaseAll()
+    assert(got.length === 1)
+    val est = got(0).getAs[Long]("c_est_ppm")
+    // exact C = 3·triangles / Σ_{deg≥2} deg(deg−1)/2, brute-forced on the
+    // sf0.001 co-purchase graph (small enough for the unoriented census)
+    val op = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = Caches.persisted(op.join(op.withColumnRenamed("p", "q"), "o")
+      .filter(col("p") < col("q"))
+      .select(col("p").as("u"), col("q").as("v")).distinct())
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .count()
+    val wedges = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+      .agg(sum(expr("(deg * (deg - 1)) div 2"))).collect()(0).getLong(0)
+    Caches.releaseAll()
+    val exactPpm = 3L * tri * 1000000L / wedges
+    assert(math.abs(est - exactPpm) <= 25000L,
+      s"estimate $est ppm vs exact $exactPpm ppm - estimator drifted")
+    // the unweighted companion stays in range too (divergence from the
+    // weighted estimate is the documented cap/degree-bias gauge)
+    val naive = got(0).getAs[Long]("c_naive_ppm")
+    assert(naive >= 0L && naive <= 1000000L)
+  }
 }
