@@ -299,73 +299,92 @@ object PipelineQueries {
     * exchange (the q_dedup_incremental pin shape), and bounded
     * aggregates; base text is read once at ingest, never again.
     */
+  /** Builds the two corpus-pipeline stores (content-hash + canonical
+    * band-signature) once per (session, dir) and returns their table
+    * names — shared by q_corpus_incremental and q_corpus_delete. */
+  private[graft] def ensureCorpusStores(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val key = StoreToken(spark, dir)
+    val wh = s"/tmp/graft_corpusinc_$key"
+    val (hT, bT) = corpusStoreTables(spark, dir)
+    val (_, _, _, score) = TextOps.qualityScore(col("text"))
+    val base = Tables.spreadIfUnderSplitAtScale(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .filter(col("doc_id") % 10 =!= 0)
+    StoreOnce(wh) {
+      BucketedWorkspace.cleanupOnExit(wh)
+      val kept = base.withColumn("score", score).filter(col("score") >= 0.4)
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val exact = graft.Caches.persisted(
+        kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .drop("rn"))
+      exact.select(md5(col("text")).as("h")).distinct()
+        .write.mode("overwrite").bucketBy(8, "h").sortBy("h")
+        .option("path", s"$wh/hashes").saveAsTable(hT)
+      val sh = exact.select(col("doc_id"),
+        explode(TextOps.distinctWordNGrams(col("text"), 3)).as("sh"))
+      val dropIds = GraphQueries.componentsOf(DedupQueries.minhashCandidates(sh))
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      val canon = exact.join(dropIds, Seq("doc_id"), "left_anti")
+      DedupQueries.bandKeyed(DedupQueries.minhashSigs(
+          DedupQueries.shingleRelOf(canon.select(col("doc_id"), col("text")))))
+        .write.mode("overwrite").bucketBy(8, "bandkey").sortBy("bandkey")
+        .option("path", s"$wh/bands").saveAsTable(bT)
+    }
+    (hT, bT)
+  }
+
+  /** Tonight's admission funnel against a given (content-hash store,
+    * band store) pair — the q_corpus_incremental delta pass, shared
+    * verbatim by q_corpus_delete's pre/post phases. */
+  private def deltaFunnel(spark: org.apache.spark.sql.SparkSession, dir: String,
+      hT: String, bT: String): org.apache.spark.sql.DataFrame = {
+    val (_, _, _, score) = TextOps.qualityScore(col("text"))
+    val delta = Tables.spreadIfUnderSplitAtScale(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .filter(col("doc_id") % 10 === 0)
+    val dkept = graft.Caches.persisted(
+      delta.withColumn("score", score).filter(col("score") >= 0.4)
+        .select(col("doc_id"), col("text")))
+    val wD = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val dExact = graft.Caches.persisted(
+      dkept.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+        .join(spark.table(hT).hint("merge"), Seq("h"), "left_anti")
+        .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("text")))
+    val dBandsRaw = graft.Caches.persisted(
+      DedupQueries.bandKeyed(DedupQueries.minhashSigs(
+        DedupQueries.shingleRelOf(dExact))))
+    val dBands = dBandsRaw.select(
+      col("doc_id").as("d") +: col("bandkey") +:
+        (0 until 16).map(i => col(s"mh$i").as(s"dm$i")): _*)
+    val storeBands = spark.table(bT).select(
+      col("doc_id").as("m") +: col("bandkey") +:
+        (0 until 16).map(i => col(s"mh$i")): _*)
+    val dAsStore = dBandsRaw.select(
+      col("doc_id").as("m") +: col("bandkey") +:
+        (0 until 16).map(i => col(s"mh$i")): _*)
+    val mm = (0 until 16).map(i =>
+      when(col(s"dm$i") === col(s"mh$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val nearDrop = dBands.join(storeBands.hint("merge"), "bandkey")
+      .unionAll(dBands.join(dAsStore, "bandkey").filter(col("m") < col("d")))
+      .select(col("d"), col("m"), mm.as("mm"))
+      .filter(col("mm") >= 8)
+      .select(col("d").as("doc_id")).distinct()
+    val dNear = dExact.join(nearDrop, Seq("doc_id"), "left_anti")
+    def c(df: org.apache.spark.sql.DataFrame, stage: String) =
+      df.agg(count(lit(1)).cast("bigint").as("n_docs"))
+        .select(lit(stage).as("stage"), col("n_docs"))
+    c(delta, "1_delta_raw").unionAll(c(dkept, "2_quality"))
+      .unionAll(c(dExact, "3_exact")).unionAll(c(dNear, "4_near"))
+  }
+
   private val corpusIncremental = Q(
     "q_corpus_incremental",
     (spark, dir) => {
-      val key = StoreToken(spark, dir)
-      val wh = s"/tmp/graft_corpusinc_$key"
-      val (hT, bT) = corpusStoreTables(spark, dir)
-      val (_, _, _, score) = TextOps.qualityScore(col("text"))
-      val docs = Tables.spreadIfUnderSplitAtScale(
-        Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
-      val base = docs.filter(col("doc_id") % 10 =!= 0)
-      StoreOnce(wh) {
-        BucketedWorkspace.cleanupOnExit(wh)
-        val kept = base.withColumn("score", score).filter(col("score") >= 0.4)
-        val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-        val exact = graft.Caches.persisted(
-          kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-            .drop("rn"))
-        exact.select(md5(col("text")).as("h")).distinct()
-          .write.mode("overwrite").bucketBy(8, "h").sortBy("h")
-          .option("path", s"$wh/hashes").saveAsTable(hT)
-        val sh = exact.select(col("doc_id"),
-          explode(TextOps.distinctWordNGrams(col("text"), 3)).as("sh"))
-        val dropIds = GraphQueries.componentsOf(DedupQueries.minhashCandidates(sh))
-          .filter(col("node") =!= col("component"))
-          .select(col("node").as("doc_id"))
-        val canon = exact.join(dropIds, Seq("doc_id"), "left_anti")
-        DedupQueries.bandKeyed(DedupQueries.minhashSigs(
-            DedupQueries.shingleRelOf(canon.select(col("doc_id"), col("text")))))
-          .write.mode("overwrite").bucketBy(8, "bandkey").sortBy("bandkey")
-          .option("path", s"$wh/bands").saveAsTable(bT)
-      }
-      val delta = docs.filter(col("doc_id") % 10 === 0)
-      val dkept = graft.Caches.persisted(
-        delta.withColumn("score", score).filter(col("score") >= 0.4)
-          .select(col("doc_id"), col("text")))
-      val wD = Window.partitionBy(col("h")).orderBy(col("doc_id"))
-      val dExact = graft.Caches.persisted(
-        dkept.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
-          .join(spark.table(hT).hint("merge"), Seq("h"), "left_anti")
-          .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
-          .select(col("doc_id"), col("text")))
-      val dBandsRaw = graft.Caches.persisted(
-        DedupQueries.bandKeyed(DedupQueries.minhashSigs(
-          DedupQueries.shingleRelOf(dExact))))
-      val dBands = dBandsRaw.select(
-        col("doc_id").as("d") +: col("bandkey") +:
-          (0 until 16).map(i => col(s"mh$i").as(s"dm$i")): _*)
-      val storeBands = spark.table(bT).select(
-        col("doc_id").as("m") +: col("bandkey") +:
-          (0 until 16).map(i => col(s"mh$i")): _*)
-      val dAsStore = dBandsRaw.select(
-        col("doc_id").as("m") +: col("bandkey") +:
-          (0 until 16).map(i => col(s"mh$i")): _*)
-      val mm = (0 until 16).map(i =>
-        when(col(s"dm$i") === col(s"mh$i"), 1L).otherwise(0L)).reduce(_ + _)
-      val nearDrop = dBands.join(storeBands.hint("merge"), "bandkey")
-        .unionAll(dBands.join(dAsStore, "bandkey").filter(col("m") < col("d")))
-        .select(col("d"), col("m"), mm.as("mm"))
-        .filter(col("mm") >= 8)
-        .select(col("d").as("doc_id")).distinct()
-      val dNear = dExact.join(nearDrop, Seq("doc_id"), "left_anti")
-      def c(df: org.apache.spark.sql.DataFrame, stage: String) =
-        df.agg(count(lit(1)).cast("bigint").as("n_docs"))
-          .select(lit(stage).as("stage"), col("n_docs"))
-      c(delta, "1_delta_raw").unionAll(c(dkept, "2_quality"))
-        .unionAll(c(dExact, "3_exact")).unionAll(c(dNear, "4_near"))
-        .orderBy(col("stage"))
+      val (hT, bT) = ensureCorpusStores(spark, dir)
+      deltaFunnel(spark, dir, hT, bT).orderBy(col("stage"))
     },
     Some {
       val mmE = (0 until 16).map(i =>
@@ -446,6 +465,183 @@ object PipelineQueries {
           ORDER BY stage"""
     })
 
+  /** q_corpus_delete's post-purge catalog tables. */
+  private[graft] def corpusDeleteTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val key = StoreToken(spark, dir)
+    (s"g_cdel_h_$key", s"g_cdel_bands_$key")
+  }
+
+  /** CORPUS-DELETE PROPAGATION (VERDICT r13 stretch) — the GDPR purge
+    * through the COMPOSED pipeline, not a single index: q_store_delete
+    * proved the band store forgets; a purged document must leave BOTH
+    * corpus stores in the same pass, or tonight's funnel keeps
+    * rejecting deltas on the purged doc's authority. One purge pass
+    * (request: doc_id ≡ 5 mod 10) rewrites
+    *   (a) the content-hash store — a hash leaves ONLY when its last
+    *       holder leaves (an identical retained doc keeps the hash; the
+    *       orphan check is what makes hash-keyed state GDPR-correct),
+    *   (b) the band-signature store — purged doc ids anti-join out,
+    * both under their original bucket layouts (post-purge funnel joins
+    * stay exchange-free, plan-pinned). The output runs tonight's
+    * four-stage admission funnel against the pre-purge AND post-purge
+    * stores: a delta doc whose only exact/near authority was a purged
+    * doc flips from rejected to admitted (phase column; property-tested
+    * on a planted corpus where the flip is forced).
+    *
+    * Scale posture: the band rewrite is request-bounded (broadcast
+    * anti-join); the hash orphan check reads the base's quality-kept
+    * hashes once — a purge-cadence corpus-hash pass, disclosed (a
+    * production store would carry (hash, refcount) to avoid it; the
+    * nightly funnel itself stays delta-only either way).
+    */
+  private val corpusDelete = Q(
+    "q_corpus_delete",
+    (spark, dir) => {
+      val (hT, bT) = ensureCorpusStores(spark, dir)
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_cdel_$key"
+      val (hT2, bT2) = corpusDeleteTables(spark, dir)
+      StoreOnce(wh) {
+        BucketedWorkspace.cleanupOnExit(wh)
+        val (_, _, _, score) = TextOps.qualityScore(col("text"))
+        val kept = Tables.spreadIfUnderSplitAtScale(
+            Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+          .filter(col("doc_id") % 10 =!= 0)
+          .withColumn("score", score).filter(col("score") >= 0.4)
+        // hashes whose LAST holder is purged (orphans) leave the store;
+        // a hash shared with any retained doc stays
+        val orphanH = kept.filter(col("doc_id") % 10 === 5)
+          .select(md5(col("text")).as("h")).distinct()
+          .join(kept.filter(col("doc_id") % 10 =!= 5)
+            .select(md5(col("text")).as("h")).distinct(), Seq("h"), "left_anti")
+        spark.table(hT).join(broadcast(orphanH), Seq("h"), "left_anti")
+          .write.mode("overwrite").bucketBy(8, "h").sortBy("h")
+          .option("path", s"$wh/hashes").saveAsTable(hT2)
+        val purgedIds = broadcast(
+          Tables(spark, dir, "documents").filter(col("doc_id") % 10 === 5)
+            .select(col("doc_id")))
+        spark.table(bT).join(purgedIds, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").bucketBy(8, "bandkey").sortBy("bandkey")
+          .option("path", s"$wh/bands").saveAsTable(bT2)
+      }
+      deltaFunnel(spark, dir, hT, bT)
+        .select(lit("pre").as("phase"), col("stage"), col("n_docs"))
+        .unionAll(deltaFunnel(spark, dir, hT2, bT2)
+          .select(lit("post").as("phase"), col("stage"), col("n_docs")))
+        .orderBy(col("phase"), col("stage"))
+    },
+    Some {
+      val mmE = (0 until 16).map(i =>
+        s"CASE WHEN d.mh$i = s.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      val mmE2 = (0 until 16).map(i =>
+        s"CASE WHEN d2.mh$i = s2.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH RECURSIVE
+          t AS (SELECT doc_id, text,
+                  list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents WHERE doc_id % 10 <> 0),
+          m AS (SELECT doc_id, text,
+                  CAST(len(ws) AS DOUBLE) AS n_tok,
+                  CASE WHEN len(ws) = 0 THEN 0.0
+                       ELSE CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                            / CAST(len(ws) AS DOUBLE) END AS avg_len,
+                  CASE WHEN len(ws) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter(ws, w -> w IN
+                         ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                         / CAST(len(ws) AS DOUBLE) END AS ratio
+                FROM t),
+          kept AS (SELECT doc_id, text FROM m
+                   WHERE LEAST(n_tok / 100.0, 1.0) * 0.4 + ratio * 0.3
+                     + LEAST(avg_len / 8.0, 1.0) * 0.3 >= 0.4),
+          exact AS (SELECT doc_id, text FROM (
+                      SELECT doc_id, text,
+                        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                      FROM kept)
+                    WHERE rn = 1),
+          ${DedupQueries.minhashCandCteFrom("exact")},
+          cc_edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                       UNION ALL SELECT doc_b, doc_a FROM cand),
+          walk(node, lbl) AS (
+            SELECT DISTINCT src, src FROM cc_edges
+            UNION
+            SELECT e.dst, w.lbl FROM walk w JOIN cc_edges e ON e.src = w.node),
+          cc AS (SELECT node, MIN(lbl) AS component FROM walk GROUP BY node),
+          canon AS (SELECT doc_id, text FROM exact
+                    WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> component)),
+          hstore AS (SELECT DISTINCT md5(text) AS h FROM exact),
+          orphanh AS (SELECT DISTINCT md5(text) AS h FROM kept
+                      WHERE doc_id % 10 = 5
+                        AND md5(text) NOT IN (SELECT md5(text) FROM kept
+                                              WHERE doc_id % 10 <> 5)),
+          hstore2 AS (SELECT h FROM hstore WHERE h NOT IN (SELECT h FROM orphanh)),
+          canon2 AS (SELECT doc_id, text FROM canon WHERE doc_id % 10 <> 5),
+          ${DedupQueries.bandKeyedCteFrom("canon", "s")},
+          ${DedupQueries.bandKeyedCteFrom("canon2", "s2")},
+          dt AS (SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                 FROM documents WHERE doc_id % 10 = 0),
+          dmet AS (SELECT doc_id, text,
+                     CAST(len(ws) AS DOUBLE) AS n_tok,
+                     CASE WHEN len(ws) = 0 THEN 0.0
+                          ELSE CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                               / CAST(len(ws) AS DOUBLE) END AS avg_len,
+                     CASE WHEN len(ws) = 0 THEN 0.0
+                          ELSE CAST(len(list_filter(ws, w -> w IN
+                            ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                            / CAST(len(ws) AS DOUBLE) END AS ratio
+                   FROM dt),
+          dkept AS (SELECT doc_id, text FROM dmet
+                    WHERE LEAST(n_tok / 100.0, 1.0) * 0.4 + ratio * 0.3
+                      + LEAST(avg_len / 8.0, 1.0) * 0.3 >= 0.4),
+          dexact AS (SELECT doc_id, text FROM (
+                       SELECT doc_id, text,
+                         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                       FROM dkept
+                       WHERE md5(text) NOT IN (SELECT h FROM hstore))
+                     WHERE rn = 1),
+          dexact2 AS (SELECT doc_id, text FROM (
+                        SELECT doc_id, text,
+                          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                        FROM dkept
+                        WHERE md5(text) NOT IN (SELECT h FROM hstore2))
+                      WHERE rn = 1),
+          ${DedupQueries.bandKeyedCteFrom("dexact", "d")},
+          ${DedupQueries.bandKeyedCteFrom("dexact2", "d2")},
+          ndrop AS (SELECT DISTINCT d.doc_id
+                    FROM dbands d JOIN sbands s ON d.bandkey = s.bandkey
+                    WHERE $mmE >= 8
+                    UNION
+                    SELECT d.doc_id
+                    FROM dbands d JOIN dbands s
+                      ON d.bandkey = s.bandkey AND s.doc_id < d.doc_id
+                    WHERE $mmE >= 8),
+          ndrop2 AS (SELECT DISTINCT d2.doc_id
+                     FROM d2bands d2 JOIN s2bands s2 ON d2.bandkey = s2.bandkey
+                     WHERE $mmE2 >= 8
+                     UNION
+                     SELECT d2.doc_id
+                     FROM d2bands d2 JOIN d2bands s2
+                       ON d2.bandkey = s2.bandkey AND s2.doc_id < d2.doc_id
+                     WHERE $mmE2 >= 8),
+          dnear AS (SELECT doc_id FROM dexact
+                    WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
+          dnear2 AS (SELECT doc_id FROM dexact2
+                     WHERE doc_id NOT IN (SELECT doc_id FROM ndrop2))
+          SELECT phase, stage, n_docs FROM (
+            SELECT 'pre' AS phase, '1_delta_raw' AS stage,
+              CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL SELECT 'pre', '2_quality', CAST(COUNT(*) AS BIGINT) FROM dkept
+            UNION ALL SELECT 'pre', '3_exact', CAST(COUNT(*) AS BIGINT) FROM dexact
+            UNION ALL SELECT 'pre', '4_near', CAST(COUNT(*) AS BIGINT) FROM dnear
+            UNION ALL SELECT 'post', '1_delta_raw', CAST(COUNT(*) AS BIGINT)
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL SELECT 'post', '2_quality', CAST(COUNT(*) AS BIGINT) FROM dkept
+            UNION ALL SELECT 'post', '3_exact', CAST(COUNT(*) AS BIGINT) FROM dexact2
+            UNION ALL SELECT 'post', '4_near', CAST(COUNT(*) AS BIGINT) FROM dnear2)
+          ORDER BY phase, stage"""
+    })
+
   val all: Seq[Q] = Seq(trainTestSplit, contamination, cleanPipeline,
-    corpusPipeline, qualityEnsemble, corpusIncremental)
+    corpusPipeline, qualityEnsemble, corpusIncremental, corpusDelete)
 }

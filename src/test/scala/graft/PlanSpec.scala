@@ -1536,6 +1536,22 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_corpus_delete: all four store scans (pre+post, hash+band) stay bucketed, undemoted") {
+    val df = Registry.byName("q_corpus_delete").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("g_corpus_h") && plan.contains("g_corpus_bands") &&
+      plan.contains("g_cdel_h") && plan.contains("g_cdel_bands"),
+      s"pre and post funnels must read their own store pairs:\n$plan")
+    assert("Bucketed: true".r.findAllIn(plan).size >= 4,
+      s"all four store scans must ride their bucket layouts:\n$plan")
+    assert(!plan.contains("Bucketed: false"),
+      s"a store scan was demoted — the purge rewrite broke a layout:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_ivf_drift: every arm is broadcast-bounded (no cartesian), ranked by per-probe windows") {
     val df = Registry.byName("q_ivf_drift").build(spark, dir)
     df.collect()

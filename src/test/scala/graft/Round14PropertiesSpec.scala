@@ -215,4 +215,46 @@ class Round14PropertiesSpec extends AnyFunSuite {
     val naive = got(0).getAs[Long]("c_naive_ppm")
     assert(naive >= 0L && naive <= 1000000L)
   }
+
+  test("q_corpus_delete: a delta doc whose only admission authority was the " +
+    "purged doc flips from rejected to admitted (planted corpus)") {
+    // doc 15 (≡5, purge set) is a quality-kept exact survivor; delta doc
+    // 20 is its exact twin. Pre-purge the funnel rejects 20 at the exact
+    // stage on 15's hash; post-purge the hash is orphaned (no retained
+    // doc shares it) and 15's band signatures are gone too → admitted.
+    import spark.implicits._
+    def long(s: String) = (s + " ") * 6 // ≥100 tokens → quality score ≥ 0.4
+    val t = long("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    val u = long("one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty")
+    val v = long("red orange yellow green blue indigo violet crimson amber teal " +
+      "maroon olive navy coral salmon ivory jade ruby topaz pearl")
+    val rows = Seq(
+      (11L, u, "en", "s", 100L),
+      (12L, v, "en", "s", 100L),
+      (15L, t, "en", "s", 100L), // base member, purge set
+      (20L, t, "en", "s", 100L)) // tonight's delta: exact twin of 15
+    val out = java.nio.file.Files.createTempDirectory("graft-cdel").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val got = Registry.byName("q_corpus_delete").build(spark, out).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    Caches.releaseAll()
+    def funnel(phase: String) =
+      got.filter(_._1 == phase).map(r => r._2 -> r._3).toMap
+    assert(funnel("pre") === Map("1_delta_raw" -> 1L, "2_quality" -> 1L,
+      "3_exact" -> 0L, "4_near" -> 0L),
+      s"pre-purge the twin must be rejected on the purged doc's hash: $got")
+    assert(funnel("post") === Map("1_delta_raw" -> 1L, "2_quality" -> 1L,
+      "3_exact" -> 1L, "4_near" -> 1L),
+      s"post-purge the twin must be admitted end-to-end: $got")
+    // the purge propagated to BOTH stores
+    val (h2, b2) = operators.PipelineQueries.corpusDeleteTables(spark, out)
+    assert(spark.table(b2).filter(col("doc_id") === 15L).count() === 0L,
+      "purged doc's signatures survive in the post band store")
+    val (h1, b1) = operators.PipelineQueries.corpusStoreTables(spark, out)
+    assert(spark.table(h1).count() === spark.table(h2).count() + 1,
+      "exactly the orphaned hash must leave the content-hash store")
+  }
 }
