@@ -57,6 +57,34 @@ class Round14PropertiesSpec extends AnyFunSuite {
       "query output changed after the expire re-run")
   }
 
+  test("IVF day-2 append heals INPUT-DRIFT debris (ADVICE r13): a stale " +
+    "cluster partition the retry no longer produces is truncated") {
+    // The r13 dynamic overwrite only rewrote (delta1, cluster) partitions
+    // present in the retry's output — debris under a cluster the retry
+    // does not produce would have survived. The static-prefix overwrite
+    // (PARTITION (vintage='delta1', cluster)) truncates the WHOLE
+    // delta1 vintage first, so drifted-input retries converge too.
+    import spark.implicits._
+    outOf("q_ivf_store_append") // builds the grown store via StoreOnce
+    val t = operators.IvfQueries.ivfStoreTable(spark, dir)
+    val good = spark.table(t).collect().map(_.toString).sorted.toSeq
+    assert(good.nonEmpty)
+    // debris: a row in a delta1 cluster partition no real assignment
+    // produces (cluster 99 — the model has 10 clusters)
+    val dim = spark.table(t).select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    Seq((999999L, Array.fill(dim)(0.5f), "delta1", 99))
+      .toDF("vec_id", "embedding", "vintage", "cluster")
+      .write.mode("append").insertInto(t)
+    assert(spark.table(t).filter(col("cluster") === 99).count() === 1L,
+      "the planted debris must land")
+    // the retry: identical input, but the debris partition is NOT in its
+    // output — the static vintage prefix must truncate it anyway
+    operators.IvfQueries.ivfStoreAppendDelta1(spark, dir)
+    assert(spark.table(t).collect().map(_.toString).sorted.toSeq === good,
+      "the static-prefix overwrite must heal drifted-input debris")
+  }
+
   test("q_ann_delete: a purged vector stops appearing in probe top-k " +
     "(planted corpus; GDPR-on-the-embedding-index)") {
     // probe 20's nearest neighbor is vec 15 (identical embedding, cosine
