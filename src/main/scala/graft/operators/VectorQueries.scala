@@ -1373,7 +1373,145 @@ object VectorQueries {
                   UNION ALL SELECT 'compact', * FROM top)
             ORDER BY phase, probe_id, rn"""))
 
+  /** q_ann_expire's expire-private store (table, workspace). */
+  private[graft] def annExpireStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val key = StoreToken(spark, dir)
+    (s"g_ann_exp_$key", s"/tmp/graft_annexp_$key")
+  }
+
+  /** The ANN retention verb, re-runnable (drop-twice ≡ drop-once):
+    * catalog partition drop of the expired vintage + the
+    * storage-lifecycle delete of its directory — the q_sketch_expire
+    * verb on the vector index. */
+  private[graft] def annExpireDrop(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val (t, wh) = annExpireStore(spark, dir)
+    spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (vintage='base')")
+    graft.operators.BucketedWorkspace.deleteRecursively(
+      new java.io.File(s"$wh/index/vintage=base"))
+    spark.sql(s"REFRESH TABLE $t")
+    ()
+  }
+
+  /** TIME-BASED VINTAGE RETENTION on the ANN store — completing the
+    * retention symmetry (sketch stores and the session store have
+    * expire; the vector indexes had only delete/compact, yet embeddings
+    * age out of real corpora just like counters do — a news-embedding
+    * index drops last quarter wholesale, not doc-by-doc): the
+    * expire-private grown store (base + delta1 vintages, bucketBy(8,
+    * bk), ingest-time planes) evicts vintage=base as a catalog
+    * partition drop + storage delete — O(1) metadata + one directory
+    * delete, never a data pass, never a rewrite of the surviving
+    * vintage's bucket files (they stay byte-identical; the bucketed
+    * probe layout survives the drop, plan-pinned). Because the vintage
+    * is a partition column, the post-expire index IS the index rebuilt
+    * without that vintage — the same per-vintage decomposability
+    * q_sketch_expire proves for the merge folds, here for top-k
+    * serving. The probe runs pre-expire (snapshotted at build — the
+    * store mutates in place, the q_ivf_delete discipline) and
+    * post-expire (live): a `pre` neighbor from the expired vintage has
+    * no `post` twin, survivors move up, and the post ranking equals a
+    * from-scratch LSH replay over the retained population (the
+    * oracle). The plane model is INGEST state and survives the expiry
+    * of the data that derived it (the quantile-grid / IVF-centroid
+    * posture).
+    *
+    * Scale posture: expire = one catalog op + one directory delete at
+    * any corpus size; probes stay bucketed merge joins; contrast with
+    * q_ann_delete, whose doc-granular purge must rewrite the store —
+    * time-granular forgetting is free, key-granular forgetting costs a
+    * rewrite, and a real pipeline uses both.
+    */
+  private val annExpire = Q(
+    "q_ann_expire",
+    (spark, dir) => {
+      val (eT, wh) = annExpireStore(spark, dir)
+      val e = Tables(spark, dir, "embeddings")
+      val bucket = annIngestBucket(spark, dir)
+      val probes = graft.Caches.persisted(
+        e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("pid"), bucket.as("bk"), col("embedding").as("pe")))
+      def arm(phase: String): org.apache.spark.sql.DataFrame = {
+        val store = spark.table(eT)
+          .select(col("vec_id").as("nb"), col("bk"), col("embedding").as("se"))
+        val cand = probes.join(store.hint("merge"), "bk")
+          .select(col("pid"),
+            pround(VectorOps.cosine(col("pe"), col("se")), 4).as("cos"), col("nb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pid")).orderBy(col("cos").desc, col("nb"))
+        cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(lit(phase).as("phase"), col("pid").as("probe_id"),
+            col("rn").cast("int").as("rn"), col("nb"), col("cos"),
+            when(col("nb") % 10 === 1, lit("delta1")).otherwise(lit("base")).as("src"))
+      }
+      StoreOnce(wh) {
+        graft.operators.BucketedWorkspace.cleanupOnExit(wh)
+        e.filter(col("vec_id") % 10 >= 2)
+          .select(col("vec_id"), bucket.as("bk"), col("embedding"))
+          .withColumn("vintage", lit("base"))
+          .write.mode("overwrite").partitionBy("vintage")
+          .bucketBy(8, "bk").sortBy("bk")
+          .option("path", s"$wh/index").saveAsTable(eT)
+        VintageWrite(
+          e.filter(col("vec_id") % 10 === 1)
+            .select(col("vec_id"), bucket.as("bk"), col("embedding"),
+              lit("delta1").as("vintage")),
+          eT)
+        // pre-expire serving state, materialized (the store is about to
+        // mutate in place)
+        arm("pre").coalesce(1).write.mode("overwrite").parquet(s"$wh/pre")
+        // the nightly horizon: the base vintage ages out
+        annExpireDrop(spark, dir)
+      }
+      spark.read.parquet(s"$wh/pre")
+        .unionAll(arm("post"))
+        .orderBy(col("phase"), col("probe_id"), col("rn"))
+    },
+    Some("""WITH bcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+                          WHERE vec_id % 10 >= 2),
+            np AS (SELECT MIN(k) AS np
+                   FROM UNNEST(generate_series(4, 20)) AS t(k), bcnt
+                   WHERE (CAST(32 AS BIGINT) << k) >= bcnt.n OR k = 20),
+            dims AS (SELECT CAST(COALESCE(MAX(len(embedding)), 0) AS BIGINT) AS nd
+                     FROM embeddings),
+            planes AS (
+              SELECT p, d,
+                CASE WHEN substr(md5('p' || CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1)
+                     IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END AS sgn
+              FROM np, dims, UNNEST(generate_series(0, np.np - 1)) AS a(p),
+                   UNNEST(generate_series(1, dims.nd)) AS b(d)),
+            dots AS (SELECT e.vec_id, pl.p,
+                       SUM(pl.sgn * CAST(e.embedding[pl.d] AS DOUBLE)) AS dp
+                     FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p),
+            buckets AS (SELECT vec_id,
+                          string_agg(CASE WHEN dp > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bk
+                        FROM dots GROUP BY vec_id),
+            store AS (SELECT b.vec_id AS nb, b.bk, CAST(e.embedding AS DOUBLE[]) AS se
+                      FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+                      WHERE b.vec_id % 10 <> 0),
+            probes AS (SELECT b.vec_id AS pid, b.bk, CAST(e.embedding AS DOUBLE[]) AS pe
+                       FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+                       WHERE b.vec_id % 10 = 0),
+            cand AS (SELECT p.pid,
+                       FLOOR((list_cosine_similarity(p.pe, s.se)) * 10000 + 0.5) / 10000 AS cos,
+                       s.nb
+                     FROM probes p JOIN store s ON p.bk = s.bk),
+            rpre AS (SELECT pid, cos, nb,
+                       row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nb) AS rn
+                     FROM cand),
+            rpost AS (SELECT pid, cos, nb,
+                        row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nb) AS rn
+                      FROM cand WHERE nb % 10 = 1)
+            SELECT phase, pid AS probe_id, CAST(rn AS INT) AS rn, nb, cos,
+              CASE WHEN nb % 10 = 1 THEN 'delta1' ELSE 'base' END AS src
+            FROM (SELECT 'pre' AS phase, pid, rn, nb, cos FROM rpre WHERE rn <= 3
+                  UNION ALL
+                  SELECT 'post', pid, rn, nb, cos FROM rpost WHERE rn <= 3)
+            ORDER BY phase, probe_id, rn"""))
+
   val all: Seq[Q] = Seq(arrayFuncs, knnBrute, knnLsh, dedupEmbed, embedCentroid,
     knnJoin, annRecall, dedupSemantic, knnPq, hardNegatives, multiprobeLsh,
-    annIncremental, annStoreAppend, storeCompact, annDelete, storeLifecycle)
+    annIncremental, annStoreAppend, storeCompact, annDelete, storeLifecycle,
+    annExpire)
 }

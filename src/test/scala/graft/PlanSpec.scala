@@ -1536,6 +1536,23 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_ann_expire: the post-expire probe stays bucketed, undemoted, and never lists the expired vintage") {
+    val df = Registry.byName("q_ann_expire").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("g_ann_exp"),
+      s"the expired store must be scanned live for the post phase:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"the post-expire probe must ride the bucket layout:\n$plan")
+    assert(!plan.contains("Bucketed: false"),
+      s"the store scan was demoted — the vintage drop broke the layout:\n$plan")
+    assert(!plan.contains("vintage=base"),
+      s"a post-expire read still lists the expired vintage's files:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_corpus_delete: all four store scans (pre+post, hash+band) stay bucketed, undemoted") {
     val df = Registry.byName("q_corpus_delete").build(spark, dir)
     df.collect()
