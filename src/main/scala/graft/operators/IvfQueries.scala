@@ -956,6 +956,132 @@ object IvfQueries {
               SELECT 'post', * FROM post)
             ORDER BY phase, cos DESC, vec_id"""))
 
+  /** q_ivf_expire's expire-private store (table, workspace). */
+  private[graft] def ivfExpireStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val key = StoreToken(spark, dir)
+    (s"g_ivf_exp_$key", s"/tmp/graft_ivfexp_$key")
+  }
+
+  /** The IVF retention verb, re-runnable: on the two-level (vintage,
+    * cluster) layout the expired vintage's cluster sub-partitions
+    * enumerate from the catalog (bounded by k) and drop individually,
+    * then the vintage directory deletes — same O(catalog + one rmdir)
+    * class as the single-level expires, just k catalog ops instead of
+    * one. */
+  private[graft] def ivfExpireDrop(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val (t, wh) = ivfExpireStore(spark, dir)
+    val clusters = spark.sql(s"SHOW PARTITIONS $t").collect()
+      .map(_.getString(0)).filter(_.startsWith("vintage=base/"))
+      .map(_.split("=").last)
+    clusters.foreach { c =>
+      spark.sql(s"ALTER TABLE $t DROP IF EXISTS " +
+        s"PARTITION (vintage='base', cluster=$c)")
+    }
+    BucketedWorkspace.deleteRecursively(
+      new java.io.File(s"$wh/index/vintage=base"))
+    spark.sql(s"REFRESH TABLE $t")
+    ()
+  }
+
+  /** TIME-BASED VINTAGE RETENTION on the IVF index — the second half of
+    * the vector-retention symmetry (q_ann_expire covers the bucketed
+    * LSH layout; this covers the partition-pruned routed layout): the
+    * expire-private grown store (base + delta1, partitionBy(vintage,
+    * cluster), ingest centroids) evicts vintage=base — its cluster
+    * sub-partitions drop from the catalog (k bounded ops) and the
+    * vintage directory deletes; the surviving vintage's partition files
+    * are untouched and the routed probe's `cluster IN (…)`
+    * PartitionFilter survives the drop (plan-pinned). Pre-expire
+    * serving state snapshots at build (in-place mutation, the
+    * q_ivf_delete discipline); post-expire the routed search over the
+    * retained vintage equals a from-scratch replay over the retained
+    * population under the ingest model (the oracle). The centroid
+    * model is ingest state and outlives the vintage that trained it
+    * (the q_ivf_drift audit prices when that stops being acceptable —
+    * retention makes drift FASTER, since the training vintage can age
+    * out entirely).
+    *
+    * Scale posture: expire = k catalog ops + one directory delete at
+    * any corpus size; probes stay ~nprobe/k pruned reads over whatever
+    * vintages remain.
+    */
+  private val ivfExpire = Q(
+    "q_ivf_expire",
+    (spark, dir) => {
+      val (eT, wh) = ivfExpireStore(spark, dir)
+      val e = Tables(spark, dir, "embeddings")
+      val cents = ivfCentsOf(spark, dir)
+      val routedIds = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p")).crossJoin(cents)
+        .select(col("cid"), VectorOps.cosine(col("p"), col("cemb")).as("ccos"))
+        .orderBy(col("ccos").desc, col("cid")).limit(2)
+        .collect().map(_.getAs[Number](0).intValue).toSeq
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p")))
+      def probeDf(phase: String): org.apache.spark.sql.DataFrame = {
+        val pruned = spark.table(eT)
+          .filter(if (routedIds.isEmpty) lit(false)
+                  else col("cluster").isin(routedIds: _*))
+        pruned.crossJoin(probe)
+          .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+            pround(VectorOps.cosine(col("embedding"), col("p")), 4).as("cos"),
+            when(col("vec_id") % 10 === 1, lit("delta1")).otherwise(lit("base")).as("src"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+          .select(lit(phase).as("phase"), col("vec_id"), col("cluster"),
+            col("cos"), col("src"))
+      }
+      StoreOnce(wh) {
+        BucketedWorkspace.cleanupOnExit(wh)
+        ivfAssigned(e.filter(col("vec_id") % 10 >= 2), cents)
+          .withColumn("vintage", lit("base"))
+          .write.mode("overwrite").partitionBy("vintage", "cluster")
+          .option("path", s"$wh/index").saveAsTable(eT)
+        ivfWriteDelta1(spark, dir, eT)
+        probeDf("pre").coalesce(1)
+          .write.mode("overwrite").parquet(s"$wh/pre")
+        // the nightly horizon: the base vintage ages out
+        ivfExpireDrop(spark, dir)
+      }
+      spark.read.parquet(s"$wh/pre")
+        .unionAll(probeDf("post"))
+        .orderBy(col("phase"), col("cos").desc, col("vec_id"))
+    },
+    Some("""WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+                           FROM embeddings WHERE vec_id < 10),
+            grown AS (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id % 10 <> 0),
+            scored AS (SELECT g.vec_id, c.cid,
+                         list_cosine_similarity(CAST(g.embedding AS DOUBLE[]), c.cemb) AS ccos
+                       FROM grown g CROSS JOIN cents c),
+            assign AS (SELECT vec_id, cid AS cluster FROM (
+                         SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ccos DESC, cid) AS rn
+                         FROM scored)
+                       WHERE rn = 1),
+            probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings
+                      WHERE vec_id = 0),
+            routed AS (SELECT c.cid FROM cents c, probe
+                       ORDER BY list_cosine_similarity(probe.p, c.cemb) DESC, c.cid
+                       LIMIT 2),
+            served AS (SELECT g.vec_id, CAST(a.cluster AS INT) AS cluster,
+                         FLOOR((list_cosine_similarity(CAST(g.embedding AS DOUBLE[]), probe.p))
+                           * 10000 + 0.5) / 10000 AS cos,
+                         CASE WHEN g.vec_id % 10 = 1 THEN 'delta1' ELSE 'base' END AS src
+                       FROM grown g JOIN assign a ON a.vec_id = g.vec_id, probe
+                       WHERE a.cluster IN (SELECT cid FROM routed)),
+            pre AS (SELECT * FROM served ORDER BY cos DESC, vec_id LIMIT 10),
+            post AS (SELECT * FROM served WHERE vec_id % 10 = 1
+                     ORDER BY cos DESC, vec_id LIMIT 10)
+            SELECT phase, vec_id, cluster, cos, src FROM (
+              SELECT 'pre' AS phase, * FROM pre
+              UNION ALL
+              SELECT 'post', * FROM post)
+            ORDER BY phase, cos DESC, vec_id"""))
+
   val all: Seq[Q] = Seq(knnIvf, dedupEmbedLsh, ivfRecallSweep, ivfPq, ivfStore,
-    ivfStoreAppend, ivfDrift, ivfDelete)
+    ivfStoreAppend, ivfDrift, ivfDelete, ivfExpire)
 }

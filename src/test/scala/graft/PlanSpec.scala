@@ -1553,6 +1553,22 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q_ivf_expire: the post-expire routed probe keeps its cluster IN (...) PartitionFilter") {
+    val df = Registry.byName("q_ivf_expire").build(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("g_ivf_exp"),
+      s"the expired store must be scanned live for the post phase:\n$plan")
+    val scan = plan.split("\n").filter(_.contains("PartitionFilters"))
+    assert(scan.exists(l => l.contains("cluster") && l.contains("IN")),
+      s"the post-expire scan must partition-prune on the routed clusters:\n$plan")
+    assert(!plan.contains("vintage=base"),
+      s"a post-expire read still lists the expired vintage's files:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Caches.releaseAll()
+  }
+
   test("q_corpus_delete: all four store scans (pre+post, hash+band) stay bucketed, undemoted") {
     val df = Registry.byName("q_corpus_delete").build(spark, dir)
     df.collect()

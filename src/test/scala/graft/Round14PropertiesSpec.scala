@@ -238,6 +238,33 @@ class Round14PropertiesSpec extends AnyFunSuite {
       "query output changed after the expire re-run")
   }
 
+  test("q_ivf_expire: expired vintage's cluster partitions gone from " +
+    "catalog and disk, retained files untouched, drop idempotent") {
+    val out1 = outOf("q_ivf_expire")
+    val (t, wh) = operators.IvfQueries.ivfExpireStore(spark, dir)
+    assert(spark.table(t).filter(col("vec_id") % 10 >= 2).count() === 0L,
+      "expired vintage still served from the store")
+    assert(spark.table(t).count() > 0L, "retained vintage lost")
+    assert(!new java.io.File(s"$wh/index/vintage=base").exists(),
+      "expired vintage's files not reclaimed")
+    assert(spark.sql(s"SHOW PARTITIONS $t").collect()
+      .forall(!_.getString(0).startsWith("vintage=base/")),
+      "expired cluster partitions still in the catalog")
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val cs = f.listFiles()
+      if (cs == null) Seq(f) else cs.toSeq.flatMap(walk)
+    }
+    val d1 = walk(new java.io.File(s"$wh/index/vintage=delta1")).filter(_.isFile)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted
+    assert(d1.nonEmpty, "retained vintage's partition files missing")
+    operators.IvfQueries.ivfExpireDrop(spark, dir)
+    val d1b = walk(new java.io.File(s"$wh/index/vintage=delta1")).filter(_.isFile)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted
+    assert(d1b === d1, "re-running the expire touched retained files")
+    assert(outOf("q_ivf_expire") === out1,
+      "query output changed after the expire re-run")
+  }
+
   test("q_clustering_approx lands within 2.5% absolute of the exact global " +
     "clustering coefficient (deterministic estimator - fixture constant)") {
     val got = Registry.byName("q_clustering_approx").build(spark, dir).collect()
