@@ -57,21 +57,20 @@ object Bench {
     * this VM has ~2× bursty self-noise, and the min discards single-rep
     * bursts while sustained steal shifts all three reps together. The
     * quiet band and the one-sided tax rule live in [[Calibration]].
-    * Arrays are allocated once and reused across the before/after
-    * invocations (256 MB retained at 32 threads — bounded, and fresh
-    * per-call allocation would time the allocator + GC, not DRAM).
+    * Arrays are LOCAL to each invocation (ADVICE r14): a JVM-lifetime
+    * reference kept 256 MB (at 32 threads) resident in the old gen
+    * through every timed suite pass on the deliberately small heap —
+    * GC-profile drift pre-r14 rounds never paid. Per-call allocation is
+    * free to the measurement: it happens before the untimed warm-up
+    * pass, so the three timed passes see touched, page-resident arrays
+    * either way, and the memory is collectable the moment the leg
+    * returns.
     */
-  private val membwArrays = new java.util.concurrent.atomic.AtomicReference[Array[Array[Long]]]()
-
   private def calibrateMembwMs(threads: Int): Long = {
     val n = 8 * 1024 * 1024 / 8 // 8 MB of longs per thread
-    if (membwArrays.get() == null || membwArrays.get().length != threads) {
-      val arrs = Array.fill(threads)(new Array[Long](n))
-      var t = 0
-      while (t < threads) { var i = 0; while (i < n) { arrs(t)(i) = i.toLong; i += 1 }; t += 1 }
-      membwArrays.set(arrs)
-    }
-    val arrs = membwArrays.get()
+    val arrs = Array.fill(threads)(new Array[Long](n))
+    var t = 0
+    while (t < threads) { var i = 0; while (i < n) { arrs(t)(i) = i.toLong; i += 1 }; t += 1 }
     def onePass(passes: Int): Long = {
       val t0 = System.nanoTime()
       val ts = arrs.map { a =>
@@ -234,8 +233,15 @@ object Bench {
     // written to the repo, (b) the per-query map re-emitted as <=25-entry
     // self-contained chunk lines, (c) a minimal grand-total trailer as the
     // very last line so the captured tail always ends parseable.
-    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
-      "/root/repo/bench_per_query.json")
+    // Subset runs (SPARK_GRAFT_BENCH_ONLY) write to a separate sidecar and
+    // never rotate (ADVICE r14): with a single .prev generation, two ad-hoc
+    // subset benches after a full-suite run would clobber the full window
+    // anyway — the r13 loss mode, half-fixed. Full-suite sidecars and their
+    // rotation are untouched by subset profiling.
+    val defaultSidecar = if (only.isDefined)
+      "/root/repo/bench_per_query.subset.json"
+    else "/root/repo/bench_per_query.json"
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", defaultSidecar)
     try {
       // Rotation guard (VERDICT r13 "what's wrong" #4): every Bench run
       // overwrites the sidecar, and the r13 driver's per-query detail
@@ -244,7 +250,7 @@ object Bench {
       // before the overwrite, so the first re-run of a round preserves
       // the driver's window for the judge (commit it to make it durable).
       val p = java.nio.file.Paths.get(sidecar)
-      if (java.nio.file.Files.exists(p)) {
+      if (only.isEmpty && java.nio.file.Files.exists(p)) {
         java.nio.file.Files.copy(p,
           java.nio.file.Paths.get(sidecar.stripSuffix(".json") + ".prev.json"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)

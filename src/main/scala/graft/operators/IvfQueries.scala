@@ -972,9 +972,11 @@ object IvfQueries {
   private[graft] def ivfExpireDrop(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     val (t, wh) = ivfExpireStore(spark, dir)
+    // parse anchored to the expected key (ADVICE r14): splitting on '='
+    // silently mis-parses any partition value that itself contains '='
     val clusters = spark.sql(s"SHOW PARTITIONS $t").collect()
-      .map(_.getString(0)).filter(_.startsWith("vintage=base/"))
-      .map(_.split("=").last)
+      .map(_.getString(0)).filter(_.startsWith("vintage=base/cluster="))
+      .map(_.stripPrefix("vintage=base/cluster="))
     clusters.foreach { c =>
       spark.sql(s"ALTER TABLE $t DROP IF EXISTS " +
         s"PARTITION (vintage='base', cluster=$c)")
