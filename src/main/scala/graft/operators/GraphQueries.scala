@@ -1194,7 +1194,153 @@ object GraphQueries {
               END AS c_naive_ppm
             FROM per"""))
 
+  /** APPROXIMATE neighborhood-Jaccard link prediction by b-bit minhash
+    * sketches of adjacency sets (VERDICT r14 task 3) — the sampled twin
+    * of q_graph_jaccard, which is the suite's second-most-expensive id
+    * at sf1 (15.7 s) because exact common-neighbor counting is linear
+    * in WEDGE mass even after the hub cap. At 100 TB an operator mines
+    * high-overlap pairs with sketches first (Li & König's b-bit minwise
+    * hashing, CACM'11 — the q_bbit_minhash calibration already prices
+    * the estimator; see PAPERS.md) and runs the exact census only on
+    * the emitted head. Everything is DETERMINISTIC so DuckDB replays it
+    * exactly (the q_clustering_approx discipline, never rand()):
+    *
+    *   - each node's neighbor set compresses to a 16-way minhash sketch
+    *     in ONE aggregate pass over the symmetrized edges — mh_i(x) =
+    *     min over neighbors w of hash60(i:w), 16 partial-aggregated
+    *     min columns, no shingle relation and no per-node adjacency
+    *     array;
+    *   - candidate pairs come from the same capped wedge enumeration as
+    *     the exact query but over a 1/8 hash-sample of the middles
+    *     (hash60(x) ≡ 0 mod 8, deg ≤ [[JaccardMidCap]]) and need only
+    *     DISTINCT pairs — the expensive per-pair exact count is gone;
+    *   - per pair the estimate is sketch agreement: est_ppm =
+    *     matches·10⁶ div 16, quantized to 17 levels, ties broken (n, m);
+    *   - the top 20 by estimate then pay a BOUNDED exact audit — true
+    *     common-neighbor count and exact Jaccard for just those 20
+    *     pairs (two broadcast-pruned passes over the edge set), with
+    *     within_2se flagging |est − exact| ≤ 250000 ppm = 2·√(j(1−j)/16)
+    *     at the j = 1/2 maximum — the in-output exact-vs-estimate bound
+    *     the operator watches before trusting the sketch head.
+    *
+    * Scale posture: the sketch pass is one shuffle on node id (16 min
+    * aggregates, partial+final); candidate mass is 1/8 of the capped
+    * wedge mass with no count aggregation behind it; the audit arm is
+    * ∝ the 20 emitted pairs' neighborhoods, never the pair census. No
+    * triangle-mass term, no adjacency arrays, no driver state beyond
+    * the 20-row head.
+    */
+  private val jaccardApprox = Q(
+    "q_jaccard_approx",
+    (spark, dir) => {
+      import graft.functions.Portable.hash60
+      val pairs = Caches.persisted(tradeEdges(spark, dir))
+      val e = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val deg = Caches.persisted(
+        e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+      deg.count() // materialized stats before consumers plan (kcore lesson)
+      // 16-way minhash sketch of every node's neighbor SET, one pass
+      val sk = Caches.persisted(
+        e.groupBy(col("src")).agg(
+          min(hash60(concat_ws(":", lit("0"), col("dst").cast("string"))))
+            .as("mh0"),
+          (1 until 16).map(i =>
+            min(hash60(concat_ws(":", lit(i.toString), col("dst").cast("string"))))
+              .as(s"mh$i")): _*))
+      sk.count()
+      val mid = deg.filter(col("deg") <= JaccardMidCap &&
+          hash60(col("src")) % 8 === 0)
+        .select(col("src").as("x"))
+      val ex = e.join(mid, col("src") === col("x"), "left_semi")
+        .select(col("src").as("x"), col("dst").as("n"))
+      // sorted-adjacency pair emission (the q_graph_jaccard idiom), but
+      // only DISTINCT pairs — no per-pair count aggregate
+      val cand = ex
+        .groupBy(col("x")).agg(sort_array(collect_list(col("n"))).as("ns"))
+        .select(posexplode(col("ns")).as(Seq("i", "n")), col("ns"))
+        .select(col("n"),
+          explode(slice(col("ns"), col("i") + lit(2), lit(JaccardMidCap))).as("m"))
+        .distinct()
+      val ska = sk.select(col("src").as("na") +:
+        (0 until 16).map(i => col(s"mh$i").as(s"am$i")): _*)
+      val skb = sk.select(col("src").as("mb") +:
+        (0 until 16).map(i => col(s"mh$i").as(s"bm$i")): _*)
+      val matchesE = (0 until 16).map(i =>
+        when(col(s"am$i") === col(s"bm$i"), 1L).otherwise(0L)).reduce(_ + _)
+      val top = cand
+        .join(ska, col("n") === col("na")).join(skb, col("m") === col("mb"))
+        .select(col("n"), col("m"), matchesE.as("matches"))
+        .select(col("n"), col("m"), col("matches"),
+          expr("matches * 1000000 div 16").as("est_ppm"))
+        .orderBy(col("est_ppm").desc, col("n"), col("m"))
+        .limit(20)
+      // bounded exact audit: true cn + Jaccard for ONLY the emitted head
+      val topP = broadcast(top)
+      val an = topP.select(col("n"), col("m"))
+        .join(e, col("src") === col("n"))
+        .select(col("n"), col("m"), col("dst").as("w"))
+      val cn = broadcast(an)
+        .join(e.select(col("src").as("ms"), col("dst").as("w")),
+          Seq("w"))
+        .filter(col("ms") === col("m"))
+        .groupBy(col("n"), col("m")).agg(count(lit(1)).as("cn"))
+      topP
+        .join(cn, Seq("n", "m"))
+        .join(broadcast(deg.select(col("src").as("n"), col("deg").as("da"))), Seq("n"))
+        .join(broadcast(deg.select(col("src").as("m"), col("deg").as("db"))), Seq("m"))
+        .select(col("n"), col("m"), col("matches"), col("est_ppm"),
+          expr("cn * 1000000 div (da + db - cn)").as("exact_ppm"))
+        .withColumn("within_2se",
+          when(abs(col("est_ppm") - col("exact_ppm")) <= 250000, lit(1))
+            .otherwise(lit(0)).cast("int"))
+        .orderBy(col("est_ppm").desc, col("n"), col("m"))
+    },
+    Some(s"""WITH $edgesCte,
+             deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                     FROM edges GROUP BY src),
+             sk AS (SELECT e.src AS x, i.i,
+                      MIN(CAST('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':'
+                        || CAST(e.dst AS VARCHAR)), 1, 15) AS BIGINT)) AS mh
+                    FROM edges e
+                    CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS i) i
+                    GROUP BY e.src, i.i),
+             mid AS (SELECT src FROM deg
+                     WHERE deg <= $JaccardMidCap
+                       AND CAST('0x' || substr(md5(CAST(src AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 8 = 0),
+             ex AS (SELECT e.src AS x, e.dst AS n
+                    FROM edges e JOIN mid ON e.src = mid.src),
+             cand AS (SELECT DISTINCT e1.n AS n, e2.n AS m
+                      FROM ex e1 JOIN ex e2 ON e1.x = e2.x AND e1.n < e2.n),
+             est AS (SELECT c.n, c.m,
+                       CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                         AS BIGINT) AS matches
+                     FROM cand c
+                     JOIN sk a ON a.x = c.n
+                     JOIN sk b ON b.x = c.m AND b.i = a.i
+                     GROUP BY c.n, c.m),
+             top AS (SELECT n, m, matches,
+                       CAST(matches * 1000000 // 16 AS BIGINT) AS est_ppm
+                     FROM est ORDER BY est_ppm DESC, n, m LIMIT 20),
+             cn AS (SELECT t.n, t.m, CAST(COUNT(*) AS BIGINT) AS cn
+                    FROM top t
+                    JOIN edges ea ON ea.src = t.n
+                    JOIN edges eb ON eb.src = t.m AND eb.dst = ea.dst
+                    GROUP BY t.n, t.m)
+             SELECT t.n, t.m, t.matches, t.est_ppm,
+               CAST((cn.cn * 1000000) // (da.deg + db.deg - cn.cn) AS BIGINT)
+                 AS exact_ppm,
+               CAST(CASE WHEN ABS(t.est_ppm - ((cn.cn * 1000000)
+                   // (da.deg + db.deg - cn.cn))) <= 250000
+                 THEN 1 ELSE 0 END AS INT) AS within_2se
+             FROM top t
+             JOIN cn ON cn.n = t.n AND cn.m = t.m
+             JOIN deg da ON da.src = t.n
+             JOIN deg db ON db.src = t.m
+             ORDER BY t.est_ppm DESC, t.n, t.m"""))
+
   val all: Seq[Q] = Seq(ccDedup, graphDegree, pageRank, triangleCount,
     kcore, graphJaccard, assortativity, localClustering, bfsLevels,
-    labelProp, modularity, triangleStore, clusteringApprox)
+    labelProp, modularity, triangleStore, clusteringApprox, jaccardApprox)
 }

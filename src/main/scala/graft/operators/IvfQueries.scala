@@ -536,17 +536,24 @@ object IvfQueries {
     ivfWriteDelta1(spark, dir, ivfStoreTable(spark, dir))
 
   private def ivfWriteDelta1(spark: org.apache.spark.sql.SparkSession,
-      dir: String, t: String): Unit = {
+      dir: String, t: String): Unit =
+    ivfWriteVintage(spark, dir, t, 1, "delta1")
+
+  /** One day-N vintage append (vec_id ≡ m mod 10 → `vintage`), as the
+    * static-prefix partition overwrite — idempotent under input drift,
+    * shared by the delta1 appends above and q_ivf_lifecycle's ladder. */
+  private def ivfWriteVintage(spark: org.apache.spark.sql.SparkSession,
+      dir: String, t: String, m: Int, vintage: String): Unit = {
     val e = Tables(spark, dir, "embeddings")
-    val v = s"src_$t"
-    ivfAssigned(e.filter(col("vec_id") % 10 === 1), ivfCentsOf(spark, dir))
+    val v = s"src_${vintage}_$t"
+    ivfAssigned(e.filter(col("vec_id") % 10 === m), ivfCentsOf(spark, dir))
       .select(col("vec_id"), col("embedding"), col("cluster"))
       .createOrReplaceTempView(v)
     // under ConfLock: static mode is the session default, but another
     // store build may hold the conf at dynamic mid-write
     ConfLock.withConf(spark,
         "spark.sql.sources.partitionOverwriteMode", "static") {
-      spark.sql(s"INSERT OVERWRITE TABLE $t PARTITION (vintage='delta1', cluster) " +
+      spark.sql(s"INSERT OVERWRITE TABLE $t PARTITION (vintage='$vintage', cluster) " +
         s"SELECT vec_id, embedding, cluster FROM $v")
     }
     spark.catalog.dropTempView(v)
@@ -1084,6 +1091,213 @@ object IvfQueries {
               SELECT 'post', * FROM post)
             ORDER BY phase, cos DESC, vec_id"""))
 
+  /** q_ivf_lifecycle's ladder-private stores (grown table, compacted
+    * table, workspace) — for the per-rung ledger and layout pins. */
+  private[graft] def ivfLifecycleStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String, String) = {
+    val key = StoreToken(spark, dir)
+    (s"g_ivf_lc_$key", s"g_ivf_lcc_$key", s"/tmp/graft_ivflc_$key")
+  }
+
+  /** The ladder's retention verb, re-runnable (drop-twice ≡ drop-once):
+    * delta1's cluster sub-partitions enumerate from the catalog and drop
+    * individually, then the vintage directory deletes — the
+    * [[ivfExpireDrop]] verb parameterized to the lifecycle store. */
+  private[graft] def ivfLifecycleExpireDrop(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val (lT, _, wh) = ivfLifecycleStore(spark, dir)
+    val clusters = spark.sql(s"SHOW PARTITIONS $lT").collect()
+      .map(_.getString(0)).filter(_.startsWith("vintage=delta1/cluster="))
+      .map(_.stripPrefix("vintage=delta1/cluster="))
+    clusters.foreach { c =>
+      spark.sql(s"ALTER TABLE $lT DROP IF EXISTS " +
+        s"PARTITION (vintage='delta1', cluster=$c)")
+    }
+    BucketedWorkspace.deleteRecursively(
+      new java.io.File(s"$wh/index/vintage=delta1"))
+    spark.sql(s"REFRESH TABLE $lT")
+    ()
+  }
+
+  /** THE IVF DAY-N LIFECYCLE LADDER (VERDICT r14 task 1): every IVF
+    * store verb was proven on a base+delta1 store in isolation
+    * (q_ivf_store_append, q_ivf_delete, q_ivf_expire); day-365
+    * operation is the verbs COMPOSED on ONE store — and unlike the ANN
+    * ladder (q_store_lifecycle), the IVF store's (vintage × cluster)
+    * two-level layout is exactly where partition growth compounds: at
+    * 365 vintages × k clusters the catalog carries 365k entries and
+    * every routed probe opens one file set per surviving vintage per
+    * routed cluster. This query drives the store through
+    * create(base ≡4..9) → append(delta1 ≡1) → append(delta2 ≡2) →
+    * delete(purge ≡5, partition-TARGETED — only partitions holding
+    * purged rows are touched, fully-purged ones drop via catalog, the
+    * delta vintages' files stay byte-identical on disk,
+    * manifest-asserted) → expire(delta1 ages out — k catalog ops + one
+    * directory delete, never a data pass) → compact(collapse the
+    * surviving vintages' per-cluster file ladders into ONE file per
+    * cluster, cluster-partitioned so the routed probe's
+    * `cluster IN (…)` PartitionFilter survives compaction, plan-pinned)
+    * → routed probe. The `grown` phase (multi-vintage, multi-file,
+    * post-delete/expire) and the `compact` phase serve IDENTICAL top-10
+    * rows — compaction is a pure layout verb — with src attributing
+    * each neighbor to base/delta2 (delta1 must be gone; the oracle's
+    * population excludes it, so a leaked delta1 row is a hash
+    * mismatch, not just a spec failure).
+    *
+    * The per-rung LEDGER (rung : data files : rows, written beside the
+    * store) measures the file-growth/compaction curve the ANN ladder
+    * proved matters (8 → 24 → collapse): here files grow by one
+    * cluster-partition set per appended vintage and compaction
+    * collapses each cluster to a single file while preserving rows.
+    *
+    * The centroid model is ingest state throughout — it outlives both
+    * the purge and the expiry of vintages that trained it
+    * (q_ivf_drift prices the rebuild cadence).
+    *
+    * Scale posture: appends cost one broadcast-centroid assignment pass
+    * over their delta; the delete stages only touched-partition
+    * survivors; the expire is catalog ops + one directory delete; the
+    * compaction is one cluster-hashed shuffle of the SURVIVING rows
+    * (cost ∝ retained store mass, run at compaction cadence — the
+    * nightly verbs never pay it); probes stay ~nprobe/k pruned reads
+    * at every rung.
+    */
+  private val ivfLifecycle = Q(
+    "q_ivf_lifecycle",
+    (spark, dir) => {
+      val (lT, cT, wh) = ivfLifecycleStore(spark, dir)
+      val e = Tables(spark, dir, "embeddings")
+      val cents = ivfCentsOf(spark, dir)
+      StoreOnce(wh) {
+        BucketedWorkspace.cleanupOnExit(wh)
+        def walk(f: java.io.File): Seq[java.io.File] = {
+          val cs = f.listFiles()
+          if (cs == null) Seq(f) else cs.toSeq.flatMap(walk)
+        }
+        def dataFiles(root: String): Seq[java.io.File] =
+          walk(new java.io.File(root)).filter(f =>
+            f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        val ledger = scala.collection.mutable.ArrayBuffer[String]()
+        def rung(name: String): Unit = {
+          spark.sql(s"REFRESH TABLE $lT")
+          ledger += s"$name:${dataFiles(s"$wh/index").size}:${spark.table(lT).count()}"
+        }
+        // day 0: create
+        ivfAssigned(e.filter(col("vec_id") % 10 >= 4), cents)
+          .withColumn("vintage", lit("base"))
+          .write.mode("overwrite").partitionBy("vintage", "cluster")
+          .option("path", s"$wh/index").saveAsTable(lT)
+        rung("a_create")
+        // days 1, 2: idempotent static-prefix vintage appends
+        ivfWriteVintage(spark, dir, lT, 1, "delta1")
+        rung("b_append_d1")
+        ivfWriteVintage(spark, dir, lT, 2, "delta2")
+        rung("c_append_d2")
+        // delta2 must survive BOTH the delete and the expire untouched
+        // on disk (delta1 is expired later, so only delta2 is assertable
+        // at ladder end)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$wh/delta2_manifest.txt"),
+          dataFiles(s"$wh/index/vintage=delta2")
+            .map(f => s"${f.getAbsolutePath}:${f.length}:${f.lastModified}")
+            .sorted.mkString("\n").getBytes("UTF-8"))
+        // day N: partition-targeted GDPR purge (≡5 — base vintage only)
+        val store = spark.table(lT)
+        val touched = store.filter(col("vec_id") % 10 === 5)
+          .select(col("vintage"), col("cluster")).distinct().collect()
+          .map(r => (r.getString(0), r.getAs[Number](1).intValue)).toSeq
+        if (touched.nonEmpty) {
+          val cond = touched.map { case (v, c) =>
+            col("vintage") === v && col("cluster") === c }.reduce(_ || _)
+          store.filter(cond && col("vec_id") % 10 =!= 5)
+            .select(col("vec_id"), col("embedding"), col("vintage"), col("cluster"))
+            .write.mode("overwrite").parquet(s"$wh/staged")
+          val staged = spark.read.parquet(s"$wh/staged")
+            .select(col("vec_id"), col("embedding"), col("vintage"), col("cluster"))
+          val alive = staged.select(col("vintage"), col("cluster")).distinct()
+            .collect().map(r => (r.getString(0), r.getAs[Number](1).intValue)).toSet
+          touched.filterNot(alive).foreach { case (v, c) =>
+            spark.sql(s"ALTER TABLE $lT DROP IF EXISTS " +
+              s"PARTITION (vintage='$v', cluster=$c)")
+            BucketedWorkspace.deleteRecursively(
+              new java.io.File(s"$wh/index/vintage=$v/cluster=$c"))
+          }
+          if (alive.nonEmpty) VintageWrite(staged, lT)
+          spark.sql(s"REFRESH TABLE $lT")
+        }
+        rung("d_delete")
+        // day N+1: delta1 ages out of the retention horizon
+        ivfLifecycleExpireDrop(spark, dir)
+        rung("e_expire")
+        // day N+2: compaction — one cluster-hashed shuffle collapses each
+        // surviving cluster's vintage-file ladder to ONE file, keeping
+        // cluster as the partition column (the PartitionFilter pin)
+        spark.table(lT)
+          .select(col("vec_id"), col("embedding"),
+            col("cluster").cast("int").as("cluster"))
+          .repartition(col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster")
+          .option("path", s"$wh/compact").saveAsTable(cT)
+        ledger += s"f_compact:${dataFiles(s"$wh/compact").size}:${spark.table(cT).count()}"
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$wh/ledger.txt"),
+          ledger.mkString("\n").getBytes("UTF-8"))
+        ()
+      }
+      val routedIds = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p")).crossJoin(cents)
+        .select(col("cid"), VectorOps.cosine(col("p"), col("cemb")).as("ccos"))
+        .orderBy(col("ccos").desc, col("cid")).limit(2)
+        .collect().map(_.getAs[Number](0).intValue).toSeq
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p")))
+      def arm(t: String, phase: String): org.apache.spark.sql.DataFrame = {
+        val pruned = spark.table(t)
+          .filter(if (routedIds.isEmpty) lit(false)
+                  else col("cluster").isin(routedIds: _*))
+        pruned.crossJoin(probe)
+          .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+            pround(VectorOps.cosine(col("embedding"), col("p")), 4).as("cos"),
+            when(col("vec_id") % 10 === 2, lit("delta2")).otherwise(lit("base")).as("src"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+          .select(lit(phase).as("phase"), col("vec_id"), col("cluster"),
+            col("cos"), col("src"))
+      }
+      arm(cT, "compact").unionAll(arm(lT, "grown"))
+        .orderBy(col("phase"), col("cos").desc, col("vec_id"))
+    },
+    Some("""WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+                           FROM embeddings WHERE vec_id < 10),
+            grown AS (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id % 10 IN (2, 4, 6, 7, 8, 9)),
+            scored AS (SELECT g.vec_id, c.cid,
+                         list_cosine_similarity(CAST(g.embedding AS DOUBLE[]), c.cemb) AS ccos
+                       FROM grown g CROSS JOIN cents c),
+            assign AS (SELECT vec_id, cid AS cluster FROM (
+                         SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ccos DESC, cid) AS rn
+                         FROM scored)
+                       WHERE rn = 1),
+            probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings
+                      WHERE vec_id = 0),
+            routed AS (SELECT c.cid FROM cents c, probe
+                       ORDER BY list_cosine_similarity(probe.p, c.cemb) DESC, c.cid
+                       LIMIT 2),
+            served AS (SELECT g.vec_id, CAST(a.cluster AS INT) AS cluster,
+                         FLOOR((list_cosine_similarity(CAST(g.embedding AS DOUBLE[]), probe.p))
+                           * 10000 + 0.5) / 10000 AS cos,
+                         CASE WHEN g.vec_id % 10 = 2 THEN 'delta2' ELSE 'base' END AS src
+                       FROM grown g JOIN assign a ON a.vec_id = g.vec_id, probe
+                       WHERE a.cluster IN (SELECT cid FROM routed)),
+            top AS (SELECT * FROM served ORDER BY cos DESC, vec_id LIMIT 10)
+            SELECT phase, vec_id, cluster, cos, src FROM (
+              SELECT 'compact' AS phase, * FROM top
+              UNION ALL
+              SELECT 'grown', * FROM top)
+            ORDER BY phase, cos DESC, vec_id"""))
+
   val all: Seq[Q] = Seq(knnIvf, dedupEmbedLsh, ivfRecallSweep, ivfPq, ivfStore,
-    ivfStoreAppend, ivfDrift, ivfDelete, ivfExpire)
+    ivfStoreAppend, ivfDrift, ivfDelete, ivfExpire, ivfLifecycle)
 }

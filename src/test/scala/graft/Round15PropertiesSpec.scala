@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 properties: the IVF day-N lifecycle ladder (VERDICT r14
+  * task 1) proven on the store files themselves, and the ConfLock
+  * concurrency guarantee (task 5) turned from "present by construction"
+  * into an actually-raced two-thread proof.
+  */
+class Round15PropertiesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private def outOf(name: String): Seq[String] = {
+    val rows = Registry.byName(name).build(spark, dir).collect()
+      .map(_.toString).toSeq
+    Caches.releaseAll()
+    rows
+  }
+
+  private def dataFiles(root: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val cs = f.listFiles()
+      if (cs == null) Seq(f) else cs.toSeq.flatMap(walk)
+    }
+    walk(new java.io.File(root)).filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+  }
+
+  test("q_ivf_lifecycle: the rung ledger measures the file-growth/" +
+    "compaction curve — appends grow files, delete+expire shrink rows, " +
+    "compact collapses to one file per cluster preserving rows") {
+    outOf("q_ivf_lifecycle") // builds + runs the ladder via StoreOnce
+    val (lT, cT, wh) = operators.IvfQueries.ivfLifecycleStore(spark, dir)
+    val ledger = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$wh/ledger.txt")), "UTF-8")
+      .split("\n").toSeq.map { l =>
+        val Array(rung, files, rows) = l.split(":")
+        (rung, files.toLong, rows.toLong)
+      }
+    assert(ledger.map(_._1) === Seq("a_create", "b_append_d1",
+      "c_append_d2", "d_delete", "e_expire", "f_compact"),
+      s"ladder rungs out of order: $ledger")
+    val m = ledger.map(t => t._1 -> (t._2, t._3)).toMap
+    // appends: one cluster-partition file set per vintage, rows grow
+    assert(m("b_append_d1")._1 > m("a_create")._1 &&
+      m("c_append_d2")._1 > m("b_append_d1")._1,
+      s"appends must grow the file ledger: $ledger")
+    assert(m("b_append_d1")._2 > m("a_create")._2 &&
+      m("c_append_d2")._2 > m("b_append_d1")._2,
+      s"appends must grow rows: $ledger")
+    // the purge and the retention horizon both shrink rows
+    assert(m("d_delete")._2 < m("c_append_d2")._2,
+      s"the purge must remove rows: $ledger")
+    assert(m("e_expire")._2 < m("d_delete")._2,
+      s"the expire must remove the delta1 vintage's rows: $ledger")
+    // compaction: rows preserved exactly, one file per surviving cluster
+    assert(m("f_compact")._2 === m("e_expire")._2,
+      s"compaction must preserve rows: $ledger")
+    val nClusters = spark.table(cT).select(col("cluster")).distinct().count()
+    assert(m("f_compact")._1 === nClusters,
+      s"compaction must collapse to one file per cluster " +
+        s"($nClusters clusters): $ledger")
+    assert(m("f_compact")._1 <= m("e_expire")._1,
+      s"compaction must not grow the file ledger: $ledger")
+    // the grown store no longer carries delta1 anywhere: catalog or disk
+    assert(spark.table(lT).filter(col("vintage") === "delta1").count() === 0L)
+    assert(!new java.io.File(s"$wh/index/vintage=delta1").exists(),
+      "expired vintage's files not reclaimed")
+    Caches.releaseAll()
+  }
+
+  test("q_ivf_lifecycle: delta2's partition files survive the delete AND " +
+    "the expire byte-identical (manifest), and the retention verb is " +
+    "idempotent (drop-twice = drop-once)") {
+    val out1 = outOf("q_ivf_lifecycle")
+    val (lT, _, wh) = operators.IvfQueries.ivfLifecycleStore(spark, dir)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$wh/delta2_manifest.txt")), "UTF-8")
+    val now = dataFiles(s"$wh/index/vintage=delta2")
+      .map(f => s"${f.getAbsolutePath}:${f.length}:${f.lastModified}")
+      .sorted.mkString("\n")
+    assert(now === manifest,
+      "delta2's files must survive the delete and the expire untouched")
+    val snap = spark.table(lT).collect().map(_.toString).sorted.toSeq
+    // the retention job re-runs (crash after the catalog drop, retry, a
+    // second nightly pass — all must be no-ops)
+    operators.IvfQueries.ivfLifecycleExpireDrop(spark, dir)
+    assert(spark.table(lT).collect().map(_.toString).sorted.toSeq === snap,
+      "re-running the expire changed the store")
+    assert(outOf("q_ivf_lifecycle") === out1,
+      "query output changed after the expire re-run")
+  }
+
+  test("q_ivf_lifecycle: grown and compact phases serve identical " +
+    "neighbors, no delta1 survivor, and the compacted probe still rides " +
+    "a cluster PartitionFilter (plan pin)") {
+    val rows = Registry.byName("q_ivf_lifecycle").build(spark, dir).collect()
+    Caches.releaseAll()
+    val byPhase = rows.groupBy(_.getString(0))
+    assert(byPhase.keySet === Set("compact", "grown"))
+    def strip(rs: Array[org.apache.spark.sql.Row]): Seq[String] =
+      rs.map(r => (r.getLong(1), r.getInt(2), r.getDouble(3), r.getString(4))
+        .toString).sorted.toSeq
+    assert(strip(byPhase("compact")) === strip(byPhase("grown")),
+      "compaction changed the served answers")
+    assert(rows.forall(_.getLong(1) % 10 != 1),
+      "an expired delta1 vector is still served")
+    assert(rows.forall(_.getLong(1) % 10 != 5),
+      "a purged vector is still served")
+    // layout pin: the routed filter must prune the compacted table's
+    // partitions, not scan-then-filter
+    val (_, cT, _) = operators.IvfQueries.ivfLifecycleStore(spark, dir)
+    val plan = spark.table(cT).filter(col("cluster").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined,
+      s"compacted probe lost the cluster PartitionFilter:\n$plan")
+  }
+
+}
