@@ -642,6 +642,189 @@ object PipelineQueries {
           ORDER BY phase, stage"""
     })
 
+  /** q_corpus_refcount's three store-rung catalog tables. */
+  private[graft] def corpusRefcountTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String, String) = {
+    val key = StoreToken(spark, dir)
+    (s"g_rc_a_$key", s"g_rc_b_$key", s"g_rc_c_$key")
+  }
+
+  /** The quality-kept (doc_id, h) relation under `filter` — the Spark
+    * side of q_corpus_refcount's corpus slices. */
+  private def refcountKeptOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String, filter: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val (_, _, _, score) = TextOps.qualityScore(col("text"))
+    Tables.spreadIfUnderSplitAtScale(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .filter(filter)
+      .withColumn("score", score).filter(col("score") >= 0.4)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+  }
+
+  /** q_corpus_refcount's PURGE VERB, re-runnable (a retry after a crashed
+    * rewrite recomputes the identical post-purge store — the decrement is
+    * a pure function of the ingest store and the request): the request's
+    * holder counts broadcast onto the bucketed store as a left-join
+    * decrement, hashes leave at refs = 0. */
+  private[graft] def refcountPurge(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val (aT, bT, _) = corpusRefcountTables(spark, dir)
+    val key = StoreToken(spark, dir)
+    val wh = s"/tmp/graft_rc_$key"
+    val dec = refcountKeptOf(spark, dir, col("doc_id") % 10 === 5)
+      .groupBy(col("h")).agg(count(lit(1)).as("dec"))
+    spark.table(aT).join(broadcast(dec), Seq("h"), "left")
+      .select(col("h"),
+        (col("refs") - coalesce(col("dec"), lit(0L))).as("refs"))
+      .filter(col("refs") > 0)
+      .write.mode("overwrite").bucketBy(8, "h").sortBy("h")
+      .option("path", s"$wh/b").saveAsTable(bT)
+    ()
+  }
+
+  /** The DuckDB quality-kept CTE pair (tokenized docs + kept (doc_id, h)),
+    * shared by q_corpus_refcount's three recompute arms. */
+  private def keptCteSql(alias: String, where: String): String =
+    s"""${alias}_t AS (SELECT doc_id, text,
+                  list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents WHERE $where),
+          $alias AS (SELECT doc_id, md5(text) AS h FROM (
+                SELECT doc_id, text,
+                  CAST(len(ws) AS DOUBLE) AS n_tok,
+                  CASE WHEN len(ws) = 0 THEN 0.0
+                       ELSE CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                            / CAST(len(ws) AS DOUBLE) END AS avg_len,
+                  CASE WHEN len(ws) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter(ws, w -> w IN
+                         ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                         / CAST(len(ws) AS DOUBLE) END AS ratio
+                FROM ${alias}_t)
+              WHERE LEAST(n_tok / 100.0, 1.0) * 0.4 + ratio * 0.3
+                + LEAST(avg_len / 8.0, 1.0) * 0.3 >= 0.4)"""
+
+  /** REFCOUNTED CONTENT-HASH STORE (VERDICT r14 task 2): q_corpus_delete's
+    * orphan rule — "a hash leaves the store only with its LAST holder" —
+    * is GDPR-correct but implemented there as a purge-cadence pass over
+    * the corpus's quality-kept hashes (disclosed in its Q doc). The
+    * production store carries (h, refcount) instead, and every verb
+    * becomes ARITHMETIC on the store:
+    *
+    *   - create: one ingest pass folds the base corpus to (h, holders) —
+    *     the same one-time cost the plain hash store pays;
+    *   - purge (the star): the request's holder counts broadcast onto
+    *     the bucketed store as a LEFT-join decrement; a hash leaves at
+    *     refs = 0. The only text read is the REQUEST's own documents —
+    *     no corpus pass, no orphan recompute;
+    *   - append: tonight's quality-kept delta holder counts merge in as
+    *     a full-outer increment (new hashes enter at their count), the
+    *     day-N twin of the decrement — and the replayed funnel's exact
+    *     stage against the appended store admits 0 of the same delta,
+    *     the self-check that the increment actually landed.
+    *
+    * Output: one row per store rung (a_create / b_purge / c_append) with
+    * the store's cardinality and total refcount, the delta funnel's
+    * exact-stage admissions against that rung, and n_diverge — the
+    * symmetric difference between the ARITHMETIC store and a
+    * from-scratch recompute of (h, holders) over the rung's corpus
+    * population, compared on (h, refs) pairs, pinned at 0. The
+    * recompute arms are corpus-width AUDIT yardsticks (the
+    * q_sketch_expire posture): production drops them and keeps the
+    * O(request) verbs.
+    *
+    * Scale posture: purge compute ∝ the request (its docs' hashes
+    * broadcast); append compute ∝ the delta (one shuffle of delta
+    * hashes onto the bucketed store's layout, zero store-side
+    * exchange); the store rewrite is hash-cardinality bounded — counter
+    * rows, never document text — and on a bucket-partitioned layout
+    * only touched buckets rewrite. The audit arms alone re-read corpus
+    * text.
+    */
+  private val corpusRefcount = Q(
+    "q_corpus_refcount",
+    (spark, dir) => {
+      val (aT, bT, cT) = corpusRefcountTables(spark, dir)
+      val key = StoreToken(spark, dir)
+      val wh = s"/tmp/graft_rc_$key"
+      def keptOf(filter: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+        refcountKeptOf(spark, dir, filter)
+      StoreOnce(wh) {
+        BucketedWorkspace.cleanupOnExit(wh)
+        // ingest: the one-time corpus fold to (h, holders)
+        keptOf(col("doc_id") % 10 =!= 0)
+          .groupBy(col("h")).agg(count(lit(1)).as("refs"))
+          .write.mode("overwrite").bucketBy(8, "h").sortBy("h")
+          .option("path", s"$wh/a").saveAsTable(aT)
+        // purge: request-bounded decrement; a hash leaves at zero
+        refcountPurge(spark, dir)
+        // append: delta-bounded increment; new hashes enter at their count
+        val inc = keptOf(col("doc_id") % 10 === 0)
+          .groupBy(col("h")).agg(count(lit(1)).as("inc"))
+        spark.table(bT).join(inc, Seq("h"), "full_outer")
+          .select(col("h"),
+            (coalesce(col("refs"), lit(0L)) + coalesce(col("inc"), lit(0L)))
+              .as("refs"))
+          .write.mode("overwrite").bucketBy(8, "h").sortBy("h")
+          .option("path", s"$wh/c").saveAsTable(cT)
+      }
+      val dkept = graft.Caches.persisted(keptOf(col("doc_id") % 10 === 0))
+      def phaseRow(phase: String, t: String,
+          recompute: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val st = spark.table(t)
+        val stats = st.agg(count(lit(1)).cast("bigint").as("n_hashes"),
+          sum(col("refs")).cast("bigint").as("total_refs"))
+        val ex = dkept.join(st, Seq("h"), "left_anti")
+          .agg(countDistinct(col("h")).cast("bigint").as("n_exact_admitted"))
+        val rec = recompute.groupBy(col("h")).agg(count(lit(1)).as("refs"))
+        val div = st.join(rec, Seq("h", "refs"), "left_anti")
+          .unionAll(rec.join(st, Seq("h", "refs"), "left_anti"))
+          .agg(count(lit(1)).cast("bigint").as("n_diverge"))
+        stats.crossJoin(ex).crossJoin(div)
+          .select(lit(phase).as("phase"), col("n_hashes"), col("total_refs"),
+            col("n_exact_admitted"), col("n_diverge"))
+      }
+      val keptBase = keptOf(col("doc_id") % 10 =!= 0)
+      phaseRow("a_create", aT, keptBase)
+        .unionAll(phaseRow("b_purge", bT,
+          keptBase.filter(col("doc_id") % 10 =!= 5)))
+        .unionAll(phaseRow("c_append", cT,
+          keptBase.filter(col("doc_id") % 10 =!= 5).unionAll(dkept)))
+        .orderBy(col("phase"))
+    },
+    Some(s"""WITH ${keptCteSql("kept", "doc_id % 10 <> 0")},
+          ${keptCteSql("dkept", "doc_id % 10 = 0")},
+          rc_a AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS refs
+                   FROM kept GROUP BY h),
+          rc_b AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS refs
+                   FROM kept WHERE doc_id % 10 <> 5 GROUP BY h),
+          rc_c AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS refs FROM (
+                     SELECT h FROM kept WHERE doc_id % 10 <> 5
+                     UNION ALL SELECT h FROM dkept) GROUP BY h),
+          ex_a AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n FROM dkept
+                   WHERE h NOT IN (SELECT h FROM rc_a)),
+          ex_b AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n FROM dkept
+                   WHERE h NOT IN (SELECT h FROM rc_b)),
+          ex_c AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n FROM dkept
+                   WHERE h NOT IN (SELECT h FROM rc_c))
+          SELECT phase, n_hashes, total_refs, n_exact_admitted, n_diverge
+          FROM (
+            SELECT 'a_create' AS phase,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM rc_a) AS n_hashes,
+              (SELECT CAST(SUM(refs) AS BIGINT) FROM rc_a) AS total_refs,
+              (SELECT n FROM ex_a) AS n_exact_admitted,
+              CAST(0 AS BIGINT) AS n_diverge
+            UNION ALL
+            SELECT 'b_purge',
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM rc_b),
+              (SELECT CAST(SUM(refs) AS BIGINT) FROM rc_b),
+              (SELECT n FROM ex_b), CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT 'c_append',
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM rc_c),
+              (SELECT CAST(SUM(refs) AS BIGINT) FROM rc_c),
+              (SELECT n FROM ex_c), CAST(0 AS BIGINT))
+          ORDER BY phase"""))
+
   val all: Seq[Q] = Seq(trainTestSplit, contamination, cleanPipeline,
-    corpusPipeline, qualityEnsemble, corpusIncremental, corpusDelete)
+    corpusPipeline, qualityEnsemble, corpusIncremental, corpusDelete,
+    corpusRefcount)
 }

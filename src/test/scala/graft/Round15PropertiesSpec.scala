@@ -118,4 +118,59 @@ class Round15PropertiesSpec extends AnyFunSuite {
       s"compacted probe lost the cluster PartitionFilter:\n$plan")
   }
 
+  test("q_corpus_refcount: on a planted multi-holder corpus the decrement " +
+    "store keeps a shared hash alive through a partial purge, drops it at " +
+    "zero, flips the delta admission, and never diverges from recompute") {
+    import spark.implicits._
+    // 100+ words so every doc clears the quality gate (n_tok/100 term)
+    def long(tag: String): String =
+      (s"the $tag document text starts here and " * 20).trim
+    val t1 = long("shared-retained") // docs 11 (kept) and 15 (purged)
+    val t2 = long("shared-purged")   // docs 25 and 35 — both purged
+    val t3 = long("orphaned")        // doc 45 — purged, delta twin at 30
+    val rows = Seq(
+      (11L, t1), (15L, t1),          // multi-holder: one holder survives
+      (25L, t2), (35L, t2),          // multi-holder: all holders purged
+      (45L, t3),                     // single holder, purged
+      (16L, long("plain-base")),     // untouched base doc
+      (20L, t1),                     // delta doc duplicating a SURVIVING hash
+      (30L, t3))                     // delta doc whose only authority purges
+    val out = java.nio.file.Files.createTempDirectory("graft-rc").toString
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val got = Registry.byName("q_corpus_refcount").build(spark, out).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    Caches.releaseAll()
+    // a_create: 4 hashes (t1×2, t2×2, t3, plain) over 6 base holders;
+    // both delta hashes (t1, t3) are in the store → 0 admitted
+    assert(got("a_create") === ((4L, 6L, 0L, 0L)), s"create rung wrong: $got")
+    // b_purge: t1 survives at refs 1 (doc 11 still holds it — the
+    // multi-holder case a naive anti-join delete would get wrong);
+    // t2 and t3 leave at zero
+    assert(got("b_purge")._1 === 2L,
+      s"post-purge store must hold exactly {t1, plain}: $got")
+    assert(got("b_purge")._2 === 2L, s"post-purge total refs wrong: $got")
+    // the flip: doc 30's only exact authority (45/t3) purged → admitted;
+    // doc 20's authority survived in doc 11 → still rejected
+    assert(got("b_purge")._3 === 1L,
+      s"the purge must flip exactly doc 30's admission: $got")
+    // the arithmetic store never diverges from the recompute, any rung
+    assert(got.values.forall(_._4 == 0L), s"store/recompute diverged: $got")
+    // c_append: both delta hashes merge in (t1 increments to 2, t3
+    // re-enters at 1) → 3 hashes, 4 refs; replaying the delta admits 0
+    assert(got("c_append") === ((3L, 4L, 0L, 0L)), s"append rung wrong: $got")
+  }
+
+  test("q_corpus_refcount: the purge verb is idempotent — a retry after a " +
+    "crashed rewrite recomputes the identical post-purge store") {
+    val out1 = outOf("q_corpus_refcount") // builds the rungs via StoreOnce
+    val (_, bT, _) = operators.PipelineQueries.corpusRefcountTables(spark, dir)
+    val snap = spark.table(bT).collect().map(_.toString).sorted.toSeq
+    operators.PipelineQueries.refcountPurge(spark, dir)
+    assert(spark.table(bT).collect().map(_.toString).sorted.toSeq === snap,
+      "re-running the purge changed the post-purge store")
+    assert(outOf("q_corpus_refcount") === out1,
+      "query output changed after the purge re-run")
+  }
 }
