@@ -1299,12 +1299,11 @@ object GraphQueries {
     Some(s"""WITH $edgesCte,
              deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
                      FROM edges GROUP BY src),
-             sk AS (SELECT e.src AS x, i.i,
-                      MIN(CAST('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':'
-                        || CAST(e.dst AS VARCHAR)), 1, 15) AS BIGINT)) AS mh
-                    FROM edges e
-                    CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS i) i
-                    GROUP BY e.src, i.i),
+             sk AS MATERIALIZED (SELECT e.src AS x,
+                      ${(0 until 16).map(i =>
+                        s"MIN(CAST('0x' || substr(md5('$i:' || CAST(e.dst AS VARCHAR)), 1, 15) AS BIGINT)) AS mh$i")
+                        .mkString(",\n                      ")}
+                    FROM edges e GROUP BY e.src),
              mid AS (SELECT src FROM deg
                      WHERE deg <= $JaccardMidCap
                        AND CAST('0x' || substr(md5(CAST(src AS VARCHAR)), 1, 15)
@@ -1314,13 +1313,13 @@ object GraphQueries {
              cand AS (SELECT DISTINCT e1.n AS n, e2.n AS m
                       FROM ex e1 JOIN ex e2 ON e1.x = e2.x AND e1.n < e2.n),
              est AS (SELECT c.n, c.m,
-                       CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
-                         AS BIGINT) AS matches
+                       CAST(${(0 until 16).map(i =>
+                         s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+                         .mkString(" + ")} AS BIGINT) AS matches
                      FROM cand c
                      JOIN sk a ON a.x = c.n
-                     JOIN sk b ON b.x = c.m AND b.i = a.i
-                     GROUP BY c.n, c.m),
-             top AS (SELECT n, m, matches,
+                     JOIN sk b ON b.x = c.m),
+             top AS MATERIALIZED (SELECT n, m, matches,
                        CAST(matches * 1000000 // 16 AS BIGINT) AS est_ppm
                      FROM est ORDER BY est_ppm DESC, n, m LIMIT 20),
              cn AS (SELECT t.n, t.m, CAST(COUNT(*) AS BIGINT) AS cn
