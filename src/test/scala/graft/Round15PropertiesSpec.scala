@@ -162,6 +162,25 @@ class Round15PropertiesSpec extends AnyFunSuite {
     assert(got("c_append") === ((3L, 4L, 0L, 0L)), s"append rung wrong: $got")
   }
 
+  test("q_jaccard_approx: the banded sketch head is exact-audited in-output " +
+    "— every emitted pair within the 2-standard-error bound, no cross-side " +
+    "collision in the head") {
+    val rows = Registry.byName("q_jaccard_approx").build(spark, dir).collect()
+    Caches.releaseAll()
+    assert(rows.length === 20, "the head must fill at every fixture scale")
+    rows.foreach { r =>
+      val (n, m) = (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
+      assert((n & 1L) === (m & 1L),
+        s"cross-side pair in the head (true Jaccard 0): ($n, $m)")
+      assert(r.getAs[Number](5).intValue === 1,
+        s"emitted pair outside the 2se bound: $r")
+      // the deterministic estimator surfaces a genuinely high-overlap
+      // head on this fixture (exact ≥ 0.5 for every emitted pair)
+      assert(r.getAs[Number](4).longValue >= 500000L,
+        s"head pair with low true Jaccard: $r")
+    }
+  }
+
   test("q_corpus_refcount: the purge verb is idempotent — a retry after a " +
     "crashed rewrite recomputes the identical post-purge store") {
     val out1 = outOf("q_corpus_refcount") // builds the rungs via StoreOnce
