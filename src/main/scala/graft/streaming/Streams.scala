@@ -116,6 +116,33 @@ object Streams {
           .otherwise(lit(53) - length(bin(col("w")))).cast("int").as("r"))
       .groupBy(col("j")).agg(max(col("r")).as("m"))
 
+  /** STREAMING DAY-N STORE APPEND — the store VERB under streaming
+    * delivery (VERDICT r14 stretch: the streaming suite twins
+    * dedup/HLL/CMS/SCD2/sessions but no store verb). The batch suite's
+    * q_hll_store appends a delta as one whole-vintage overwrite; a
+    * streaming ingest cannot — each micro-batch holds only a slice of
+    * the delta. The streaming form is foreachBatch: fold the
+    * micro-batch's keys to ≤256 register rows
+    * ([[hllRegistersStream]]'s funnel, which is pure DataFrame code and
+    * runs unchanged on the batch handed to foreachBatch) and
+    * BLIND-append them under the delta vintage. At-least-once delivery
+    * is correct WITHOUT sink-side dedup, txn log, or batch-id
+    * bookkeeping: the store serves through a per-register MAX fold and
+    * appended rows are register maxima, so a REDELIVERED batch's rows
+    * re-append and change nothing in the fold — mergeable-sketch
+    * stores get exactly-once *semantics* from algebra where raw-row
+    * sinks need checkpoint machinery (why production pipelines stream
+    * sketches freely but guard raw appends). Stream-side state: none —
+    * the fold lives in the store. Store growth: ≤256 rows per
+    * micro-batch, compacted by any later whole-vintage rewrite
+    * (q_hll_store's [[graft.operators.SketchQueries]] append verb).
+    */
+  def appendHllRegistersBatch(batchKeys: DataFrame, table: String,
+      vintage: String = "delta1"): Unit =
+    hllRegistersStream(batchKeys)
+      .select(col("j"), col("m"), lit(vintage).as("vintage"))
+      .write.mode("append").insertInto(table)
+
   /** Streaming Count-Min — the q_cms_merge / q_cms_store counter sketch
     * maintained incrementally over an unbounded word stream: the depth-4
     * × width-512 counters are a streaming COUNT aggregate keyed on

@@ -110,4 +110,62 @@ class StreamingMultiBatchSpec extends AnyFunSuite {
       thrown.getCause != null)
     handle.close()
   }
+
+  test("streaming HLL store append across micro-batches == batch day-2 " +
+    "fold, and a redelivered batch is a fold no-op (at-least-once is free)") {
+    import graft.streaming.Streams
+    // spec-private store: base registers (orders ≡ 2..9 mod 10)
+    val key = System.nanoTime().toString
+    val t = s"g_stream_hll_$key"
+    val wh = java.nio.file.Files.createTempDirectory("graft-stream-hll").toString
+    val o = Tables(spark, dir, "orders")
+    def regsOf(filter: org.apache.spark.sql.Column) =
+      graft.streaming.Streams.hllRegistersStream(
+        o.filter(filter).select(col("o_custkey").as("k")))
+    regsOf(col("o_orderkey") % 10 >= 2)
+      .select(col("j"), col("m"), lit("base").as("vintage"))
+      .write.mode("overwrite").partitionBy("vintage")
+      .option("path", s"$wh/regs").saveAsTable(t)
+    // the delta (≡ 1) streams in as 3 micro-batches of raw keys
+    val deltaKeys = o.filter(col("o_orderkey") % 10 === 1)
+      .select(col("o_custkey").as("k"))
+    val staged = s"$wh/staged"
+    val rows = deltaKeys.collect()
+    rows.grouped(rows.length / 3 + 1).zipWithIndex.foreach { case (part, i) =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(part.toIndexedSeq, 1), deltaKeys.schema)
+        .write.parquet(s"$staged/batch$i.parquet")
+    }
+    val q = spark.readStream.schema(deltaKeys.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$staged/*.parquet")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        Streams.appendHllRegistersBatch(df, t)
+      }
+      .option("checkpointLocation", s"$wh/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def fold(): Seq[(Int, Int)] =
+      spark.table(t).groupBy(col("j")).agg(max(col("m")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    val streamed = fold()
+    val expected = regsOf(col("o_orderkey") % 10 =!= 0)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(streamed === expected,
+      "streamed per-batch appends must fold to the batch day-2 registers")
+    // at-least-once: redeliver the first micro-batch — rows re-append,
+    // the fold must not move (register algebra, not dedup machinery)
+    val grown = spark.table(t).count()
+    Streams.appendHllRegistersBatch(
+      spark.read.parquet(s"$staged/batch0.parquet"), t)
+    assert(spark.table(t).count() > grown,
+      "the redelivered batch must actually re-append rows")
+    assert(fold() === expected,
+      "a redelivered batch changed the served fold")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    def rmr(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rmr); f.delete(); ()
+    }
+    rmr(new java.io.File(wh))
+  }
 }
