@@ -249,8 +249,15 @@ object Bench {
       // Keep one generation: the previous sidecar rotates to .prev.json
       // before the overwrite, so the first re-run of a round preserves
       // the driver's window for the judge (commit it to make it durable).
+      // Rotation keys on the TARGET FILE, not the run mode (ADVICE r15):
+      // a subset run whose SPARK_GRAFT_BENCH_SIDECAR explicitly points at
+      // the full-suite sidecar would otherwise overwrite it with subset
+      // data AND skip the rotation — losing exactly the window the guard
+      // exists to protect. Any existing target rotates; the stray
+      // .subset.prev.json this creates for default subset runs is
+      // gitignored noise, a fair price for never losing a full window.
       val p = java.nio.file.Paths.get(sidecar)
-      if (only.isEmpty && java.nio.file.Files.exists(p)) {
+      if (java.nio.file.Files.exists(p)) {
         java.nio.file.Files.copy(p,
           java.nio.file.Paths.get(sidecar.stripSuffix(".json") + ".prev.json"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)

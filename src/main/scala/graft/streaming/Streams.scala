@@ -136,12 +136,24 @@ object Streams {
     * the fold lives in the store. Store growth: ≤256 rows per
     * micro-batch, compacted by any later whole-vintage rewrite
     * (q_hll_store's [[graft.operators.SketchQueries]] append verb).
+    *
+    * Target-table contract: `table` must carry columns named `j` (int
+    * register index), `m` (int register value), `vintage` (string
+    * partition) — in ANY order. `insertInto` is position-based, so the
+    * append first re-selects the batch's columns in the target table's
+    * own declared order BY NAME (ADVICE r15: a blind positional insert
+    * into a vintage-first table would, with ANSI off, null-cast the
+    * string vintage into the int register column rather than fail); a
+    * table missing one of the three names now fails fast at resolution.
     */
   def appendHllRegistersBatch(batchKeys: DataFrame, table: String,
-      vintage: String = "delta1"): Unit =
+      vintage: String = "delta1"): Unit = {
+    val targetOrder = batchKeys.sparkSession.table(table).columns
     hllRegistersStream(batchKeys)
       .select(col("j"), col("m"), lit(vintage).as("vintage"))
+      .select(targetOrder.map(col).toIndexedSeq: _*)
       .write.mode("append").insertInto(table)
+  }
 
   /** Streaming Count-Min — the q_cms_merge / q_cms_store counter sketch
     * maintained incrementally over an unbounded word stream: the depth-4

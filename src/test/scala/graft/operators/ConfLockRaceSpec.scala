@@ -37,10 +37,23 @@ class ConfLockRaceSpec extends AnyFunSuite {
       .toDF("id", "vintage")
       .write.mode("overwrite").partitionBy("vintage")
       .option("path", s"$wh/b").saveAsTable(t2)
-    val rounds = 6
+    // Race power (ADVICE r15): 6 rounds of two free-running loops could
+    // serialize by scheduling accident and pass even without ConfLock.
+    // Three teeth against that: a start latch releases both writers
+    // simultaneously (the first sections collide by construction), the
+    // round count is 24, and the static section ASSERTS the conf value
+    // it set is still in force both before and after its INSERT — if
+    // ConfLock's mutex were removed, the dynamic writer's concurrent
+    // toggle/restore flips the shared conf mid-section and this observes
+    // it directly (probabilistically per round) even when neither write
+    // happens to truncate.
+    val rounds = 24
+    val start = new java.util.concurrent.CountDownLatch(1)
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
     val dyn = new Thread(() => {
       try {
+        start.await()
         var i = 0
         while (i < rounds) {
           // the dynamic-overwrite delta append (VintageWrite under test)
@@ -51,20 +64,24 @@ class ConfLockRaceSpec extends AnyFunSuite {
     })
     val static = new Thread(() => {
       try {
+        start.await()
         var i = 0
         while (i < rounds) {
           // the conf-toggling store build on the OTHER table
-          ConfLock.withConf(spark,
-              "spark.sql.sources.partitionOverwriteMode", "static") {
+          ConfLock.withConf(spark, confKey, "static") {
+            assert(spark.conf.get(confKey) == "static",
+              "another writer's toggle leaked into this ConfLock section")
             spark.sql(s"INSERT OVERWRITE TABLE $t2 " +
               s"PARTITION (vintage='delta1') SELECT id FROM VALUES " +
               s"(${200L + i}) AS t(id)")
+            assert(spark.conf.get(confKey) == "static",
+              "another writer's restore flipped the conf mid-INSERT")
           }
           i += 1
         }
       } catch { case e: Throwable => errs.add(e); () }
     })
-    dyn.start(); static.start(); dyn.join(); static.join()
+    dyn.start(); static.start(); start.countDown(); dyn.join(); static.join()
     assert(errs.isEmpty, s"racing writers threw: ${errs.peek()}")
     spark.sql(s"REFRESH TABLE $t1"); spark.sql(s"REFRESH TABLE $t2")
     assert(spark.table(t1).filter(col("vintage") === "base")
