@@ -92,6 +92,74 @@ object Bench {
     (1 to 3).map(_ => onePass(96)).min
   }
 
+  /** SCHEDULER-LATENCY load marker (round 16 — VERDICT r15 task 1: the
+    * r14-conditional futex-wake leg, built because its falsifier fired in
+    * the driver's own r15 window: a 1.24× flat suite shift with BOTH
+    * prior legs at 1.000 and every >2× mover wait-dominated in the
+    * sidecar, cpu/(wall×32) = 0.03–0.12). The contention mode the two
+    * prior legs are provably blind to is scheduler/wakeup latency: a
+    * pinned spinner never sleeps and a streaming sum never blocks, but a
+    * Spark suite wakes task threads thousands of times per second, and a
+    * co-tenant (or hypervisor) that delays WAKE-TO-RUN taxes exactly the
+    * shuffle/task-churn phases while both markers sit at their floors.
+    *
+    * The leg: `threads` spinner threads first SATURATE every core, then
+    * ONE park/unpark ping-pong pair times 20k handoff round-trips
+    * through the run queue the spinners create. The self-saturation is
+    * load-bearing — a bare ping-pong on an idle host measures idle-core
+    * C-state exit latency and reads FASTER under load (measured ~630 ms
+    * quiet vs ~200 ms under a 24-thread co-tenant, an inverted gauge);
+    * with the machine fully committed by our own spinners, the woken
+    * thread's wait for a slot is the scheduler's wakeup-preemption
+    * latency, which ambient load can only deepen. Reported as the MEDIAN
+    * of five passes after a short warm-up pass: wake latency on this VM
+    * has rare multi-second single-pass bursts even quiet (a min would
+    * hide sustained contention arriving in bursts, and one burst in five
+    * passes must not flag a quiet window). Quiet band and the
+    * flag-don't-tax adjudication rule live in [[Calibration]]:
+    * instrumented trials conditioned on BOTH other legs quiet read
+    * 115–160 ms, while an 8-thread co-tenant (≲1.25× suite-class load)
+    * reads ≥ 388 ms and a 24-thread one ≥ 573 ms — a superlinear
+    * response, which is why this leg GATES window quietness instead of
+    * entering the tax divisor.
+    */
+  private def calibrateSchedMs(threads: Int): Long = {
+    def onePass(rounds: Int): Long = {
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val spinners = (1 to threads).map { i =>
+        new Thread(() => {
+          var x = 0x9e3779b97f4a7c15L + i
+          var n = 0L
+          while (!stop.get()) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; n += 1 }
+          calibSink.addAndGet(x + n)
+        })
+      }
+      spinners.foreach(_.start())
+      val turn = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pair = new Array[Thread](2)
+      (0 until 2).foreach { me =>
+        pair(me) = new Thread(() => {
+          var i = 0
+          while (i < rounds) {
+            while (turn.get != me) java.util.concurrent.locks.LockSupport.park()
+            turn.set(1 - me)
+            java.util.concurrent.locks.LockSupport.unpark(pair(1 - me))
+            i += 1
+          }
+        })
+      }
+      val t0 = System.nanoTime()
+      pair.foreach(_.start()); pair.foreach(_.join())
+      val wall = (System.nanoTime() - t0) / 1000000
+      stop.set(true)
+      spinners.foreach(_.join())
+      wall
+    }
+    onePass(2000) // park-path JIT warm-up, untimed
+    val vs = (1 to 5).map(_ => onePass(20000)).sorted
+    vs(2)
+  }
+
   private def loadavg1m(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
@@ -185,6 +253,7 @@ object Bench {
     val loadBefore = loadavg1m()
     val calibBefore = calibrateMs(cpus.toInt)
     val membwBefore = calibrateMembwMs(cpus.toInt)
+    val schedBefore = calibrateSchedMs(cpus.toInt)
     val samples = scala.collection.mutable.Map[String, List[(Double, Long, Long)]]()
       .withDefaultValue(Nil)
     // A timed-pass failure skips only that sample; the median is taken
@@ -198,6 +267,7 @@ object Bench {
     }
     val calibAfter = calibrateMs(cpus.toInt)
     val membwAfter = calibrateMembwMs(cpus.toInt)
+    val schedAfter = calibrateSchedMs(cpus.toInt)
     val loadAfter = loadavg1m()
     // The BASELINE.md adjudication, executed rather than re-derived by
     // readers: ambient tax from the markers, and the quiet-equivalent
@@ -207,7 +277,13 @@ object Bench {
     // contention modes read quiet.
     val taxAlu = Calibration.taxFactor(calibBefore, calibAfter)
     val taxMembw = Calibration.membwTaxFactor(membwBefore, membwAfter)
+    // The sched leg GATES quietness but never enters the divisor (its
+    // response to contention is superlinear — see Calibration scaladoc):
+    // tax_factor stays max(ALU, membw); window_quiet is all three.
     val tax = math.max(taxAlu, taxMembw)
+    val taxSched = Calibration.schedTaxFactor(schedBefore, schedAfter)
+    val windowQuiet = Calibration.windowQuiet(calibBefore, calibAfter,
+      membwBefore, membwAfter, schedBefore, schedAfter)
     // quiet_ms / membw_quiet_ms make the one-sided clamps auditable off
     // this VM: each leg's tax is its markers over its quiet reference
     // clamped at 1.0, so a reader with different quiet floors can
@@ -216,8 +292,11 @@ object Bench {
       s""""quiet_ms":${Calibration.QuietCenterMs},""" +
       s""""membw_before_ms":$membwBefore,"membw_after_ms":$membwAfter,""" +
       s""""membw_quiet_ms":${Calibration.MembwQuietHighMs},""" +
+      s""""sched_before_ms":$schedBefore,"sched_after_ms":$schedAfter,""" +
+      s""""sched_quiet_ms":${Calibration.SchedQuietHighMs},""" +
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
       f""""tax_alu":$taxAlu%.3f,"tax_membw":$taxMembw%.3f,""" +
+      f""""tax_sched":$taxSched%.3f,"window_quiet":$windowQuiet,""" +
       f""""tax_factor":$tax%.3f"""
     val results = selected.map { case (name, _) =>
       val ts = samples(name).sortBy(_._1)

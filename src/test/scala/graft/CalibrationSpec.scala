@@ -153,6 +153,73 @@ class CalibrationSpec extends AnyFunSuite {
     assert(p0.tax === Calibration.taxFactor(650, 650))
   }
 
+  test("sched leg (r16): quiet band flags nothing; the r15 driver-window " +
+    "signature (ALU+membw quiet, wake-latency hot) fails the quiet gate") {
+    // quiet readings — the instrumented conditioned band [115, 160] and
+    // anything up to the 320 ms edge — never flag and never tax
+    for (s <- Seq(115L, 135L, 153L, 160L, 320L)) {
+      assert(Calibration.schedTaxFactor(s, s) === 1.0, s"sched=$s")
+      assert(Calibration.windowQuiet(500, 500, 150, 150, s, s))
+    }
+    // markers absent (pre-r16 sidecars): leg silent, two-leg gate governs
+    assert(Calibration.schedTaxFactor(-1, -1) === 1.0)
+    assert(Calibration.windowQuiet(500, 500, 150, 150, -1, -1))
+    assert(!Calibration.windowQuiet(700, 700, 150, 150, -1, -1))
+    // the ALU arm of the gate references the band's HIGH edge: a reading
+    // inside the documented 460–560 quiet band is quiet even though the
+    // center-referenced tax is 1.0x–1.12x
+    assert(Calibration.windowQuiet(540, 520, 150, 150, 140, 140))
+    assert(!Calibration.windowQuiet(580, 570, 150, 150, 140, 140))
+    // THE r15 signature, pinned: the driver's window ran 374.0 s vs the
+    // canonical 301.0 s (1.24×) with tax_alu = tax_membw = 1.000 and
+    // every >2× mover wait-dominated (cpu/(wall×32) = 0.03–0.12). A
+    // construction-time trial caught the same ambient mode live: ALU
+    // 470 ms (quiet), membw 103 ms (quiet), sched 908 ms. Such a window
+    // must FAIL the quiet gate even though the tax divisor stays 1.0 —
+    // flag, don't tax (the sched response is superlinear: an ~1.25×
+    // suite-class co-tenant moved the marker 2.4–4×).
+    assert(Calibration.taxFactor(470, 470) === 1.0)
+    assert(Calibration.membwTaxFactor(103, 103) === 1.0)
+    assert(Calibration.combinedTaxFactor(470, 470, 103, 103) === 1.0)
+    assert(!Calibration.windowQuiet(470, 470, 103, 103, 908, 908),
+      "the r15 wait-domination signature must fail the quiet gate")
+    // each bracket gates separately: one quiet bracket must not average
+    // away a hot one (superlinear response makes the mean meaningless)
+    assert(!Calibration.windowQuiet(470, 470, 103, 103, 140, 908))
+    assert(!Calibration.windowQuiet(470, 470, 103, 103, 908, 140))
+    // the exported detection ratio is one-sided over the 320 ms edge
+    assert(Calibration.schedTaxFactor(908, 908) > 2.8)
+    // ...but deliberately NEVER enters the tax divisor
+    val m = Calibration.Markers(470, 470, 1.0, 1.0, 374.0, 312,
+      membwBeforeMs = 103, membwAfterMs = 103,
+      schedBeforeMs = 908, schedAfterMs = 908)
+    assert(m.tax === 1.0, "sched leg must not divide totals")
+    assert(m.schedTax > 2.8 && !m.quiet)
+    // a fully quiet three-leg window passes
+    val q = Calibration.Markers(500, 480, 1.0, 1.0, 301.0, 312,
+      membwBeforeMs = 110, membwAfterMs = 120,
+      schedBeforeMs = 145, schedAfterMs = 130)
+    assert(q.quiet && q.tax === 1.0)
+  }
+
+  test("sched leg: parseSidecar reads sched markers when present, " +
+    "degrades when absent") {
+    val withSched = """{"total":10.0,"calib_before_ms":500,
+      "calib_after_ms":500,"membw_before_ms":150,"membw_after_ms":160,
+      "sched_before_ms":140,"sched_after_ms":155,
+      "loadavg_before":1.0,"loadavg_after":1.0,
+      "queries":{"q_a":10.0}}"""
+    val p1 = Calibration.parseSidecar(withSched)
+    assert(p1.schedBeforeMs === 140 && p1.schedAfterMs === 155)
+    assert(p1.quiet && p1.schedTax === 1.0)
+    // pre-r16 sidecar: no sched fields → -1 → leg silent
+    val old = """{"total":10.0,"calib_before_ms":500,"calib_after_ms":500,
+      "membw_before_ms":150,"membw_after_ms":160,
+      "loadavg_before":1.0,"loadavg_after":1.0,"queries":{"q_a":10.0}}"""
+    val p0 = Calibration.parseSidecar(old)
+    assert(p0.schedBeforeMs === -1L && p0.schedTax === 1.0 && p0.quiet)
+  }
+
   // A marker-named query key inside "queries" must not be read as a marker:
   // the scalar scan is anchored to the prefix (ADVICE r9).
   test("scalar markers never collide with query entries") {
