@@ -391,7 +391,7 @@ private[operators] object ConfLock {
   * each vintage partition holds its own bucket files and the table-wide
   * bucket spec keeps store reads exchange-free (the plan pins).
   */
-private[operators] object VintageWrite {
+private[graft] object VintageWrite {
   def apply(df: org.apache.spark.sql.DataFrame, table: String): Unit =
     // insertInto ignores per-write DataFrameWriter options (unlike
     // save/saveAsTable), so the dynamic mode must be pinned on the

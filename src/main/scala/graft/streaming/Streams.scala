@@ -174,6 +174,110 @@ object Streams {
       .withColumnRenamed("pos", "d").withColumnRenamed("col", "p")
       .groupBy(col("d"), col("p")).agg(count(lit(1)).as("c"))
 
+  /** STREAMING STORE APPENDS FOR THE REMAINING MERGEABLE SKETCHES
+    * (VERDICT r15 task 3): the HLL twin above made "mergeable store"
+    * and "streaming-safe store" the same claim for the MAX fold; these
+    * three extend it to the Bloom (UNION), CMS (SUM), and quantile
+    * (SUM) stores — and draw the algebra boundary the HLL scaladoc
+    * gestured at, now load-bearing:
+    *
+    *  - IDEMPOTENT folds (HLL's per-register MAX, Bloom's distinct-bit
+    *    UNION): a redelivered batch's rows re-append and the served
+    *    fold cannot move — at-least-once is free, so the append is a
+    *    BLIND `insertInto`, no bookkeeping.
+    *  - NON-idempotent folds (CMS counter SUM, quantile histogram SUM):
+    *    a blind re-append silently DOUBLES the redelivered batch's
+    *    counts — the exact corruption mode the batch verbs'
+    *    [[graft.operators.VintageWrite]] exists for. The streaming
+    *    form therefore keys each micro-batch's rows by foreachBatch's
+    *    `batchId` as a SECOND partition column and lands them as a
+    *    dynamic partition overwrite of (vintage, batch_id): a
+    *    redelivery deterministically REWRITES its own partition with
+    *    identical content and touches nothing else. Same algebra as
+    *    the batch day-N verbs (append-twice ≡ append-once), lifted to
+    *    per-micro-batch granularity — the standard idempotent-
+    *    foreachBatch pattern, here derived from the fold algebra
+    *    rather than bolted on.
+    *
+    * All three appends resolve the target table's column order BY NAME
+    * before the positional insert (the r15 ADVICE contract on the HLL
+    * twin, applied from birth here). Store growth: ≤#distinct-rows per
+    * micro-batch, compacted by any later whole-vintage rewrite.
+    */
+
+  /** Distinct Bloom bit positions of a micro-batch of documents under
+    * the q_bloom_store geometry (4096 bits × 4 probes carved from one
+    * content-hash hash60). Input: any relation with a `text` column.
+    */
+  def bloomBitsBatch(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("ch"))
+      .select(graft.functions.Portable.hash60(col("ch")).as("hv"))
+      .select(explode(array((0 until 4).map(i =>
+        shiftright(col("hv"), 12 * i).bitwiseAND(lit(4095L))): _*)).as("bit"))
+      .distinct()
+
+  /** Blind at-least-once append of a micro-batch's Bloom bits — safe
+    * WITHOUT delivery bookkeeping because the served fold is a distinct
+    * union (redelivered bits are duplicates the fold discards). Target
+    * contract: columns named `bit` (long), `vintage` (string partition).
+    */
+  def appendBloomBitsBatch(batchDocs: DataFrame, table: String,
+      vintage: String = "delta1"): Unit = {
+    val targetOrder = batchDocs.sparkSession.table(table).columns
+    bloomBitsBatch(batchDocs)
+      .select(col("bit"), lit(vintage).as("vintage"))
+      .select(targetOrder.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(table)
+  }
+
+  /** Idempotent append of a micro-batch's CMS counters: the SUM fold is
+    * not redelivery-safe, so the rows land keyed by `batchId` as a
+    * dynamic partition overwrite of (vintage, batch_id) — redelivery
+    * rewrites its own partition byte-for-byte and the served fold holds.
+    * Target contract: columns named `d`, `p`, `c` plus partition columns
+    * `vintage` (string) and `batch_id` (long). Input: a `word` column
+    * ([[cmsCountersStream]]'s funnel runs unchanged on the batch).
+    */
+  def appendCmsCountersBatch(batchWords: DataFrame, table: String,
+      batchId: Long, vintage: String = "delta1"): Unit = {
+    val targetOrder = batchWords.sparkSession.table(table).columns
+    graft.operators.VintageWrite(
+      cmsCountersStream(batchWords)
+        .select(col("d"), col("p"), col("c"),
+          lit(vintage).as("vintage"), lit(batchId).as("batch_id"))
+        .select(targetOrder.map(col).toIndexedSeq: _*),
+      table)
+  }
+
+  /** 64-bucket histogram of a micro-batch of integer cents over the
+    * store's INGEST grid — (minc, span) are ingest-time state passed in
+    * by the caller, never re-derived per batch (re-deriving would
+    * re-bucket the store: the q_quantile_store / IVF-centroid posture).
+    * Input: any relation with a `cents` column.
+    */
+  def quantileHistBatch(cents: DataFrame, minc: Long, span: Long): DataFrame =
+    cents
+      .select(greatest(lit(0L), least(lit(63L),
+        expr(s"((cents - ${minc}L) * 64) div ${span}L"))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+
+  /** Idempotent append of a micro-batch's quantile histogram — same
+    * SUM-fold reasoning as [[appendCmsCountersBatch]]: batchId-keyed
+    * dynamic partition overwrite. Target contract: columns named `b`,
+    * `c` plus partition columns `vintage` (string), `batch_id` (long).
+    */
+  def appendQuantileHistBatch(batchCents: DataFrame, table: String,
+      batchId: Long, minc: Long, span: Long,
+      vintage: String = "delta1"): Unit = {
+    val targetOrder = batchCents.sparkSession.table(table).columns
+    graft.operators.VintageWrite(
+      quantileHistBatch(batchCents, minc, span)
+        .select(col("b"), col("c"),
+          lit(vintage).as("vintage"), lit(batchId).as("batch_id"))
+        .select(targetOrder.map(col).toIndexedSeq: _*),
+      table)
+  }
+
   /** Stream-stream interval join: purchases joined to same-user error
     * events from the preceding hour. Both sides carry watermarks and the
     * join condition bounds event time, so state eviction is automatic —
