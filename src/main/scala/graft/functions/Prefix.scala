@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions.{col, spark_partition_id, sum}
 import org.apache.spark.sql.types.LongType
 
 /** Distributed exact prefix sums under a total order — the running-total
@@ -43,16 +44,18 @@ object Prefix {
       df.repartitionByRange(parts, order: _*)
         .sortWithinPartitions(order: _*))
     val widx = weightCols.map(sorted.schema.fieldIndex).toArray
-    val partSums = sorted.rdd
-      .mapPartitionsWithIndex { case (i, it) =>
-        val acc = new Array[Long](widx.length)
-        it.foreach { r =>
-          var j = 0
-          while (j < widx.length) { acc(j) += r.getLong(widx(j)); j += 1 }
-        }
-        Iterator((i, acc))
-      }
-      .collect().sortBy(_._1).map(_._2)
+    // Per-partition weight totals via one column-pruned codegen aggregate
+    // over the cache (r16, guide §4): the previous `.rdd` pass
+    // deserialized every cached InternalRow to an external Row just to
+    // sum longs. The collect stays bounded by the partition count.
+    val sumCols = weightCols.map(w => sum(col(w)).as(w))
+    val byPid = sorted.groupBy(spark_partition_id().as("pid"))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> weightCols.indices.map(j => r.getLong(j + 1)).toArray)
+      .toMap
+    val partSums = (0 until parts)
+      .map(i => byPid.getOrElse(i, new Array[Long](widx.length))).toArray
     // offsets(i)(j) = total weight j in partitions before i
     val offsets = partSums.scanLeft(new Array[Long](widx.length)) {
       (a, b) => a.zip(b).map { case (x, y) => x + y }

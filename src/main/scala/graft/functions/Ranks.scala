@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -14,9 +14,12 @@ import org.apache.spark.sql.types.LongType
   * partition starting from its offset. Every stage is linear and
   * cluster-wide; nothing ever concentrates the data.
   *
-  * The per-partition enumeration is imperative (a running counter), which
-  * no built-in operator expresses — this is the documented `mapPartitions`
-  * last resort (SURVEY.md §2 custom-operator preference order, case d).
+  * The per-partition enumeration used to be an imperative `mapPartitions`
+  * counter; since r16 it is a pure codegen projection over
+  * `monotonically_increasing_id()` (which already encodes the partition
+  * index and the task-local row counter) — same numbering, no
+  * row-format round trip (guide §4: keep the hot path inside
+  * whole-stage codegen).
   */
 object Ranks {
 
@@ -24,6 +27,25 @@ object Ranks {
     * `order`. Returns the numbered frame plus the total row count (known
     * for free from the counting pass). `order` must be a total order for
     * the numbering to be deterministic.
+    *
+    * Both passes are whole-stage-codegen DataFrame operators (r16, guide
+    * §4/§1.2 "per-task work"): the previous `.rdd` form deserialized
+    * every cached InternalRow to an external Row twice (counting pass +
+    * enumeration pass) and re-encoded the whole relation through
+    * `createDataFrame`, which also re-planned the downstream as an
+    * opaque `LogicalRDD` (no column pruning into the cache scan).
+    * Now the counting pass is a column-pruned aggregate over
+    * `spark_partition_id()` and the enumeration is a pure projection:
+    * `monotonically_increasing_id()` encodes exactly
+    * (partition index << 33) | local row index on its task's iterator
+    * order — the same (i, rn) pair the old mapPartitions counter
+    * produced — so rn = offsets(pid) + local + 1 with the per-partition
+    * offsets folded in as a literal array (bounded by the partition
+    * count, same driver footprint as the old broadcast). The plan keeps
+    * one WholeStageCodegen span over the cache scan instead of breaking
+    * at `Scan ExistingRDD`/`SerializeFromObject`, and downstream column
+    * pruning reaches the cache again (see OPTIMIZATION_r16.md for the
+    * measured before/after).
     */
   def withGlobalRowNumber(df: DataFrame, order: Seq[Column], rnCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
@@ -34,20 +56,25 @@ object Ranks {
     val sorted = graft.Caches.persisted(
       df.repartitionByRange(parts, order: _*)
         .sortWithinPartitions(order: _*))
-    val counts = sorted.rdd
-      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
-      .collect().sortBy(_._1).map(_._2)
+    // per-partition counts: one column-pruned codegen aggregate over the
+    // cache (collect is bounded by the partition count — driver holds
+    // #partitions longs, exactly like the old offsets broadcast)
+    val cntByPid = sorted.groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts = (0 until parts).map(i => cntByPid.getOrElse(i, 0L))
     val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = rows before partition i
     val total = offsets.last
-    val bc = spark.sparkContext.broadcast(offsets)
-    // offsets are per-query state; destroy with the query's other caches
-    graft.Caches.defer(() => bc.destroy())
-    val schema = sorted.schema.add(rnCol, LongType, nullable = false)
-    val rdd = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
-      var rn = bc.value(i)
-      it.map { row => rn += 1; Row.fromSeq(row.toSeq :+ rn) }
-    }
-    (spark.createDataFrame(rdd, schema), total)
+    // rn = offsets(pid) + local + 1, decoded from the task-local id:
+    // monotonically_increasing_id() is (partition index << 33) | local
+    // row index in iterator order — deterministic over the cached,
+    // sorted partitions for the same reason the old per-partition
+    // counter was.
+    val mid = monotonically_increasing_id()
+    val rn = element_at(
+      array(offsets.dropRight(1).map(lit): _*),
+      (shiftright(mid, 33) + 1).cast("int")) +
+      mid.bitwiseAND(lit((1L << 33) - 1)) + 1
+    (sorted.withColumn(rnCol, rn.cast(LongType)), total)
   }
 
   /** Distributed EXACT interpolated percentiles per group — the scale

@@ -184,10 +184,19 @@ object GraphQueries {
     */
   private[graft] def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    // pre-reduce the fact side: distinct (order, supplier) before the join
-    // shrinks both the join input and the post-join distinct
+    // No pre-distinct on the fact side (r16, guide §2.4): the former
+    // `.distinct()` on (l_orderkey, l_suppkey) cost a FULL extra exchange
+    // of the lineitem projection, while the join side is a broadcast of
+    // the order-sized relation (no lineitem shuffle) and the post-join
+    // (a, b) distinct partial-aggregates map-side before its one
+    // exchange anyway. On this data shape the pre-distinct barely
+    // reduced rows (orders rarely repeat a supplier within one order),
+    // so the plan paid 2 fact-side shuffles where 1 suffices — at any
+    // scale the single post-projection distinct moves the same bytes the
+    // pre-distinct's exchange alone moved. Plan diff: 2 Exchange → 1 on
+    // the lineitem side (plans/r16/q_graph_degree_*.txt).
     val l = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .select(col("l_orderkey"), col("l_suppkey"))
     o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("a"),
         (col("l_suppkey") * 2 + 1).as("b"))
@@ -423,9 +432,14 @@ object GraphQueries {
       while (rounds < 4 && !converged) {
         val degs = Caches.persisted(
           e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-        val nNodes = degs.count() // materialize: real stats for the joins
+        // ONE collect materializes the cache (real stats for the joins)
+        // AND answers convergence — the previous separate keep.count()
+        // was a second scheduling round-trip per peel round (r16: the
+        // suite's cost is job count × per-job latency, guide §1.2)
+        val cnts = degs.agg(count(lit(1)), count_if(col("deg") >= 3)).collect()(0)
+        val (nNodes, nKeep) = (cnts.getLong(0), cnts.getLong(1))
         val keep = degs.filter(col("deg") >= 3).select(col("src").as("keep"))
-        if (keep.count() == nNodes) {
+        if (nKeep == nNodes) {
           degs.unpersist()
           converged = true
         } else {
@@ -813,13 +827,18 @@ object GraphQueries {
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node"))
       for (_ <- 1 to 2) {
+        // majority vote as max_by over (count, −label) instead of a
+        // row_number window (r16, guide §2.3/§2.4): identical winner —
+        // lexicographic max of (c, −lbl) IS "c desc, lbl asc" rank 1 —
+        // but the aggregate partial-combines map-side (one candidate
+        // row per src per mapper enters the exchange, vs every (src,
+        // lbl) vote row) and drops the window's per-partition SORT.
+        // Plan diff: Window+Sort → HashAggregate pair per round.
         labels = Caches.persisted(
           edges.join(labels, edges("dst") === labels("node"))
             .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-            .withColumn("rk", row_number().over(
-              Window.partitionBy(col("src"))
-                .orderBy(col("c").desc, col("lbl").asc)))
-            .filter(col("rk") === 1)
+            .groupBy(col("src"))
+            .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("lbl"))
             .select(col("src").as("node"), col("lbl")))
         labels.count() // materialize before the next round replans consumers
       }
@@ -875,13 +894,14 @@ object GraphQueries {
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node"))
       for (_ <- 1 to 2) {
+        // same max_by-for-window vote as q_label_prop (r16) — see the
+        // note there; the two loops stay textually twinned so the
+        // communities (and hence Q) cannot drift between the queries
         labels = Caches.persisted(
           edges.join(labels, edges("dst") === labels("node"))
             .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-            .withColumn("rk", row_number().over(
-              Window.partitionBy(col("src"))
-                .orderBy(col("c").desc, col("lbl").asc)))
-            .filter(col("rk") === 1)
+            .groupBy(col("src"))
+            .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("lbl"))
             .select(col("src").as("node"), col("lbl")))
         labels.count()
       }

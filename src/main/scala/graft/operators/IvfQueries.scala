@@ -679,7 +679,18 @@ object IvfQueries {
           .select(col("vec_id").as("pid"), col("embedding").as("pe")))
       val nP = probes.count()
       val nBase = base.count()
-      val rows = (1 to 3).map { s =>
+      // The three drift stages are INDEPENDENT (each reads only `e`,
+      // `seeds`, `cIng`, `probes`) but their builds run eager jobs (the
+      // grown-count and the rebuild-trainer's collect) — sequentially
+      // that serialized ~86 small jobs behind one driver thread (r16
+      // profile; guide §2.6 "overlap independent jobs"). A 3-thread
+      // build overlaps the stages' job chains; results are unchanged
+      // (each stage's arms are self-contained, the union below re-orders
+      // by stage) and the session/caches registry are thread-safe.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val stageFs = (1 to 3).map { s => scala.concurrent.Future {
         val grown = graft.Caches.persisted(e.filter(
           col("vec_id") % 10 >= 4 ||
             (col("vec_id") % 10 >= 1 && col("vec_id") % 10 <= s)))
@@ -725,7 +736,12 @@ object IvfQueries {
             lit((nG - nBase) * 10000L / math.max(1L, nBase)).as("delta_bp"),
             expr(s"hg * 10000 div (${math.max(1L, nP * 10)})").as("recall_grown_bp"),
             expr(s"hr * 10000 div (${math.max(1L, nP * 10)})").as("recall_rebuilt_bp"))
-      }
+      } }
+      val rows =
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(stageFs),
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
       rows.reduce(_ unionAll _).orderBy(col("stage"))
     },
     Some {

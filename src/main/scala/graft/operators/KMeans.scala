@@ -20,7 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Assign each vector to its highest-cosine centroid (ties → lowest id). */
+  /** Assign each vector to its highest-cosine centroid (ties → lowest id).
+    *
+    * Measured negative result (r16): rewriting the argmax as a
+    * `max_by(cid, struct(ccos, −cid))` aggregate — fewer shuffle rows,
+    * no sort — benched SLOWER on every assign consumer
+    * (q_kmeans_train 1.117→1.128 s, q_cluster_profile 0.906→1.079 s,
+    * both windows quiet), because the embedding array must ride the
+    * aggregation buffer through partial/final merge (per-row array
+    * copies), while the window form ships plain rows and Spark 4's
+    * rank-limit pushdown (WindowGroupLimit) already caps the per-key
+    * sort at the top-1 candidate. The same max_by idiom DID pay in the
+    * LPA vote (GraphQueries), where the carried payload is one long —
+    * the dividing line is payload width, not the operator.
+    */
   def assign(e: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
